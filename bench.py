@@ -1,0 +1,58 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall-clock seconds.
+
+Queries execute through the `noop` sink so the full plan runs distributed
+(scan → shuffle → agg) without driver-collect overhead distorting timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from high_volume_market_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from high_volume_market_data_pipeline_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = build_session(app_name="hvmdp-bench")
+    timings: dict[str, float] = {}
+    try:
+        # JVM/codegen warmup on the smallest query so per-query numbers
+        # reflect steady state, not first-job session setup.
+        QUERIES["distinct_order_priorities"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        for name in sorted(QUERIES):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Session factory — the engine's tuned SparkSession builder.
+
+Re-expresses the reference's session profile (reference
+``src/config/spark_manager.py:119-285``): AQE on with partition coalescing and
+skew-join handling, shuffle partitions sized to cores with a clamp, raised
+broadcast threshold, UTC session timezone, Arrow enabled for the pandas
+boundary. Scale rationale: on a real cluster these same knobs govern shuffle
+fan-out and join strategy; locally they keep plans representative of what a
+1000-executor run would produce (AQE re-plans per-stage from runtime stats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference clamps shuffle partitions to [8, 512] via cores × multiplier
+# (spark_manager.py:43-68). We keep the same shape.
+_SHUFFLE_MIN = 8
+_SHUFFLE_MAX = 512
+_SHUFFLE_MULTIPLIER = 3
+
+# AQE advisory partition 128MB / min coalesce 64MB, broadcast 64MB — the
+# reference's sizing constants (spark_manager.py:50,174-181,192).
+_ADVISORY_PARTITION_BYTES = str(128 * 1024 * 1024)
+_MIN_COALESCED_BYTES = str(64 * 1024 * 1024)
+_BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
+
+
+def shuffle_partitions_for(cores: int, multiplier: int = _SHUFFLE_MULTIPLIER) -> int:
+    """cores × multiplier clamped to [8, 512] (spark_manager.py:55-68)."""
+    return max(_SHUFFLE_MIN, min(_SHUFFLE_MAX, cores * multiplier))
+
+
+def build_session(
+    app_name: str = "high-volume-market-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points run under the driver harness and on a cluster
+    (where ``master`` is supplied by spark-submit and should be passed None
+    with an already-set master, or explicitly).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = shuffle_partitions_for(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution (spark_manager.py:170-181) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            _ADVISORY_PARTITION_BYTES,
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            _MIN_COALESCED_BYTES,
+        )
+        # --- Shuffle / join sizing (spark_manager.py:43-68,192) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+        # --- Determinism: UTC everywhere (data_generator.py:223-233 pins
+        # the session TZ; we make it engine-wide per SURVEY §7.3) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Arrow for the pandas boundary (pandas UDFs, toPandas) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scans: allow pruning+pushdown to do their job at scale.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", _ADVISORY_PARTITION_BYTES)
+        # Quieter driver
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session(spark: SparkSession) -> None:
+    """Stop the session (reference force_stop, spark_manager.py:304-326)."""
+    try:
+        spark.stop()
+    except Exception:
+        pass
