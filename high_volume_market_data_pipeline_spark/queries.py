@@ -40,47 +40,14 @@ from high_volume_market_data_pipeline_spark.operators.projection import (
     safe_cast,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-# Double sums are summation-order dependent (last-ulp drift between Spark's
-# and DuckDB's partial-aggregation orders flips ROUND at .005 boundaries).
-# Money aggregates therefore go through exact DECIMAL: cast each double to
-# DECIMAL(18,4) (identical input doubles → identical decimals), sum exactly,
-# and for averages divide the exact sum as double by the count — both engines
-# then perform one identical IEEE division. SQL twins: _DSUM_SQL / _DAVG_SQL.
-_DEC = "decimal(18,4)"
-
-
-def dsum(col: F.Column):
-    """Exact decimal sum of a double expression (order-independent)."""
-    return F.sum(col.cast(_DEC)).cast("decimal(38,4)")
-
-
-def davg(col: F.Column):
-    """Deterministic average: exact decimal sum → double ÷ non-null count."""
-    return F.round(F.sum(col.cast(_DEC)).cast("double") / F.count(col), 6)
-
-
-def _dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DECIMAL(38,4))"
-
-
-def _davg_sql(expr: str) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
-        f" / COUNT({expr}), 6)"
-    )
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
+from high_volume_market_data_pipeline_spark.registry import (
+    ORACLE_SQL,
+    QUERIES,
+    _DEC,
+    davg,
+    dsum,
+    query,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -496,3 +463,9 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").asc_nulls_first(),
         F.col("o_orderpriority").asc_nulls_first(),
     )
+
+
+# Extension query modules self-register on import (registry pattern).
+from high_volume_market_data_pipeline_spark import queries_text  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_dedup  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_similarity  # noqa: E402,F401

@@ -1,0 +1,162 @@
+"""Deduplication queries over `documents` — exact, MinHash+LSH, SimHash.
+
+The MinHash/LSH pipeline is fully oracle-checked (md5-based signatures are
+bit-identical in DuckDB — see dedup/minhash.py); the SQL twins below are
+generated from the same constants (k, bands, shingle width) as the Spark
+implementation, so the two can't silently diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash32,
+)
+from high_volume_market_data_pipeline_spark.dedup.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    DEFAULT_SHINGLE,
+)
+from high_volume_market_data_pipeline_spark.dedup.simhash import BITS
+from high_volume_market_data_pipeline_spark.registry import query
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "exact_dedup_documents",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS kept_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 content fingerprint, min doc_id
+    wins (deterministic keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", keep="min").orderBy("fingerprint")
+
+
+def _minhash_sql_parts(k: int = DEFAULT_K, w: int = DEFAULT_SHINGLE) -> tuple[str, str]:
+    """(sig_expr, bands_expr) SQL fragments built from the same constants
+    as the Spark implementation."""
+    comps = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min')"
+        for j in range(k)
+    )
+    r = k // DEFAULT_BANDS
+    bands = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(
+            f"sig[{b * r + i + 1}]" for i in range(r)
+        )
+        for b in range(DEFAULT_BANDS)
+    )
+    return f"[{comps}]", f"[{bands}]"
+
+
+_SIG_SQL, _BANDS_SQL = _minhash_sql_parts()
+
+_SHINGLES_CTE = f"""
+    base AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ), toks AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS t FROM base
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < {DEFAULT_SHINGLE} THEN [norm]
+                  ELSE list_transform(
+                         range(1, len(t) - {DEFAULT_SHINGLE} + 2),
+                         i -> {" || ' ' || ".join(f"t[i+{off}]" for off in range(DEFAULT_SHINGLE))}
+                       )
+             END AS shingles
+      FROM toks
+    )
+"""
+
+
+@query(
+    "minhash_lsh_near_dup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key FROM sig
+    ), counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn FROM banded
+    ), kept AS (
+      SELECT * FROM counted WHERE bn <= 1000
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(len(list_filter(range(1, {DEFAULT_K + 1}), i -> sa.sig[i] = sb.sig[i])) / {float(DEFAULT_K)}, 6) AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    ), dsh AS (
+      SELECT doc_id, list_distinct(shingles) AS shd FROM sh
+    )
+    SELECT s.id_a, s.id_b, s.est_jaccard,
+           ROUND(len(list_filter(da.shd, x -> list_contains(db.shd, x)))
+                 / CAST(len(list_distinct(da.shd || db.shd)) AS DOUBLE), 6) AS jaccard
+    FROM scored s
+    JOIN dsh da ON da.doc_id = s.id_a
+    JOIN dsh db ON db.doc_id = s.id_b
+    ORDER BY s.id_a, s.id_b
+    """,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash signatures → LSH band buckets →
+    candidate pairs → exact n-gram Jaccard verification. Oracle-checked end
+    to end (md5 minhashes are engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id")
+    return ngram_jaccard(pairs, docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+def _hex_to_int_sql(hexpr: str) -> str:
+    """8-hex-char → int via positional arithmetic (DuckDB lacks conv())."""
+    return (
+        "CAST(list_sum(list_transform(range(0, 8), j -> "
+        f"(strpos('0123456789abcdef', substr({hexpr}, CAST(j+1 AS INT), 1)) - 1)"
+        " * (16.0 ** (7 - j)))) AS BIGINT)"
+    )
+
+
+@query(
+    "simhash_documents",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_hex_to_int_sql("md5(tok)")} AS h FROM toked
+    ), bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(((h >> {i}) & 1) * 2 - 1) AS s_{i}" for i in range(BITS))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"CASE WHEN s_{i} > 0 THEN {2**i} ELSE 0 END" for i in range(BITS))} AS BIGINT) AS simhash
+    FROM bits
+    ORDER BY doc_id
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (hamming-space near-dup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "text", "doc_id").orderBy("doc_id")

@@ -1,0 +1,103 @@
+"""Similarity-search queries over `embeddings`.
+
+Brute-force cosine top-k is fully oracle-checked (both engines do the same
+sequential double fold over the 64-dim vectors). The LSH-bucketed ANN
+variant is approximate by design → rows-only check (the driver records the
+weaker gate; its recall is asserted against brute force in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.dedup import embedding_near_dup_pairs
+from high_volume_market_data_pipeline_spark.registry import query
+from high_volume_market_data_pipeline_spark.similarity import (
+    brute_force_knn,
+    lsh_bucketed_knn,
+)
+
+_N_QUERIES = 8
+_K = 5
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))))"
+)
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+      FROM c CROSS JOIN q
+      WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, knn_rank
+    FROM ranked WHERE knn_rank <= {_K}
+    ORDER BY query_id, knn_rank
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: corpus never shuffles (query side broadcast);
+    per-query top-k via window prunes before any collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")
+
+
+@query("knn_lsh_bucketed")
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH buckets + multi-probe — the scale path
+    (per-bucket quadratic instead of global). Approximate ⇒ rows-only gate;
+    recall vs brute force is asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_bucketed_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+           6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+           6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on an id-stratified block (vec_id %
+    10) — the blocked-quadratic verify stage; threshold 0.3 (testdata's
+    random vectors top out ≈0.48)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")

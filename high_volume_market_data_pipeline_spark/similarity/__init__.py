@@ -1,0 +1,9 @@
+"""Similarity search over embedding columns (driver north-star extension)."""
+
+from high_volume_market_data_pipeline_spark.similarity.knn import (
+    brute_force_knn,
+    lsh_bucketed_knn,
+    random_hyperplane_buckets,
+)
+
+__all__ = ["brute_force_knn", "lsh_bucketed_knn", "random_hyperplane_buckets"]

@@ -1,0 +1,65 @@
+"""Behavioral tests for the dedup/similarity extension operators — things
+the SQL oracle can't express: LSH recall vs brute force, near-dup detection
+quality on the planted duplicates, simhash hamming locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.dedup import simhash32
+from high_volume_market_data_pipeline_spark.dedup.simhash import hamming32
+from high_volume_market_data_pipeline_spark.queries_dedup import (
+    minhash_lsh_near_dup,
+)
+from high_volume_market_data_pipeline_spark.similarity import (
+    brute_force_knn,
+    lsh_bucketed_knn,
+)
+
+from .conftest import SF_DIR
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """The testdata documents contain pairs with trigram-jaccard ≈0.99 —
+    the LSH pipeline must surface them with high estimated similarity."""
+    pairs = minhash_lsh_near_dup(spark, SF_DIR)
+    strong = pairs.filter(F.col("jaccard") > 0.9)
+    assert strong.count() >= 5
+    # estimates correlate: every high-jaccard pair has est_jaccard ≥ 0.5
+    weak_est = strong.filter(F.col("est_jaccard") < 0.5).count()
+    assert weak_est == 0
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark):
+    """ANN recall@5 ≥ 0.4 against exact top-5 on the testdata (random
+    embeddings are a worst case for LSH; planted structure raises this)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_knn(q, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
+
+
+def test_simhash_near_dups_are_hamming_close(spark):
+    """Planted near-dup pairs (jaccard > 0.95) should be much closer in
+    hamming space than random pairs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = simhash32(docs, "text", "doc_id")
+    pairs = minhash_lsh_near_dup(spark, SF_DIR).filter(F.col("jaccard") > 0.95)
+    joined = (
+        pairs.join(sig.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
+        .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
+        .select(hamming32("sh_a", "sh_b").alias("d"))
+    )
+    rows = joined.collect()
+    assert rows, "expected planted near-dup pairs"
+    avg_dup = sum(r.d for r in rows) / len(rows)
+    assert avg_dup <= 8, f"near-dups avg hamming {avg_dup} (random ≈16)"
