@@ -1,0 +1,17 @@
+"""Pipeline assembly layer (SURVEY.md §3 — the medallion orchestration)."""
+
+from high_volume_market_data_pipeline_spark.plans.medallion import (
+    MedallionPaths,
+    run_bronze,
+    run_gold,
+    run_medallion,
+    run_silver,
+)
+
+__all__ = [
+    "MedallionPaths",
+    "run_bronze",
+    "run_gold",
+    "run_medallion",
+    "run_silver",
+]

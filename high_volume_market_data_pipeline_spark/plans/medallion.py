@@ -1,0 +1,181 @@
+"""Medallion pipeline assembly: Bronze → Silver → Gold.
+
+Re-expresses the reference's production path (main_pipeline.py:248-320) as a
+composition of the engine's named operators:
+
+  Bronze (run_ingestion → extract_crypto_data.py:250-281):
+      source rows → P3 enrichment → K2 partition-scoped overwrite
+  Silver (run_bronze_to_silver → bronze_to_silver_crypto.py:121-150):
+      P1 typed casts → W1 dedup keep-latest → K3 merge upsert
+  Gold (run_silver_to_gold → silver_to_gold_crypto_stats.py:114-149):
+      re-read silver from disk → L1 copartition → W2 rank top-K →
+      P4 filter → A1 sum/avg → O1 sort → L2 compact → K1 write + CSV report
+
+Differences from the reference, on purpose:
+- partition-scoped overwrite uses dynamic partition-overwrite (no driver
+  collect of the partition set, K2 note in sinks/writers.py);
+- the maintenance step (compaction + clustering) is parquet-native
+  (sinks/maintenance.py) since Delta is optional;
+- every stage returns its DataFrame so tests can assert intermediate state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.operators.aggregates import grouped_agg
+from high_volume_market_data_pipeline_spark.operators.dedup import dedup_keep_latest
+from high_volume_market_data_pipeline_spark.operators.layout import (
+    compact_output,
+    copartition_by,
+)
+from high_volume_market_data_pipeline_spark.operators.projection import (
+    enrich_ingestion,
+    project_cast,
+)
+from high_volume_market_data_pipeline_spark.operators.ranking import (
+    rank_top_k_per_group,
+)
+from high_volume_market_data_pipeline_spark.sinks.maintenance import zorder_cluster
+from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
+from high_volume_market_data_pipeline_spark.sinks.writers import (
+    write_partition_scoped_overwrite,
+    write_single_csv,
+)
+
+SILVER_CASTS = {
+    # bronze_to_silver_crypto.py:68-70 type contract
+    "last_updated": "timestamp",
+    "current_price": "decimal(18,8)",
+    "market_cap": "decimal(20,2)",
+}
+
+
+@dataclass
+class MedallionPaths:
+    root: str
+
+    @property
+    def bronze(self) -> str:
+        return os.path.join(self.root, "bronze", "market_snapshots")
+
+    @property
+    def silver(self) -> str:
+        return os.path.join(self.root, "silver", "market_snapshots")
+
+    @property
+    def gold(self) -> str:
+        return os.path.join(self.root, "gold", "market_stats")
+
+    @property
+    def report_csv(self) -> str:
+        return os.path.join(self.root, "final_report.csv")
+
+
+def run_bronze(
+    source_df: DataFrame,
+    paths: MedallionPaths,
+    ingestion_time=None,
+) -> DataFrame:
+    """Enrich raw rows (P3) and land them partition-scoped (K2)."""
+    enriched = enrich_ingestion(source_df, ingestion_time=ingestion_time)
+    write_partition_scoped_overwrite(enriched, paths.bronze, "partition_date")
+    return enriched
+
+
+def run_silver(
+    spark: SparkSession, paths: MedallionPaths, bronze_df: DataFrame | None = None
+) -> DataFrame:
+    """Typed projection (P1) → dedup keep-latest (W1) → merge upsert (K3).
+
+    Like the reference (main_pipeline.py:266,272), the in-memory bronze
+    DataFrame is reused when given; standalone runs re-read from disk."""
+    bronze = (
+        bronze_df
+        if bronze_df is not None
+        else spark.read.parquet(paths.bronze)
+    )
+    typed = project_cast(bronze, SILVER_CASTS)
+    deduped = dedup_keep_latest(
+        typed,
+        ["id", "last_updated"],
+        [F.desc("_ingested_at"), F.desc("symbol")],
+    )
+    merge_upsert(
+        deduped,
+        paths.silver,
+        keys=["id", "last_updated"],
+        order_col="_ingested_at",
+        partition_by="partition_date",
+    )
+    return deduped
+
+
+def run_gold(
+    spark: SparkSession, paths: MedallionPaths, top_k: int = 10
+) -> DataFrame:
+    """Per-day top-K-by-volume stats (W2+P4+A1+O1) → gold + CSV report.
+
+    Reads Silver FROM DISK (reference main_pipeline.py:291-294: gold
+    benefits from the just-compacted files, not the pre-compaction cache)."""
+    silver = spark.read.parquet(paths.silver)
+    co = copartition_by(silver, ["partition_date"])
+    top = rank_top_k_per_group(
+        co, ["partition_date"], [F.desc("total_volume")], k=top_k
+    )
+    gold = grouped_agg(
+        top,
+        ["partition_date"],
+        [
+            F.sum("market_cap").alias("total_market_cap"),
+            F.avg("current_price").alias("avg_price"),
+        ],
+    ).orderBy("partition_date")
+    compact_output(gold).write.mode("overwrite").parquet(paths.gold)
+    write_single_csv(spark.read.parquet(paths.gold).orderBy("partition_date"), paths.report_csv)
+    return gold
+
+
+def run_medallion(
+    spark: SparkSession,
+    source_df: DataFrame,
+    root: str,
+    optimize_silver: bool = True,
+    ingestion_time=None,
+) -> dict[str, float]:
+    """Full pipeline with per-stage wall-clock (reference stage_timer,
+    main_pipeline.py:63-83). Returns {stage: seconds}."""
+    paths = MedallionPaths(root)
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    bronze = run_bronze(source_df, paths, ingestion_time=ingestion_time)
+    timings["bronze"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    silver = run_silver(spark, paths, bronze_df=bronze)
+    # cache barrier (L3): pin silver before maintenance/gold re-derivation
+    silver.cache().count()
+    timings["silver"] = time.perf_counter() - t0
+
+    if optimize_silver:
+        t0 = time.perf_counter()
+        # M1 equivalent: cluster silver by the reference's Z-ORDER columns
+        zorder_cluster(
+            spark,
+            paths.silver,
+            ["symbol", "current_price", "market_cap"],
+            partition_by="partition_date",
+        )
+        timings["optimize"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    run_gold(spark, paths)
+    timings["gold"] = time.perf_counter() - t0
+    silver.unpersist()
+    return timings

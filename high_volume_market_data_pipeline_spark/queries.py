@@ -469,3 +469,4 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 from high_volume_market_data_pipeline_spark import queries_text  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_dedup  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_similarity  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_streaming  # noqa: E402,F401

@@ -1,0 +1,185 @@
+"""Structured Streaming queries over `events`, oracle-checked by end-state
+equivalence: the stream runs to completion (availableNow) over the finite
+input and must equal the batch-SQL answer (SURVEY §7.3: per-microbatch state
+has no batch oracle; the end state does).
+
+The memory-sink surface is verification-only; production uses the
+foreachBatch sinks in streaming/sink.py (exercised in tests/).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.registry import query
+from high_volume_market_data_pipeline_spark.streaming import (
+    run_to_memory_sink,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+_DEC = "decimal(18,4)"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (nanos→micros conversion as in
+    catalog.load_table; streams need the explicit schema up front).
+
+    The file-stream source requires a DIRECTORY; the testdata table is a
+    single parquet file, so it is staged via symlink into a scratch dir
+    (a real deployment streams from an arrival directory anyway)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp", f"hvmdp_stream_{abs(hash(os.path.abspath(sf_dir)))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return sdf
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a 10-minute
+    watermark; end state ≡ batch GROUP BY time bucket."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,4)").alias(
+                "total_value"
+            ),
+        ],
+    )
+    out = run_to_memory_sink(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS window_start,
+             event_type
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in two
+    windows; oracle expands both buckets per event."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = sliding_window_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    out = run_to_memory_sink(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '2 hours'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (2 h inactivity gap) per user; oracle is
+    the classic gaps-and-islands rewrite — same chaining rule (a row at
+    exactly start+gap begins a NEW session; session windows are
+    half-open)."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = session_window_agg(
+        sdf,
+        "ts",
+        "2 hours",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    out = run_to_memory_sink(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, ts) with a 1 h watermark —
+    streaming analogue of W1. The testdata has no duplicate keys, so the
+    end state equals the input (duplicates would be collapsed
+    first-arrival-wins; the batch MERGE path reconciles late ones)."""
+    sdf = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(sdf, ["user_id", "event_type", "ts"], "ts", "1 hour")
+    out = run_to_memory_sink(deduped, output_mode="append")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")

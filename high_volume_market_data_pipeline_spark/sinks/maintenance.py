@@ -1,0 +1,90 @@
+"""Table-maintenance operators (M1–M4) — parquet-native equivalents.
+
+Reference targets: incremental OPTIMIZE + Z-ORDER (main_pipeline.py:124-183),
+full-table compaction (delta_vacuum.py:48-75), VACUUM (delta_vacuum.py:27).
+
+With Delta absent, the observable effects are reproduced on parquet:
+- OPTIMIZE/compaction → rewrite with AQE-coalesced partitions (~128 MB
+  targets, matching the reference's maxFileSize alignment)
+- Z-ORDER → repartitionByRange + sortWithinPartitions on the cluster
+  columns: parquet row-group min/max stats then give the same data-skipping
+  effect for range predicates on those columns
+- VACUUM → removal of orphaned temp/merge dirs (parquet has no versioned
+  files to expire; the swap-based merge leaves only `__merge_*` temps)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _swap_rewrite(
+    spark: SparkSession, path: str, transform, partition_by: str | None = None
+) -> None:
+    df = spark.read.parquet(path)
+    tmp = f"{path}__opt_{uuid.uuid4().hex[:8]}"
+    writer = transform(df).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def compact_table(
+    spark: SparkSession, path: str, partition_by: str | None = None
+) -> None:
+    """M3 equivalent: bin-pack small files (AQE coalesces the rewrite to
+    ~advisory-size partitions; we just avoid introducing a shuffle key)."""
+    _swap_rewrite(
+        spark,
+        path,
+        lambda df: df.coalesce(max(1, _n_target(path))),
+        partition_by,
+    )
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    partition_by: str | None = None,
+) -> None:
+    """M1/M2 equivalent: cluster data so row-group stats skip for
+    predicates on ``columns`` (range-partition on the leading column, sort
+    within partitions by all of them — the linear-order approximation of
+    Z-ordering; same stats-skipping benefit for single-column ranges).
+    Hive partitioning of the table (``partition_by``) is preserved; the
+    range clustering applies within each hive partition."""
+    def transform(df):
+        lead = [F.col(partition_by)] if partition_by else []
+        return df.repartitionByRange(
+            *lead, *[F.col(c) for c in columns]
+        ).sortWithinPartitions(*([partition_by] if partition_by else []), *columns)
+
+    _swap_rewrite(spark, path, transform, partition_by)
+
+
+def vacuum_orphans(path: str) -> int:
+    """M4 equivalent: delete leftover temp dirs from interrupted
+    merges/optimizes. Returns count removed."""
+    removed = 0
+    for d in glob.glob(f"{path}__merge_*") + glob.glob(f"{path}__opt_*"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
+    return removed
+
+
+def _n_target(path: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+    )
+    return max(1, total // target_bytes)

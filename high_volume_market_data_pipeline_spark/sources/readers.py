@@ -1,0 +1,56 @@
+"""Scan/ingestion sources (S2/S3/S6/S7).
+
+The reference's HTTP source (S1, extract_crypto_data.py:79-107) is a
+driver-side fetch feeding ``createDataFrame`` — reproduced here as
+``rows_to_df`` over any iterable of dicts (the transport is the caller's
+concern; at scale an HTTP poll belongs in a foreachBatch loop or an external
+ingestion tier, never inside executors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def rows_to_df(
+    spark: SparkSession,
+    rows: Iterable[dict],
+    schema: StructType,
+    drop_if_null: list[str] | None = None,
+) -> DataFrame:
+    """S2: typed in-memory rows → DataFrame. Null-key filtering is done
+    engine-side (na.drop) instead of the reference's driver-side loop
+    (extract_crypto_data.py:165-168 → SURVEY P6)."""
+    df = spark.createDataFrame(list(rows), schema)
+    if drop_if_null:
+        df = df.na.drop(subset=drop_if_null)
+    return df
+
+
+def json_strings_to_df(
+    spark: SparkSession, json_strings: list[str], schema: StructType | None = None
+) -> DataFrame:
+    """S3: JSON strings → DataFrame. With a schema, parse via from_json
+    (no inference job — the scale path); without, fall back to inference
+    like the reference's quick path (fast_pipeline.py:24-26)."""
+    if schema is None:
+        return spark.read.json(spark.sparkContext.parallelize(json_strings))
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame([(s,) for s in json_strings], ["_raw"])
+    return raw.select(F.from_json("_raw", schema).alias("j")).select("j.*")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S6/S7: parquet table scan (pruning/pushdown to Catalyst)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,31 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — driver north-star).
+
+The reference is batch-only; this package supplies the mandated streaming
+path: file/rate ingestion → watermark → tumbling/sliding/session windows →
+streaming dedup → foreachBatch upsert sink. Correctness strategy: run with
+``trigger(availableNow=True)`` over a finite input and compare the end state
+against the batch-equivalent query (SURVEY §7.3: per-microbatch states have
+no batch oracle; end-state equivalence does).
+"""
+
+from high_volume_market_data_pipeline_spark.streaming.ingest import (
+    read_parquet_stream,
+    run_to_memory_sink,
+)
+from high_volume_market_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from high_volume_market_data_pipeline_spark.streaming.dedup import (
+    streaming_dedup,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "run_to_memory_sink",
+    "session_window_agg",
+    "sliding_window_agg",
+    "streaming_dedup",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,108 @@
+"""Integration tests: medallion pipeline, merge upsert, partition-scoped
+overwrite, maintenance rewrites — the non-SQL-expressible surface (Delta-
+analogue semantics on parquet)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.plans.medallion import (
+    MedallionPaths,
+    run_medallion,
+)
+from high_volume_market_data_pipeline_spark.sinks.maintenance import (
+    vacuum_orphans,
+    zorder_cluster,
+)
+from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
+from high_volume_market_data_pipeline_spark.sinks.writers import (
+    write_partition_scoped_overwrite,
+)
+from high_volume_market_data_pipeline_spark.sources.generator import (
+    generate_market_data,
+)
+
+
+def test_generator_deterministic(spark):
+    a = generate_market_data(spark, n_coins=5, days=2, seed=7).collect()
+    b = generate_market_data(spark, n_coins=5, days=2, seed=7).collect()
+    assert len(a) == 5 * 2 * 24
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_partition_scoped_overwrite_preserves_other_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], ["v", "d"]
+    )
+    write_partition_scoped_overwrite(df1, path, "d")
+    # overwrite only d=2024-01-02 with new data
+    df2 = spark.createDataFrame([(99, "2024-01-02")], ["v", "d"])
+    write_partition_scoped_overwrite(df2, path, "d")
+    # partition values read back via hive-path type inference (date here)
+    rows = {(r.v, str(r.d)) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "2024-01-01"), (99, "2024-01-02")}
+
+
+def test_merge_upsert_source_wins(spark, tmp_path):
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], ["id", "seq", "val"]
+    )
+    merge_upsert(base, path, keys=["id"], order_col="seq")
+    update = spark.createDataFrame(
+        [("b", 2, 99.0), ("c", 1, 30.0)], ["id", "seq", "val"]
+    )
+    merge_upsert(update, path, keys=["id"], order_col="seq")
+    rows = {(r.id, r.seq, r.val) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1, 10.0), ("b", 2, 99.0), ("c", 1, 30.0)}
+
+
+def test_medallion_end_to_end(spark, tmp_path):
+    src = generate_market_data(spark, n_coins=20, days=3, seed=42)
+    timings = run_medallion(
+        spark,
+        src,
+        str(tmp_path / "lake"),
+        ingestion_time=F.to_timestamp(F.lit("2024-07-01 00:00:00")),
+    )
+    assert set(timings) == {"bronze", "silver", "optimize", "gold"}
+    paths = MedallionPaths(str(tmp_path / "lake"))
+    gold = spark.read.parquet(paths.gold)
+    # 3 days of data → 3 (or 4, hour-boundary) gold rows, aggregates present
+    n = gold.count()
+    assert 3 <= n <= 4
+    assert {"partition_date", "total_market_cap", "avg_price"} <= set(gold.columns)
+    # silver kept hive partitioning through the zorder rewrite
+    assert any(
+        d.startswith("partition_date=") for d in os.listdir(paths.silver)
+    )
+    # CSV report exists, parses, matches gold rowcount
+    with open(paths.report_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == n
+    # idempotent re-run (merge path): same gold state
+    run_medallion(
+        spark,
+        src,
+        str(tmp_path / "lake"),
+        ingestion_time=F.to_timestamp(F.lit("2024-07-01 00:00:00")),
+    )
+    assert spark.read.parquet(paths.gold).count() == n
+
+
+def test_zorder_cluster_skips_files(spark, tmp_path):
+    path = str(tmp_path / "z")
+    spark.range(10_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k")
+    ).repartition(8).write.parquet(path)
+    zorder_cluster(spark, path, ["k"])
+    # after clustering, a narrow k-range predicate should hit few files:
+    # check row-group pruning proxy — files are sorted by k so min/max
+    # ranges are disjoint
+    df = spark.read.parquet(path).filter((F.col("k") >= 10) & (F.col("k") < 20))
+    assert df.count() > 0
+    assert vacuum_orphans(path) == 0
