@@ -55,3 +55,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_catalog_tables(
+    spark: SparkSession, sf_dir: str, database: str = "hvmdp"
+) -> list[str]:
+    """K6: persistent catalog registration (main_pipeline.py:189-218
+    analogue): CREATE DATABASE IF NOT EXISTS → external tables over the
+    parquet locations → verified SHOW TABLES. Works against the default
+    in-memory catalog or a configured Hive metastore alike."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+        spark.sql(
+            f"CREATE TABLE {database}.{name} USING PARQUET "
+            f"LOCATION '{path}'"
+        )
+    registered = [
+        r.tableName for r in spark.sql(f"SHOW TABLES IN {database}").collect()
+    ]
+    missing = set(TABLES) - set(registered)
+    if missing:
+        raise RuntimeError(f"catalog registration incomplete: missing {missing}")
+    return registered

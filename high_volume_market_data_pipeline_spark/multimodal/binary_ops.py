@@ -1,0 +1,125 @@
+"""Binary-column operators over mapInPandas (Arrow batch transfer).
+
+Pattern notes for the 100 TB path:
+- content stays an opaque ``binary`` column; metadata travels alongside in
+  a typed struct so planning-relevant fields (format, size) are pruned /
+  filtered WITHOUT touching payload bytes (columnar pruning means a filter
+  on meta.format never reads content pages);
+- per-batch Python cost is amortized by Arrow: mapInPandas receives an
+  iterator of pandas DataFrames (one per Arrow batch), not rows;
+- heavy decode stages should run AFTER repartitioning to spread payload
+  bytes evenly (binary sizes are skewed; AQE can't split a single huge
+  row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Real decoders are not in this container; the plumbing is exercised with
+# deterministic byte-level fakes. Swap `_HAVE_PIL` paths for real codecs.
+try:  # pragma: no cover - not installed here
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def to_binary_assets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Testdata adapter: treat each document's UTF-8 bytes as an opaque
+    payload with typed metadata — the schema shape real image/audio tables
+    use: (id, content binary, meta struct<format,n_bytes>)."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Deterministic per-asset byte features via mapInPandas:
+    (asset_id, n_bytes, first_byte, last_byte).
+
+    This is the feature-extraction plumbing: Arrow batches in, vectorized
+    pandas ops, narrow typed schema out. A real image featurizer replaces
+    the byte peeks with model inference over the same batch loop."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "first_byte": content.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "last_byte": content.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema="asset_id bigint, n_bytes bigint, first_byte int, last_byte int",
+    )
+
+
+def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """STUB: image decode (bytes → height/width/pixels). Requires a codec
+    library absent from this container; raises until one is installed.
+    The mapInPandas signature below is the real production shape."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, not present in this "
+            "environment; byte_features() demonstrates the identical "
+            "mapInPandas plumbing with a deterministic fake"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        for pdf in batches:
+            dims = pdf[content_col].map(lambda b: Image.open(io.BytesIO(b)).size)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": dims.map(lambda s: s[0]),
+                    "height": dims.map(lambda s: s[1]),
+                }
+            )
+
+    return df.mapInPandas(decode, schema="asset_id bigint, width int, height int")
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, content_col: str = "content"
+) -> DataFrame:
+    """STUB video frame sampling: deterministically slices the payload into
+    ``n_frames`` equal chunks (a real implementation seeks keyframes; the
+    explode-to-frames schema and batch loop are the production shape)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_chunks = [], [], []
+            for asset_id, blob in zip(pdf["asset_id"], pdf[content_col]):
+                step = max(1, len(blob) // n_frames)
+                for i in range(n_frames):
+                    out_ids.append(asset_id)
+                    out_idx.append(i)
+                    out_chunks.append(bytes(blob[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "frame": out_chunks}
+            )
+
+    return df.mapInPandas(
+        sample, schema="asset_id bigint, frame_idx int, frame binary"
+    )

@@ -1,0 +1,110 @@
+"""As-of join and range (interval) join — market-data operators Spark lacks
+as builtins (SURVEY.md §4 extension candidates: "as-of-join … can be
+expressed with window + union"; range join via "bucketed equi-join
+pre-filter"). Both are compositions of existing DataFrame ops (option (a) of
+the custom-operator ladder), so Catalyst still owns the physical plan.
+
+As-of join (backward, inclusive): for each left row (key, t), attach the
+most recent right row with the same key and right_ts ≤ t.
+
+Implementation: tag + union + keep-last-non-null window:
+    one shuffle on the key, a per-key sort, no join at all — the classic
+    scalable as-of shape. A sort-merge join approach would shuffle both
+    sides too but then needs per-row backward scans; the union-window form
+    is O(n log n) per key partition, skew-safe under AQE.
+
+Range join: equi-join on overlapping bucket ids + exact post-filter —
+turns an inequality join (which Spark would otherwise plan as
+broadcast-nested-loop, quadratic) into a hash shuffle join whose fan-out is
+interval_len/bucket_len per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"  # 0 = right (sorts first on ts ties → inclusive match)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join; unmatched left rows keep nulls
+    (left-join semantics). Right value columns arrive as ``prefix+name``;
+    ``prefix+right_ts`` carries the matched timestamp."""
+    keys = [key] if isinstance(key, str) else list(key)
+    lcols = left.columns
+    carried = [right_ts, *right_values]
+
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+    )
+    tagged_right = right.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col(_SIDE),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: Column,
+    start: Column,
+    end: Column,
+    bucket_len: int,
+) -> DataFrame:
+    """Interval join: left rows whose ``point`` ∈ [start, end) of a right
+    interval. ``point/start/end`` must be castable to long (epoch seconds,
+    ids…); ``bucket_len`` trades join fan-out (interval/bucket_len rows per
+    right interval) against bucket selectivity — set it near the median
+    interval length."""
+    lb = left.withColumn("_bucket", (point.cast("long") / bucket_len).cast("long"))
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (start.cast("long") / bucket_len).cast("long"),
+                ((end.cast("long") - 1) / bucket_len).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .filter((point >= start) & (point < end))
+        .drop("_bucket")
+    )

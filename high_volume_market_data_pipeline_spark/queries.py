@@ -470,3 +470,5 @@ from high_volume_market_data_pipeline_spark import queries_text  # noqa: E402,F4
 from high_volume_market_data_pipeline_spark import queries_dedup  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_similarity  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_streaming  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_asof  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_multimodal  # noqa: E402,F401

@@ -1,0 +1,39 @@
+"""Multimodal query: binary-asset feature extraction, oracle-checked.
+
+The payload is the document's UTF-8 bytes (the container has no image
+codecs), but the operator chain — binary column + metadata struct →
+mapInPandas Arrow batches → typed feature rows — is exactly the production
+multimodal shape, and the deterministic byte features are SQL-expressible,
+so even the pandas-UDF path gets a value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.multimodal import (
+    byte_features,
+    to_binary_assets,
+)
+from high_volume_market_data_pipeline_spark.registry import query
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           strlen(text) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte
+    FROM documents
+    ORDER BY asset_id
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary assets → Arrow-batched mapInPandas feature extraction.
+    (documents are ASCII, so byte peeks equal DuckDB's ascii()/octet_length
+    — the oracle validates the pandas plumbing end to end.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = to_binary_assets(docs)
+    return byte_features(assets).orderBy("asset_id")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 def rows_to_df(
@@ -23,8 +23,13 @@ def rows_to_df(
 ) -> DataFrame:
     """S2: typed in-memory rows → DataFrame. Null-key filtering is done
     engine-side (na.drop) instead of the reference's driver-side loop
-    (extract_crypto_data.py:165-168 → SURVEY P6)."""
-    df = spark.createDataFrame(list(rows), schema)
+    (extract_crypto_data.py:165-168 → SURVEY P6). Ingestion uses a
+    nullable-relaxed copy of the schema so dirty rows reach the engine and
+    are dropped there (createDataFrame enforces nullability at the gate)."""
+    relaxed = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+    df = spark.createDataFrame(list(rows), relaxed)
     if drop_if_null:
         df = df.na.drop(subset=drop_if_null)
     return df

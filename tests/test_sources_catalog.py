@@ -1,0 +1,90 @@
+"""Tests: HTTP source (fake transport), typed row ingestion, JSON parsing,
+catalog registration (K6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from high_volume_market_data_pipeline_spark.catalog import (
+    TABLES,
+    register_catalog_tables,
+)
+from high_volume_market_data_pipeline_spark.sources.http_source import (
+    fetch_paged_json,
+)
+from high_volume_market_data_pipeline_spark.sources.readers import (
+    json_strings_to_df,
+    rows_to_df,
+)
+
+from .conftest import SF_DIR
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("price", DoubleType(), True),
+    ]
+)
+
+
+def _fake_fetch(url: str) -> bytes:
+    page = int(url.rsplit("=", 1)[1])
+    return json.dumps(
+        [{"id": f"coin-{page}-{i}", "price": float(i)} for i in range(3)]
+    ).encode()
+
+
+def test_fetch_paged_json_pages_and_validates():
+    rows = fetch_paged_json(
+        "http://api.test/coins?page={page}",
+        pages=2,
+        fetch=_fake_fetch,
+        required_keys=("id", "price"),
+    )
+    assert len(rows) == 6
+    assert rows[0]["id"] == "coin-1-0"
+
+    with pytest.raises(ValueError, match="missing keys"):
+        fetch_paged_json(
+            "http://api.test/coins?page={page}",
+            pages=1,
+            fetch=_fake_fetch,
+            required_keys=("id", "nope"),
+        )
+
+    with pytest.raises(ValueError, match="expected JSON list"):
+        fetch_paged_json(
+            "x?page={page}", pages=1, fetch=lambda u: b'{"not": "a list"}'
+        )
+
+
+def test_rows_to_df_drops_null_keys(spark):
+    rows = [
+        {"id": "a", "price": 1.0},
+        {"id": None, "price": 2.0},
+    ]
+    df = rows_to_df(spark, rows, SCHEMA, drop_if_null=["id"])
+    assert [r.id for r in df.collect()] == ["a"]
+
+
+def test_json_strings_parse_with_schema(spark):
+    df = json_strings_to_df(
+        spark, ['{"id": "x", "price": 9.5}', '{"id": "y"}'], SCHEMA
+    )
+    got = {(r.id, r.price) for r in df.collect()}
+    assert got == {("x", 9.5), ("y", None)}
+
+
+def test_register_catalog_tables(spark):
+    registered = register_catalog_tables(spark, SF_DIR, database="hvmdp_test")
+    assert set(TABLES) <= set(registered)
+    n = spark.sql("SELECT count(*) AS n FROM hvmdp_test.region").collect()[0].n
+    assert n == 5
