@@ -3,16 +3,31 @@
 Pipeline: normalize → word w-shingles → k MinHash components → band keys →
 self-join on band key → candidate pairs with estimated Jaccard.
 
-Hash choice: component j of a document's signature is
-``min(md5(j || '|' || shingle))`` over its shingles, minimizing the HEX
-STRING lexicographically. md5 is bit-identical in Spark and DuckDB, so the
-whole pipeline (including LSH bucketing) has an exact SQL twin — unusual for
-LSH implementations, and exactly what the correctness gate needs. A
-production swap-in of xxhash64 only changes the hash expression.
+Hash choice: each shingle is md5-hashed ``ceil(k/4)`` times (seed-prefixed),
+and each 128-bit digest is sliced into four 8-hex-char (32-bit) component
+hashes; component j of a document's signature is the LEXICOGRAPHIC MIN of
+slice ``j%4`` of hash-pass ``j//4`` over its shingles. Fixed-width lowercase
+hex makes lexicographic = numeric order, and md5 is bit-identical in Spark
+and DuckDB, so the whole pipeline (including LSH bucketing) has an exact SQL
+twin — unusual for LSH implementations, and exactly what the correctness
+gate needs. A production swap-in of xxhash64 only changes the hash exprs.
+
+Performance note (why the expression shape is unusual): Catalyst's
+CollapseProject inlines projection expressions into every downstream use,
+and higher-order functions (transform/array_min) are interpreted with no
+common-subexpression elimination — a naive "one md5 pass per component"
+formulation evaluates the full shingle pipeline 16× per row (measured 60×
+slower at sf0.1). Two fixes here:
+  1. ``_bind`` evaluates an expression ONCE per row by wrapping it in a
+     single-element ``transform(array(x), v -> body(v))`` — inside the
+     lambda, ``v`` is a materialized value, not a re-evaluated tree.
+  2. k components derive from ceil(k/4) md5 passes (digest slicing), not k.
 
 Scale analysis (the reason this shape wins at 100 TB):
 - signatures: narrow projection + array exprs inside the scan stage; no
-  shuffle, no Python.
+  shuffle, no Python; persisted (MEMORY_AND_DISK) because both the window
+  count and the self-join re-read them — id + k×8 chars per row, tiny
+  relative to the input text.
 - banding: explode to b rows/doc (b≈4) then ONE shuffle on band_key; bucket
   sizes are data-dependent but bounded by real duplication, and a
   ``max_bucket`` guard drops degenerate buckets (boilerplate explosions)
@@ -22,14 +37,28 @@ Scale analysis (the reason this shape wins at 100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from high_volume_market_data_pipeline_spark.functions.text import normalize_text
 
 DEFAULT_K = 8  # minhash components
 DEFAULT_BANDS = 4  # → rows-per-band r = k/bands = 2; threshold ≈ (1/b)^(1/r)
 DEFAULT_SHINGLE = 3  # word trigrams
+_SLICES_PER_MD5 = 4  # 32 hex chars / 8 per component
+
+
+def _bind(col: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` once per row, pass the materialized value to ``fn``.
+
+    Defeats CollapseProject-driven re-evaluation: inside the lambda the
+    argument is a bound variable (a value), so ``fn`` may reference it many
+    times at zero marginal cost.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
@@ -47,13 +76,45 @@ def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
     return F.when(n < w, F.array(norm)).otherwise(grams)
 
 
-def _component(shingles: Column, seed: int) -> Column:
-    return F.array_min(
-        F.transform(
-            shingles,
-            lambda s: F.md5(F.encode(F.concat(F.lit(f"{seed}|"), s), "UTF-8")),
+def signature_column(
+    text: Column, k: int = DEFAULT_K, shingle: int = DEFAULT_SHINGLE
+) -> Column:
+    """array<string> of k MinHash components for one text column, evaluated
+    in a single pass per row (see module docstring for the expression shape)."""
+    n_pass = -(-k // _SLICES_PER_MD5)
+
+    # Factory helpers: F.transform treats a 2-arg lambda as (element, index),
+    # so loop variables MUST be captured via enclosing scope, never via
+    # default args — a default-arg lambda silently receives the array index.
+    def slice_min(hashes: Column, start: int) -> Column:
+        return F.array_min(
+            F.transform(hashes, lambda h: F.substring(h, start, 8))
         )
-    )
+
+    def md5_pass(sh: Column, seed: int) -> Column:
+        prefix = f"{seed}|"
+        return F.transform(
+            sh,
+            lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8")),
+        )
+
+    def from_hashes(hv: Column) -> Column:
+        # hv: array of n_pass arrays of md5 hex digests (one per shingle)
+        return F.array(
+            *[
+                slice_min(
+                    F.element_at(hv, j // _SLICES_PER_MD5 + 1),
+                    1 + 8 * (j % _SLICES_PER_MD5),
+                )
+                for j in range(k)
+            ]
+        )
+
+    def from_shingles(sh: Column) -> Column:
+        hv = F.array(*[md5_pass(sh, p) for p in range(n_pass)])
+        return _bind(hv, from_hashes)
+
+    return _bind(word_shingles(text, shingle), from_shingles)
 
 
 def minhash_signature(
@@ -63,11 +124,10 @@ def minhash_signature(
     k: int = DEFAULT_K,
     shingle: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): per-document MinHash signature columns."""
-    shingles = word_shingles(F.col(text_col), shingle)
+    """(id, sig: array<string> length k) per-document MinHash signature."""
     return df.select(
         F.col(id_col),
-        *[_component(shingles, j).alias(f"mh_{j}") for j in range(k)],
+        signature_column(F.col(text_col), k, shingle).alias("sig"),
     )
 
 
@@ -86,23 +146,31 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (e.g. empty/boilerplate docs
     hashing together) before pair expansion — at web scale one such bucket
     otherwise produces billions of junk pairs.
+
+    The signature frame is persisted: the bucket-count window and both sides
+    of the band self-join consume it, and without a materialization barrier
+    Spark would recompute the md5 pipeline for each consumer.
     """
+    from high_volume_market_data_pipeline_spark.operators.layout import (
+        ensure_parallelism,
+    )
+
     r = k // bands
-    sig = minhash_signature(df, text_col, id_col, k, shingle)
-    mh = [F.col(f"mh_{j}") for j in range(k)]
-    banded = sig.select(
-        F.col(id_col),
-        F.array(*mh).alias("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|", F.lit(str(b)), *mh[b * r : (b + 1) * r]
-                    ).alias(f"band_{b}")
-                    for b in range(bands)
-                ]
+    sig = minhash_signature(
+        ensure_parallelism(df), text_col, id_col, k, shingle
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
             )
-        ).alias("band_key"),
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(band_keys).alias("band_key")
     )
     # Degenerate-bucket guard: window count per band_key, bucket-local.
     counted = banded.withColumn(

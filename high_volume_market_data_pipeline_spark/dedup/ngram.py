@@ -29,6 +29,11 @@ def ngram_jaccard(
     shingle: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """Attach exact ``jaccard`` to (id_a, id_b) candidate pairs."""
+    from high_volume_market_data_pipeline_spark.operators.layout import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle)).alias("sh"),

@@ -38,6 +38,7 @@ from high_volume_market_data_pipeline_spark.operators.sorts import (
 from high_volume_market_data_pipeline_spark.operators.layout import (
     compact_output,
     copartition_by,
+    ensure_parallelism,
     materialize,
 )
 
@@ -61,5 +62,6 @@ __all__ = [
     "union_all",
     "compact_output",
     "copartition_by",
+    "ensure_parallelism",
     "materialize",
 ]

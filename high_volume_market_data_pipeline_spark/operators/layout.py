@@ -32,3 +32,17 @@ def materialize(df: DataFrame) -> DataFrame:
     df = df.cache()
     df.count()
     return df
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow input out to at least ``min_partitions`` (default: the
+    cluster's defaultParallelism) before CPU-dense per-row work.
+
+    At scale this is a no-op — a 100 TB scan already yields thousands of
+    input splits — but a small/single-file input otherwise pins an expensive
+    expression stage (md5 shingling, feature extraction) to one core.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

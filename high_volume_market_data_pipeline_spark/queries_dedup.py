@@ -51,7 +51,8 @@ def _minhash_sql_parts(k: int = DEFAULT_K, w: int = DEFAULT_SHINGLE) -> tuple[st
     """(sig_expr, bands_expr) SQL fragments built from the same constants
     as the Spark implementation."""
     comps = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min')"
+        "list_aggregate(list_transform(shingles, s -> "
+        f"substr(md5('{j // 4}|' || s), {1 + 8 * (j % 4)}, 8)), 'min')"
         for j in range(k)
     )
     r = k // DEFAULT_BANDS
