@@ -32,6 +32,11 @@ def simhash32(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash): 32-bit SimHash of the whitespace tokens."""
+    from high_volume_market_data_pipeline_spark.operators.layout import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
     toked = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", _token_hash32(F.col("tok")))

@@ -52,3 +52,30 @@ def rollup_agg(
 ) -> DataFrame:
     """ROLLUP over dims (hierarchical subtotals)."""
     return df.rollup(*dims).agg(*aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot: one output column per ``pivot_values`` entry.
+
+    Always pass explicit ``pivot_values`` — without them Spark runs an extra
+    distinct-collect job over the pivot column, a full scan at scale.
+    """
+    return df.groupBy(*group_by).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot/melt wide columns to (metric, value) rows via the built-in
+    ``unpivot`` (Expand node: no shuffle, rows×len(value_cols) output)."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)

@@ -1,0 +1,545 @@
+"""Extended analytics queries — multi-join TPC-H shapes, pivot/unpivot,
+set ops, sessionization, range-frame windows, percentiles, arg-max.
+
+These widen the verified operator surface beyond the reference's own usage
+(SURVEY §2.4 note: the reference delegates all join planning to Catalyst;
+§2.6 note: no analytic functions in the reference) — each query here is an
+operator class a user of a general analytics engine expects, each with a
+bit-identical DuckDB oracle.
+
+Determinism: money math through dsum/davg (exact decimal), event-time gaps
+compared in integer MICROSECONDS (unix_micros ≡ epoch_us) — never float
+seconds or truncated unix_timestamp, which diverge across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.operators import (
+    broadcast_join,
+    equi_join,
+    grouped_agg,
+    semi_join,
+    top_k_global,
+    union_all,
+)
+from high_volume_market_data_pipeline_spark.operators.aggregates import (
+    cube_agg,
+    pivot_agg,
+    unpivot,
+)
+from high_volume_market_data_pipeline_spark.registry import (
+    _DEC,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# Multi-join TPC-H shapes (join-order / broadcast planning showcase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered fact⋈fact⋈dim chain → grouped revenue →
+    global top-10. Filters sit directly on the scans (predicate pushdown);
+    the orders⋈lineitem shuffle carries only post-filter rows; top-K plans
+    as TakeOrderedAndProject, never a full sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-06-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-06-01"))
+    )
+    joined = equi_join(
+        equi_join(li, orders, li.l_orderkey == orders.o_orderkey),
+        cust,
+        F.col("o_custkey") == cust.c_custkey,
+    )
+    grouped = grouped_agg(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    return top_k_global(grouped, 10, F.desc("revenue"), "l_orderkey")
+
+
+@query(
+    "revenue_by_nation_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def revenue_by_nation_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join — local-supplier revenue per nation.
+    nation/region broadcast (tiny dims); customer/supplier hash-join the
+    facts; the extra s_nationkey = c_nationkey condition rides on the
+    supplier join, not a separate shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = equi_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    j = equi_join(j, cust, F.col("o_custkey") == cust.c_custkey)
+    j = equi_join(
+        j,
+        supp,
+        (F.col("l_suppkey") == supp.s_suppkey)
+        & (F.col("c_nationkey") == supp.s_nationkey),
+    )
+    j = broadcast_join(j, nation, F.col("s_nationkey") == nation.n_nationkey)
+    j = broadcast_join(j, region, F.col("n_regionkey") == region.r_regionkey)
+    out = grouped_agg(
+        j,
+        ["n_name"],
+        [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+    return out.orderBy(F.desc("revenue"), "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / cube
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_counts_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status → columns. Explicit pivot values (no distinct-scan
+    planning job); empty cells coalesced to 0 to match SQL FILTER counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = pivot_agg(
+        orders, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"], F.count(F.lit(1))
+    )
+    out = piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@query(
+    "part_metrics_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide → long (Expand node, zero shuffles)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    out = unpivot(part, ["p_partkey"], ["p_retailprice", "p_size"])
+    return out.orderBy("p_partkey", "metric")
+
+
+@query(
+    "cube_event_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, event_date)
+    ORDER BY event_type NULLS FIRST, event_date NULLS FIRST
+    """,
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four granularities (type×date, type, date, total) in one
+    shuffle via the Expand operator."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("event_date"), "value"
+    )
+    out = cube_agg(
+        ev,
+        ["event_type", "event_date"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        ],
+    )
+    return out.orderBy(
+        F.col("event_type").asc_nulls_first(), F.col("event_date").asc_nulls_first()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_type_audiences",
+    oracle="""
+    SELECT user_id, 'click_and_purchase' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    ORDER BY cohort, user_id
+    """,
+)
+def event_type_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT audience sets (set-semantic: distinct), tagged and
+    concatenated — the missing set-op coverage from SURVEY §2.7 note."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).select(
+        "user_id", F.lit("click_and_purchase").alias("cohort")
+    )
+    only = clickers.subtract(buyers).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return union_all(both, only).orderBy("cohort", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of the streaming session windows) & range frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 7200000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag → new-session flag →
+    running sum = session id → per-session agg. Gap compared in integer
+    microseconds (unix_micros ≡ epoch_us) — float/truncated seconds would
+    diverge across engines. Same 2 h gap rule as stream_session_windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us >= 7_200_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    out = grouped_agg(
+        numbered,
+        ["user_id", "session_id"],
+        [
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    ).drop("session_id")
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "trailing_hour_user_stats",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_trailing,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS trailing_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-1-hour count and average
+    (rangeBetween over integer microseconds — frame specs the reference
+    never uses, SURVEY §2.6). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast(_DEC)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n.alias("n_trailing"),
+        F.round(s.cast("double") / n, 6).alias("trailing_avg"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Percentiles, arg-max, window-derived filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           ROUND(MAX(o_totalprice), 6) AS p_max
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`) — selection-based, so no summation-order
+    nondeterminism. The approx_percentile swap-in is the 100 TB path."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    out = grouped_agg(
+        orders,
+        ["o_orderpriority"],
+        [pct.alias("pct"), F.max("o_totalprice").alias("mx")],
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("pct")[0], 6).alias("p25"),
+        F.round(F.col("pct")[1], 6).alias("p50"),
+        F.round(F.col("pct")[2], 6).alias("p75"),
+        F.round(F.col("mx"), 6).alias("p_max"),
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the scale path for
+    wide-key distinct (sketch merge, no value shuffle). Approximate ⇒
+    rows-only gate; relative error vs exact is asserted in
+    tests/test_analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_agg(
+        ev,
+        ["event_type"],
+        [F.approx_count_distinct("user_id", 0.02).alias("approx_users")],
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "user_peak_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, value AS peak_value, event_id AS peak_event_id,
+           event_type AS peak_event_type
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group via max(struct(...)) — one hash aggregate, no
+    window shuffle-and-rank; the (value, event_id) tuple makes ties
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    peak = F.max(F.struct("value", "event_id", "event_type")).alias("m")
+    out = grouped_agg(ev, ["user_id"], [peak]).select(
+        "user_id",
+        F.col("m.value").alias("peak_value"),
+        F.col("m.event_id").alias("peak_event_id"),
+        F.col("m.event_type").alias("peak_event_type"),
+    )
+    return out.orderBy("user_id")
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w, 6) AS cust_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM stats WHERE o_totalprice > cust_avg
+    ORDER BY o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their customer's average)
+    rewritten as a whole-partition window — one shuffle instead of a
+    self-join; exact-decimal running sum keeps both engines bit-equal."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cavg = F.round(
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        6,
+    )
+    out = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", cavg.alias("cust_avg")
+    ).filter(F.col("o_totalprice") > F.col("cust_avg"))
+    return out.orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surfaces (string + datetime)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_catalog_labels",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_slug,
+           p_brand || ':' || p_type AS brand_type
+    FROM part
+    WHERE p_name LIKE '%a%'
+    ORDER BY p_partkey
+    """,
+)
+def parts_catalog_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/substr/length/replace/concat/LIKE) —
+    all JVM builtins inside the scan stage, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    out = part.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+    return out.orderBy("p_partkey")
+
+
+@query(
+    "daily_event_profile",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           extract(hour FROM ts) AS event_hour,
+           extract(dow FROM ts) AS day_of_week,
+           COUNT(*) AS n_events,
+           {davg_sql("value")} AS avg_value
+    FROM events
+    GROUP BY event_date, event_hour, day_of_week
+    ORDER BY event_date, event_hour
+    """,
+)
+def daily_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function surface: to_date/hour/dayofweek bucketing + agg.
+    (Spark dayofweek is 1-based Sunday; DuckDB dow is 0-based Sunday —
+    normalized here.)"""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").cast("long").alias("event_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("day_of_week"),
+        "value",
+    )
+    out = grouped_agg(
+        keyed,
+        ["event_date", "event_hour", "day_of_week"],
+        [F.count(F.lit(1)).alias("n_events"), davg(F.col("value")).alias("avg_value")],
+    )
+    return out.orderBy("event_date", "event_hour")

@@ -34,6 +34,9 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary assets → Arrow-batched mapInPandas feature extraction.
     (documents are ASCII, so byte peeks equal DuckDB's ascii()/octet_length
     — the oracle validates the pandas plumbing end to end.)"""
+    # No ensure_parallelism here: the pandas byte peeks are cheap enough
+    # that local Python-worker spin-up outweighs the fan-out; a real decode
+    # stage (expensive per row) SHOULD fan out first (binary_ops docstring).
     docs = load_table(spark, sf_dir, "documents")
     assets = to_binary_assets(docs)
     return byte_features(assets).orderBy("asset_id")
