@@ -21,8 +21,10 @@ Differences from the reference, on purpose:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +56,29 @@ SILVER_CASTS = {
     "current_price": "decimal(18,8)",
     "market_cap": "decimal(20,2)",
 }
+
+
+def retry(attempts: int = 3, backoff_s: float = 5.0) -> Callable:
+    """M6: retry transient failures in table-service operations (reference
+    main_pipeline.py:89-118 — concurrent-writer conflicts resolve on rerun).
+    Re-raises the last error once attempts are exhausted."""
+
+    def deco(fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            last: Exception | None = None
+            for attempt in range(attempts):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as e:  # noqa: BLE001 - rethrown after retries
+                    last = e
+                    if attempt < attempts - 1:
+                        time.sleep(backoff_s)
+            raise last  # type: ignore[misc]
+
+        return wrapped
+
+    return deco
 
 
 @dataclass
@@ -124,6 +149,16 @@ def run_gold(
     Reads Silver FROM DISK (reference main_pipeline.py:291-294: gold
     benefits from the just-compacted files, not the pre-compaction cache)."""
     silver = spark.read.parquet(paths.silver)
+    if silver.isEmpty():
+        # P7 empty-input guard (silver_to_gold_crypto_stats.py:64-65):
+        # empty-schema passthrough instead of a failing window/agg chain.
+        empty = silver.select(
+            F.col("partition_date"),
+            F.lit(None).cast("decimal(38,2)").alias("total_market_cap"),
+            F.lit(None).cast("double").alias("avg_price"),
+        ).limit(0)
+        empty.write.mode("overwrite").parquet(paths.gold)
+        return empty
     co = copartition_by(silver, ["partition_date"])
     top = rank_top_k_per_group(
         co, ["partition_date"], [F.desc("total_volume")], k=top_k
@@ -165,8 +200,10 @@ def run_medallion(
 
     if optimize_silver:
         t0 = time.perf_counter()
-        # M1 equivalent: cluster silver by the reference's Z-ORDER columns
-        zorder_cluster(
+        # M1 equivalent: cluster silver by the reference's Z-ORDER columns;
+        # retried (M6) — table services are where concurrent-writer
+        # conflicts surface, and they are safe to rerun.
+        retry(attempts=3, backoff_s=1.0)(zorder_cluster)(
             spark,
             paths.silver,
             ["symbol", "current_price", "market_cap"],

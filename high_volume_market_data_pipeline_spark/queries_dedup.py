@@ -161,3 +161,70 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (hamming-space near-dup key)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash32(docs, "text", "doc_id").orderBy("doc_id")
+
+
+from high_volume_market_data_pipeline_spark.dedup.clustering import (  # noqa: E402
+    connected_components,
+)
+
+_PAIRS_CTES = f"""{_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key FROM sig
+    ), counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn FROM banded
+    ), kept AS (
+      SELECT * FROM counted WHERE bn <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), scored_pairs AS (
+      SELECT p.id_a, p.id_b,
+             len(list_filter(range(1, {DEFAULT_K + 1}), i -> sa.sig[i] = sb.sig[i]))
+               / {float(DEFAULT_K)} AS est_jaccard
+      FROM cand p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    strong AS (
+      SELECT id_a, id_b FROM scored_pairs WHERE est_jaccard >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM strong
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM strong
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+    )
+    SELECT id AS doc_id,
+           MIN(r) AS cluster_id,
+           (id = MIN(r)) AS is_kept
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs (est_jaccard ≥ 0.5) → connected
+    components → keep-min-id-per-component. The transitive step is what
+    pairwise dedup misses (A~B, B~C chains); oracle is a recursive-CTE
+    transitive closure over the identical pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    ).orderBy("doc_id")

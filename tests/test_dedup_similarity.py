@@ -63,3 +63,20 @@ def test_simhash_near_dups_are_hamming_close(spark):
     assert rows, "expected planted near-dup pairs"
     avg_dup = sum(r.d for r in rows) / len(rows)
     assert avg_dup <= 8, f"near-dups avg hamming {avg_dup} (random ≈16)"
+
+
+def test_connected_components_chain(spark):
+    from high_volume_market_data_pipeline_spark.dedup.clustering import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }

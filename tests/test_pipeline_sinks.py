@@ -106,3 +106,51 @@ def test_zorder_cluster_skips_files(spark, tmp_path):
     df = spark.read.parquet(path).filter((F.col("k") >= 10) & (F.col("k") < 20))
     assert df.count() > 0
     assert vacuum_orphans(path) == 0
+
+
+def test_retry_recovers_after_transient_failure():
+    from high_volume_market_data_pipeline_spark.plans.medallion import retry
+
+    calls = {"n": 0}
+
+    @retry(attempts=3, backoff_s=0.0)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient write conflict")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 3
+
+
+def test_retry_reraises_after_exhaustion():
+    import pytest
+
+    from high_volume_market_data_pipeline_spark.plans.medallion import retry
+
+    @retry(attempts=2, backoff_s=0.0)
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        always_fails()
+
+
+def test_gold_empty_silver_guard(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.plans.medallion import (
+        MedallionPaths,
+        run_gold,
+    )
+
+    paths = MedallionPaths(str(tmp_path / "lake"))
+    empty = spark.createDataFrame(
+        [],
+        "id string, symbol string, last_updated timestamp, "
+        "current_price decimal(18,8), market_cap decimal(20,2), "
+        "total_volume long, _ingested_at timestamp, partition_date date",
+    )
+    empty.write.mode("overwrite").parquet(paths.silver)
+    gold = run_gold(spark, paths)
+    assert gold.count() == 0
+    assert spark.read.parquet(paths.gold).count() == 0
