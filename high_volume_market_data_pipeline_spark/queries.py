@@ -473,3 +473,4 @@ from high_volume_market_data_pipeline_spark import queries_streaming  # noqa: E4
 from high_volume_market_data_pipeline_spark import queries_asof  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_multimodal  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_analytics  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_sql  # noqa: E402,F401
