@@ -35,6 +35,10 @@ from high_volume_market_data_pipeline_spark.operators.sorts import (
     top_k_global,
     union_all,
 )
+from high_volume_market_data_pipeline_spark.operators.skew import (
+    salted_grouped_agg,
+    salted_join,
+)
 from high_volume_market_data_pipeline_spark.operators.layout import (
     compact_output,
     copartition_by,
@@ -64,4 +68,6 @@ __all__ = [
     "copartition_by",
     "ensure_parallelism",
     "materialize",
+    "salted_grouped_agg",
+    "salted_join",
 ]

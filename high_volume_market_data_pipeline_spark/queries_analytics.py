@@ -543,3 +543,40 @@ def daily_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_events"), davg(F.col("value")).alias("avg_value")],
     )
     return out.orderBy("event_date", "event_hour")
+
+
+@query(
+    "salted_event_value_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_value_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on a 5-value (hot) grouping key:
+    salt → partial agg → final agg (operators/skew.py). Result-identical to
+    the plain GROUP BY oracle; only the shuffle distribution differs."""
+    from high_volume_market_data_pipeline_spark.operators.skew import (
+        salted_grouped_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_grouped_agg(
+        ev,
+        ["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(_DEC)).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_events"),
+            F.sum("ps").cast("decimal(38,4)").alias("total_value"),
+        ],
+        salt_from="event_id",
+        n_salts=16,
+    )
+    return out.orderBy("event_type")

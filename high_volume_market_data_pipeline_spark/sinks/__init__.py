@@ -12,6 +12,11 @@ from high_volume_market_data_pipeline_spark.sinks.writers import (
     write_single_csv,
 )
 from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
+from high_volume_market_data_pipeline_spark.sinks.bucketed import (
+    drop_table,
+    read_table,
+    write_bucketed_table,
+)
 from high_volume_market_data_pipeline_spark.sinks.maintenance import (
     compact_table,
     zorder_cluster,
@@ -19,6 +24,9 @@ from high_volume_market_data_pipeline_spark.sinks.maintenance import (
 
 __all__ = [
     "compact_table",
+    "drop_table",
+    "read_table",
+    "write_bucketed_table",
     "merge_upsert",
     "write_partition_scoped_overwrite",
     "write_partitioned_overwrite",
