@@ -38,25 +38,41 @@ def connected_components(
 ) -> DataFrame:
     """(id, component): component = min vertex id reachable from ``id``
     through the undirected pair graph."""
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("component")
-    )
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+    spark = pairs.sparkSession
+    # Materialize the pair frame first: the two union branches below are two
+    # CONSUMERS — without a barrier an expensive upstream (the LSH pipeline)
+    # would run once per branch.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    # Size every graph shuffle to the GRAPH, not the session: each round
+    # pays per-partition task overhead on a frame of |V| rows, so a small
+    # pair graph on a 96-partition session wastes ~all its time on empty
+    # tasks. ~250k pairs per partition; restore the session conf at the end.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(8, min(int(prev_parts), n_pairs // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        edges = (
+            pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .union(
+                pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        proposed = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
+        # Round 1 fused into seeding: with identity labels, the propagated
+        # label is just least(self, min neighbor) — one shuffle, no join.
+        labels = edges.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("component")
+        ).withColumnRenamed("src", "id")
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            proposed = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
                 "id",
                 F.least(
                     F.col("component"),
@@ -64,13 +80,17 @@ def connected_components(
                 ).alias("component"),
                 F.col("component").alias("_old"),
             )
-        )
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = (
-            proposed.filter(F.col("component") != F.col("_old")).limit(1).count()
-        )
-        labels = proposed.drop("_old")
-        if changed == 0:
-            break
-    edges.unpersist()
+            # Lazy checkpoint: the convergence count below is the action
+            # that materializes it — one job per round, not two.
+            proposed = proposed.localCheckpoint(eager=False)
+            changed = (
+                proposed.filter(F.col("component") != F.col("_old")).limit(1).count()
+            )
+            labels = proposed.drop("_old")
+            if changed == 0:
+                break
+        edges.unpersist()
+    finally:
+        pairs.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels

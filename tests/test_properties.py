@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for operator invariants that
+example-based tests under-cover: arbitrary inputs, idempotence, and
+engine-side safe-cast totality.
+
+Each property runs few examples (Spark round-trips are ~100 ms each); the
+point is the generator's edge cases (empty strings, unicode, duplicate
+keys, all-identical rows), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.operators.dedup import dedup_keep_latest
+from high_volume_market_data_pipeline_spark.operators.projection import safe_cast
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        # ASCII-only: Python int() accepts unicode digits and "_" separators
+        # that Spark's cast rejects — those are int()'s quirks, not ours.
+        st.text(alphabet="0123456789abcxyz+-. ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_safe_cast_total_and_defaults(spark, raws):
+    """safe_cast never raises on arbitrary strings; non-numeric input maps
+    to the default, numeric input to its value."""
+    df = spark.createDataFrame([(s,) for s in raws], "raw string")
+    out = df.select(
+        "raw", safe_cast(F.col("raw"), "bigint", default=-1).alias("v")
+    ).collect()
+    for row in out:
+        s = row["raw"].strip() if row["raw"] is not None else ""
+        try:
+            expected = int(s)
+        except ValueError:
+            expected = -1
+        assert row["v"] == expected, (row["raw"], row["v"], expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key (forced collisions)
+            st.integers(min_value=0, max_value=100),  # version
+            st.integers(min_value=-5, max_value=5),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_keep_latest_invariants(spark, rows):
+    """Output keys are unique; each kept row is the max-version row of its
+    key (ties broken by payload desc — fully deterministic); idempotent."""
+    df = spark.createDataFrame(rows, "k int, version int, payload int")
+    out = dedup_keep_latest(df, ["k"], [F.desc("version"), F.desc("payload")])
+    got = {r["k"]: (r["version"], r["payload"]) for r in out.collect()}
+    assert len(got) == len({k for k, _, _ in rows})
+    for k in got:
+        expected = max((v, p) for kk, v, p in rows if kk == k)
+        assert got[k] == expected, (k, got[k], expected)
+    again = dedup_keep_latest(
+        out, ["k"], [F.desc("version"), F.desc("payload")]
+    ).collect()
+    assert {r["k"]: (r["version"], r["payload"]) for r in again} == got
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_matches_plain_for_any_input(spark, rows):
+    """salted_grouped_agg ≡ plain groupBy for arbitrary key/value data."""
+    from high_volume_market_data_pipeline_spark.operators.skew import (
+        salted_grouped_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)],
+        "k int, v double, uid int",
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_grouped_agg(
+            df,
+            ["k"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("v").cast("decimal(28,6)")).alias("ps"),
+            ],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            salt_from="uid",
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
