@@ -580,3 +580,160 @@ def salted_event_value_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.orderBy("event_type")
+
+
+@query(
+    "json_props_profile",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           {davg_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json → struct, not per-field
+    get_json_object re-parses) + aggregation over the extracted field —
+    the semi-structured-column surface. One parse per row regardless of
+    how many fields are extracted."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    out = grouped_agg(
+        parsed,
+        ["event_type"],
+        [
+            F.count("k").alias("n_with_k"),
+            davg(F.col("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "stats_quantity_price",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty,
+           ROUND(sqrt((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson corr, sample stddev) built from
+    EXACT-DECIMAL moment sums, then one double evaluation — unlike the
+    built-in corr/stddev (streaming co-moments, summation-order dependent),
+    this is bit-reproducible across engines, partitionings, and reruns.
+    Same single-shuffle partial+final hash-agg plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = grouped_agg(
+        li,
+        ["l_returnflag"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q.cast("decimal(18,4)")).cast("double").alias("sx"),
+            F.sum(p.cast("decimal(18,4)")).cast("double").alias("sy"),
+            F.sum((q * q).cast("decimal(24,4)")).cast("double").alias("sxx"),
+            F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+            F.sum((q * p).cast("decimal(26,4)")).cast("double").alias("sxy"),
+        ],
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    out = m.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(
+            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))), 6
+        ).alias("stddev_qty"),
+        F.round(
+            F.sqrt((n * syy - sy * sy) / (n.cast("double") * (n - 1))), 6
+        ).alias("stddev_price"),
+    )
+    return out.orderBy("l_returnflag")
+
+
+@query(
+    "hypertable_rollup",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS bucket_day,
+           extract(hour FROM ts) AS bucket_hour,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS total_value
+    FROM events
+    GROUP BY ROLLUP (bucket_day, bucket_hour)
+    ORDER BY bucket_day NULLS FIRST, bucket_hour NULLS FIRST
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour→day→total hierarchy in
+    ONE pass (ROLLUP/Expand — no per-granularity rescans). The incremental
+    refresh analogue is the streaming tumbling window over the same
+    bucketing (stream_tumbling_hourly)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("bucket_day"),
+        F.hour("ts").cast("long").alias("bucket_hour"),
+        "value",
+    )
+    from high_volume_market_data_pipeline_spark.operators.aggregates import (
+        rollup_agg,
+    )
+
+    out = rollup_agg(
+        ev,
+        ["bucket_day", "bucket_hour"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        ],
+    )
+    return out.orderBy(
+        F.col("bucket_day").asc_nulls_first(),
+        F.col("bucket_hour").asc_nulls_first(),
+    )
+
+
+@query("approx_value_percentiles")
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (sketch-merged quantiles) per event type — the
+    100 TB path where exact percentile's full-sort-per-group is infeasible.
+    Approximate ⇒ rows-only gate; accuracy vs exact is asserted in
+    tests/test_analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+    ).alias("pct")
+    out = grouped_agg(ev, ["event_type"], [pct]).select(
+        "event_type",
+        F.col("pct")[0].alias("p50"),
+        F.col("pct")[1].alias("p95"),
+        F.col("pct")[2].alias("p99"),
+    )
+    return out.orderBy("event_type")

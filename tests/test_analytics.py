@@ -57,3 +57,32 @@ def test_user_peak_event_is_hash_agg_not_window(spark):
     plan = user_peak_event(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_approx_percentiles_rank_accuracy(spark):
+    """The sketch returns a real data point whose RANK must sit within the
+    accuracy bound of the target quantile (value distance is the wrong
+    metric: exact percentile interpolates, the sketch doesn't, and the gap
+    between adjacent order statistics can be large in small groups)."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        approx_value_percentiles,
+    )
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in approx_value_percentiles(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    values = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r["event_type"], []).append(r["value"])
+    for et, targets in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for q, a in zip((0.5, 0.95, 0.99), targets):
+            rank_frac = sum(1 for v in vs if v <= a) / n
+            # accuracy=10000 ⇒ rank error ≤ 1/10000, plus 1/n discreteness
+            assert abs(rank_frac - q) <= 1 / 10_000 + 1.5 / n, (
+                et, q, a, rank_frac, n,
+            )
