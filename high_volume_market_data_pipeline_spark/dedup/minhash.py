@@ -37,28 +37,17 @@ Scale analysis (the reason this shape wins at 100 TB):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from high_volume_market_data_pipeline_spark.functions.expr import bind_once as _bind
 from high_volume_market_data_pipeline_spark.functions.text import normalize_text
 
 DEFAULT_K = 8  # minhash components
 DEFAULT_BANDS = 4  # → rows-per-band r = k/bands = 2; threshold ≈ (1/b)^(1/r)
 DEFAULT_SHINGLE = 3  # word trigrams
 _SLICES_PER_MD5 = 4  # 32 hex chars / 8 per component
-
-
-def _bind(col: Column, fn: Callable[[Column], Column]) -> Column:
-    """Evaluate ``col`` once per row, pass the materialized value to ``fn``.
-
-    Defeats CollapseProject-driven re-evaluation: inside the lambda the
-    argument is a bound variable (a value), so ``fn`` may reference it many
-    times at zero marginal cost.
-    """
-    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:

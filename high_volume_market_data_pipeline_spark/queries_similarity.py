@@ -101,3 +101,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 10 == 0
     )
     return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query("knn_ivf_cells")
+def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: k-means coarse quantizer → inverted cell lists
+    → multi-cell probing (similarity/knn.py ivf_knn). The data-adaptive
+    counterpart to sign-LSH. Approximate ⇒ rows-only gate; recall vs brute
+    force is asserted in tests/test_dedup_similarity.py."""
+    from high_volume_market_data_pipeline_spark.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")

@@ -2,8 +2,9 @@
 
 from high_volume_market_data_pipeline_spark.similarity.knn import (
     brute_force_knn,
+    ivf_knn,
     lsh_bucketed_knn,
     random_hyperplane_buckets,
 )
 
-__all__ = ["brute_force_knn", "lsh_bucketed_knn", "random_hyperplane_buckets"]
+__all__ = ["brute_force_knn", "ivf_knn", "lsh_bucketed_knn", "random_hyperplane_buckets"]

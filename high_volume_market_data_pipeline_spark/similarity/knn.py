@@ -170,3 +170,97 @@ def lsh_bucketed_knn(
             "knn_rank",
         )
     )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    per-cell inverted lists → queries probe their ``n_probe`` nearest cells.
+
+    The second ANN family next to sign-LSH: cells ADAPT to the data
+    distribution (learned centroids) where LSH buckets are data-oblivious —
+    on clustered real embeddings IVF probes far fewer candidates at equal
+    recall. Vectors are L2-normalized before clustering so euclidean cell
+    assignment orders like cosine. Candidate fan-out per query ≈
+    n/n_cells · n_probe; scale n_cells ~ √n as the corpus grows (the
+    standard IVF sizing rule) and the per-cell lists stay shuffle-local.
+
+    Training cost is one k-means fit over the corpus (sample it at real
+    scale); at query time the centroid table (n_cells rows) broadcasts.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from high_volume_market_data_pipeline_spark.functions.expr import bind_once
+
+    spark = corpus.sparkSession
+
+    def norm(v):
+        # bind the norm scalar once per row — inlined, the aggregate would
+        # re-run per vector ELEMENT (O(d²) per vector; see functions/expr.py)
+        length = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, y: a + y * y))
+        return bind_once(
+            length, lambda n: F.transform(v, lambda x: x / n)
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("_nv", norm(F.col("cv")))
+    ml = c.withColumn("_features", array_to_vector("_nv"))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(ml)
+    inverted = model.transform(ml).select("neighbor_id", "cv", "cell")
+
+    centroids = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("_nq", norm(F.col("qv")))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_nq"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", dist2)
+        .withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        inverted.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "knn_rank",
+        )
+    )

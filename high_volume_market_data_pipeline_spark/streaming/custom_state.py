@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Built-in streaming aggregations cover windowed/keyed aggregates; anything
+with BESPOKE state transitions (running totals that survive across
+micro-batches, counters with custom reset rules, online model state) needs
+the arbitrary-state API: ``groupBy(key).applyInPandasWithState(fn,
+output_schema, state_schema, mode, timeout)``.
+
+This module implements the canonical shape: per-key running totals that
+persist in the state store across micro-batches, emitting one updated
+snapshot row per key per batch. The handler receives Arrow-batched pandas
+frames (never per-row Python) and a GroupState handle; state is a plain
+tuple matching ``state_schema``.
+
+Scale notes:
+- state is partitioned by the grouping key across the state store (RocksDB
+  in production configs); per-batch cost is O(keys touched in that batch);
+- the watermark bounds how late data may arrive, and with a timeout the
+  handler could evict idle keys (NoTimeout here: totals are meant to live
+  for the stream's lifetime);
+- output mode "append" emits only the per-batch snapshots, so downstream
+  sinks see an incremental change log of the running totals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(
+    sdf: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-key running (count, sum) maintained in arbitrary state;
+    one snapshot row per key per micro-batch that touches the key."""
+
+    def update(
+        key_tuple: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "batch_rows": [batch_rows],
+            }
+        )
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "total_value double, batch_rows bigint"
+            ),
+            stateStructType="n bigint, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

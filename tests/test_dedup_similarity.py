@@ -80,3 +80,22 @@ def test_connected_components_chain(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    """IVF recall@5 ≥ 0.5 against exact top-5 (random vectors are ANN's
+    worst case; clustered real embeddings do far better)."""
+    from high_volume_market_data_pipeline_spark.similarity import ivf_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(q, emb, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"

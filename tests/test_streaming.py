@@ -83,3 +83,50 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     q.awaitTermination()
     rows = {(r.k, r.seq) for r in spark.read.parquet(target).collect()}
     assert rows == {(1, 2), (2, 1)}
+
+
+def test_custom_state_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    two files fed one per trigger yield two snapshots per touched user,
+    and the final snapshot equals the batch groupBy totals."""
+    import pyspark.sql.functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.streaming.custom_state import (
+        running_user_totals,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    stream_dir = str(tmp_path / "stream_in")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        stream_dir + "/f0.parquet"
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        stream_dir + "/f1.parquet"
+    )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+    )
+    out = run_to_memory_sink(
+        running_user_totals(sdf), output_mode="append"
+    ).collect()
+    # final snapshot per user (largest n_events) ≡ batch totals
+    final = {}
+    for r in out:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert final[uid][0] == n, (uid, final[uid], n)
+        assert abs(final[uid][1] - total) < 1e-6 * max(1.0, abs(total))
