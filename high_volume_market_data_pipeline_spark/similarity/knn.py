@@ -214,11 +214,20 @@ def ivf_knn(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("_nv", norm(F.col("cv")))
-    ml = c.withColumn("_features", array_to_vector("_nv"))
+    # Persist the featurized corpus: the k-means fit re-reads it every
+    # Lloyd iteration and the inverted-list assignment reads it once more —
+    # uncached, each pass would recompute the normalization expressions.
+    ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+    # Coarse quantizer: a handful of Lloyd iterations is enough — cells
+    # only need to be roughly balanced, not converged (FAISS uses 10-25 on
+    # samples; recall is governed by n_probe, not centroid polish).
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+        k=n_cells, seed=seed, maxIter=5,
+        featuresCol="_features", predictionCol="cell",
     ).fit(ml)
     inverted = model.transform(ml).select("neighbor_id", "cv", "cell")
+    inverted = inverted.localCheckpoint(eager=True)
+    ml.unpersist()
 
     centroids = [
         (i, [float(x) for x in center])
