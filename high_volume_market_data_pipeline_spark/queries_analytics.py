@@ -737,3 +737,55 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pct")[2].alias("p99"),
     )
     return out.orderBy("event_type")
+
+
+@query(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: per-user DISTINCT set of event types as a
+    sorted array (sort pins the cross-engine comparison — set order is
+    undefined in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_agg(
+        ev,
+        ["user_id"],
+        [
+            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        ],
+    )
+    return out.orderBy("user_id")
+
+
+@query(
+    "order_value_quartiles_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+           ) AS quartile
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def order_value_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per group (balanced quartile assignment — the
+    window-analytic family member not covered elsewhere); tiebreak on
+    orderkey keeps both engines' bucket boundaries identical."""
+    ev = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return ev.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderkey")
