@@ -789,3 +789,65 @@ def order_value_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("quartile"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey ORDER BY unit_price, l_suppkey
+             ) AS rn
+      FROM offers
+    )
+    SELECT r.l_partkey AS part_key,
+           p.p_name,
+           r.l_suppkey AS best_suppkey,
+           s.s_name AS best_supplier,
+           r.unit_price AS best_unit_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    ORDER BY part_key
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min + join-back): cheapest observed unit
+    price per part across suppliers — min-per-group via ranking window,
+    then broadcast-joined to both dimension tables. The correlated
+    subquery a SQL user would write becomes ONE window pass instead of a
+    per-row rescan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    offers = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias(
+            "unit_price"
+        ),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = (
+        broadcast_join(best, part, F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "p_name",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.col("s_name").alias("best_supplier"),
+            F.col("unit_price").alias("best_unit_price"),
+        )
+    )
+    return out.orderBy("part_key")

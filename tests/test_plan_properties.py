@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: pin the physical-plan invariants that make
+each query viable at scale, so a refactor that silently introduces an extra
+shuffle, loses pushdown, or drops a broadcast fails CI — not production.
+
+(PLANS.md is the human-readable snapshot; these are the enforced subset.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from high_volume_market_data_pipeline_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_scan_stage_query_has_zero_shuffles(spark):
+    """Pure projection/cast/enrichment must ride inside the scan stage."""
+    assert _shuffles(_plan(spark, "events_typed_enrichment")) == 0
+
+
+def test_unpivot_is_expand_no_join(spark):
+    """Unpivot = Expand node; a union-of-selects rewrite would rescan the
+    table once per metric column."""
+    plan = _plan(spark, "part_metrics_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan parquet") <= 2
+
+
+def test_salted_agg_is_two_phase(spark):
+    """Salted aggregation must keep exactly two aggregate shuffles (salt
+    phase + final phase) — plus the presentation sort."""
+    assert _shuffles(_plan(spark, "salted_event_value_agg")) <= 3
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    """TPC-H Q1 must partial-aggregate map-side (partial_* functions in the
+    plan) so the shuffle carries group partials, not raw rows."""
+    plan = _plan(spark, "pricing_summary")
+    assert re.search(r"partial_(sum|count)", plan), plan
+
+
+def test_dim_joins_broadcast_no_fact_shuffle(spark):
+    """Fact⋈dim⋈dim must broadcast both dims: the only shuffles allowed are
+    the aggregation + presentation sort, never a join exchange."""
+    plan = _plan(spark, "broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert _shuffles(plan) <= 2
+
+
+def test_filters_reach_parquet_scan_q3(spark):
+    """Q3's three filters must appear as PushedFilters on their scans."""
+    plan = _plan(spark, "shipping_priority_q3")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in ("l_shipdate", "o_orderdate", "c_mktsegment"):
+        assert frag in pushed, (frag, pushed)
+
+
+@pytest.mark.parametrize("name", ["top1_order_by_price", "shipping_priority_q3"])
+def test_global_topk_never_full_sorts(spark, name):
+    assert "TakeOrderedAndProject" in _plan(spark, name)
