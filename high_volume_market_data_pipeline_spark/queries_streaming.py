@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from high_volume_market_data_pipeline_spark.registry import query
 from high_volume_market_data_pipeline_spark.streaming import (
+    interval_join_streams,
     run_to_memory_sink,
     session_window_agg,
     sliding_window_agg,
@@ -183,3 +184,62 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(sdf, ["user_id", "event_type", "ts"], "ts", "1 hour")
     out = run_to_memory_sink(deduped, output_mode="append")
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: clicks ⋈ purchases by user within a
+    2-hour attribution window, watermarked on both sides so join state is
+    bounded (streaming/joins.py). Inner joins emit on match, so the
+    availableNow end state equals the batch join oracle exactly."""
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_gap="2 hours",
+        watermark="1 hour",
+    )
+    projected = joined.select(
+        "click_id",
+        F.col("l.user_id").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+    out = run_to_memory_sink(projected, output_mode="append")
+    return out.orderBy("click_id", "purchase_id")

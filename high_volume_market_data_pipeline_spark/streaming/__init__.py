@@ -20,9 +20,17 @@ from high_volume_market_data_pipeline_spark.streaming.windows import (
 from high_volume_market_data_pipeline_spark.streaming.dedup import (
     streaming_dedup,
 )
+from high_volume_market_data_pipeline_spark.streaming.joins import (
+    interval_join_streams,
+)
+from high_volume_market_data_pipeline_spark.streaming.custom_state import (
+    running_user_totals,
+)
 
 __all__ = [
+    "interval_join_streams",
     "read_parquet_stream",
+    "running_user_totals",
     "run_to_memory_sink",
     "session_window_agg",
     "sliding_window_agg",
