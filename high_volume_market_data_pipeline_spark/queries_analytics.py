@@ -851,3 +851,31 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("part_key")
+
+
+@query(
+    "parts_sales_coverage",
+    oracle="""
+    SELECT p.p_partkey,
+           COUNT(l.l_orderkey) AS n_sold,
+           (COUNT(l.l_orderkey) = 0) AS never_sold
+    FROM part p
+    LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    ORDER BY p.p_partkey
+    """,
+)
+def parts_sales_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-aware counting: per-part sales with unsold
+    parts retained (COUNT over the nullable right side = 0 for no match) —
+    the outer-join member of the join matrix (inner/semi/anti/cross/asof/
+    range covered elsewhere)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    joined = part.join(li, part.p_partkey == li.l_partkey, "left")
+    out = grouped_agg(
+        joined,
+        ["p_partkey"],
+        [F.count("l_orderkey").alias("n_sold")],
+    ).withColumn("never_sold", F.col("n_sold") == 0)
+    return out.orderBy("p_partkey")
