@@ -36,17 +36,40 @@ def rows_to_df(
 
 
 def json_strings_to_df(
-    spark: SparkSession, json_strings: list[str], schema: StructType | None = None
+    spark: SparkSession,
+    json_strings: list[str],
+    schema: StructType | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S3: JSON strings → DataFrame. With a schema, parse via from_json
     (no inference job — the scale path); without, fall back to inference
-    like the reference's quick path (fast_pipeline.py:24-26)."""
+    like the reference's quick path (fast_pipeline.py:24-26).
+
+    ``corrupt_col``: when set, malformed rows are NOT silently nulled —
+    they surface with their raw text in this column (and nulls elsewhere)
+    so a dead-letter sink can keep them. A dropped bad record at 100 TB is
+    an invisible data-loss bug; a captured one is a queue to reprocess.
+    """
     if schema is None:
         return spark.read.json(spark.sparkContext.parallelize(json_strings))
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
 
     raw = spark.createDataFrame([(s,) for s in json_strings], ["_raw"])
-    return raw.select(F.from_json("_raw", schema).alias("j")).select("j.*")
+    if not corrupt_col:
+        return raw.select(F.from_json("_raw", schema).alias("j")).select("j.*")
+    # PERMISSIVE from_json yields an all-null struct for malformed input —
+    # indistinguishable from valid all-null JSON. The corrupt-record field
+    # (columnNameOfCorruptRecord) disambiguates: set only on parse failure.
+    widened = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    parsed = raw.select(
+        F.from_json(
+            "_raw", widened, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("j")
+    )
+    return parsed.select("j.*")
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

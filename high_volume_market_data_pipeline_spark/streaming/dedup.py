@@ -20,5 +20,15 @@ def streaming_dedup(
     keys: Sequence[str],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    within_watermark: bool = False,
 ) -> DataFrame:
-    return sdf.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+    """``within_watermark=True`` uses dropDuplicatesWithinWatermark
+    (Spark 3.5+): the event-time column need NOT be part of the key, and a
+    duplicate arriving within the watermark delay of the first copy is
+    dropped even if its timestamp differs — the right semantics when
+    retries re-send the same logical record with a fresh timestamp. Plain
+    dropDuplicates needs exact key equality (ts included) forever-unique."""
+    marked = sdf.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return marked.dropDuplicatesWithinWatermark(list(keys))
+    return marked.dropDuplicates(list(keys))

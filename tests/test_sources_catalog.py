@@ -88,3 +88,23 @@ def test_register_catalog_tables(spark):
     assert set(TABLES) <= set(registered)
     n = spark.sql("SELECT count(*) AS n FROM hvmdp_test.region").collect()[0].n
     assert n == 5
+
+
+def test_json_strings_corrupt_capture(spark):
+    """Malformed JSON must surface in the corrupt column (dead-letter
+    path), not vanish silently."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from high_volume_market_data_pipeline_spark.sources.readers import (
+        json_strings_to_df,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    rows = ['{"id": 1, "name": "ok"}', "{not json at all", '{"id": 2}']
+    df = json_strings_to_df(spark, rows, schema, corrupt_col="_corrupt")
+    got = {r["id"]: (r["name"], r["_corrupt"]) for r in df.collect()}
+    assert got[1] == ("ok", None)
+    assert got[2] == (None, None)  # valid JSON, missing field → null field
+    assert got[None][1] == "{not json at all"  # malformed → captured raw

@@ -130,3 +130,29 @@ def test_custom_state_running_totals_across_batches(spark, tmp_path):
     for uid, (n, total) in batch.items():
         assert final[uid][0] == n, (uid, final[uid], n)
         assert abs(final[uid][1] - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_dedup_within_watermark_collapses_resent_records(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same logical key re-sent with a
+    DIFFERENT timestamp within the delay must collapse to one row."""
+    from datetime import datetime
+
+    from high_volume_market_data_pipeline_spark.streaming import (
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    rows = [
+        (1, 100, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 101, datetime(2024, 1, 1, 10, 5, 0)),  # retry, new ts, same key
+        (2, 200, datetime(2024, 1, 1, 10, 1, 0)),
+    ]
+    src = str(tmp_path / "dd_in")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    sdf = spark.readStream.schema(SCHEMA).parquet(src)
+    out = run_to_memory_sink(
+        streaming_dedup(sdf, ["k"], "ts", "30 minutes", within_watermark=True),
+        output_mode="append",
+    ).collect()
+    ks = sorted(r["k"] for r in out)
+    assert ks == [1, 2], out
