@@ -879,3 +879,115 @@ def parts_sales_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("l_orderkey").alias("n_sold")],
     ).withColumn("never_sold", F.col("n_sold") == 0)
     return out.orderBy("p_partkey")
+
+
+@query(
+    "forecast_revenue_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + scalar agg —
+    the pure predicate-pushdown showcase (every predicate reaches the
+    parquet scan; asserted in tests/test_plan_properties.py). Zero
+    shuffles beyond the single partial/final agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "priority_count_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def priority_count_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality — planned as a
+    left-semi join carrying the extra condition, so the lineitem columns
+    never reach the aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    out = grouped_agg(
+        semi, ["o_orderpriority"], [F.count(F.lit(1)).alias("n_orders")]
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@query(
+    "returned_top_customers_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_top_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, global top-20.
+    Filters push to both fact scans; nation broadcasts; top-K never
+    full-sorts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    j = equi_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    j = equi_join(j, cust, F.col("o_custkey") == cust.c_custkey)
+    j = broadcast_join(j, nation, F.col("c_nationkey") == nation.n_nationkey)
+    grouped = grouped_agg(
+        j,
+        ["c_custkey", "c_name", "n_name"],
+        [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    ).select("c_custkey", "c_name", "revenue", "n_name")
+    return top_k_global(grouped, 20, F.desc("revenue"), "c_custkey")

@@ -68,3 +68,19 @@ def test_filters_reach_parquet_scan_q3(spark):
 @pytest.mark.parametrize("name", ["top1_order_by_price", "shipping_priority_q3"])
 def test_global_topk_never_full_sorts(spark, name):
     assert "TakeOrderedAndProject" in _plan(spark, name)
+
+
+def test_q6_pushes_all_predicates(spark):
+    """Q6's conjunctive filter must reach the parquet scan in full.
+    (Regex runs to end-of-line: toString truncates long filter lists.)"""
+    plan = _plan(spark, "forecast_revenue_q6")
+    pushed = " ".join(re.findall(r"PushedFilters: \[(.*)", plan))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, (frag, pushed)
+    assert _shuffles(plan) <= 1  # single partial/final agg exchange
+
+
+def test_q4_plans_semi_join(spark):
+    """EXISTS must plan as a semi join (right columns never materialize)."""
+    plan = _plan(spark, "priority_count_q4")
+    assert "LeftSemi" in plan, plan

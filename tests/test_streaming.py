@@ -156,3 +156,46 @@ def test_dedup_within_watermark_collapses_resent_records(spark, tmp_path):
     ).collect()
     ks = sorted(r["k"] for r in out)
     assert ks == [1, 2], out
+
+
+def test_rate_source_synthetic_ticks(spark):
+    """Rate source → synthetic tick stream (SURVEY §2.10: the streaming
+    analogue of the S4 range source; the S1 HTTP poll plugs into the same
+    shape via foreachBatch)."""
+    from high_volume_market_data_pipeline_spark.streaming import (
+        run_to_memory_sink,
+    )
+
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("coin_id"),
+            (100.0 + (F.col("value") % 17)).alias("price"),
+        )
+    )
+    name = "rate_ticks_test"
+    q = (
+        ticks.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n >= 10:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n >= 10, f"rate source produced only {n} rows"
+    row = spark.table(name).first()
+    assert set(spark.table(name).columns) == {"ts", "coin_id", "price"}
+    assert 0 <= row["coin_id"] < 5
