@@ -71,7 +71,7 @@ from high_volume_market_data_pipeline_spark.registry import (
       FROM lineitem
     )
     SELECT ship_date,
-           CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
            COUNT(*) AS n_items
     FROM ranked
@@ -141,7 +141,7 @@ def dedup_keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(ts AS DATE) AS partition_date,
-           CAST(value AS DECIMAL(18, 8)) AS value_dec,
+           CAST(CAST(value AS DECIMAL(18, 8)) AS DOUBLE) AS value_dec,
            event_type,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
     FROM events
@@ -156,7 +156,7 @@ def events_typed_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.to_date("ts").alias("partition_date"),
-        F.col("value").alias("value_dec"),
+        F.col("value").cast("double").alias("value_dec"),
         "event_type",
         safe_cast(F.get_json_object("props", "$.k"), "bigint").alias("prop_k"),
     )
@@ -172,9 +172,9 @@ def events_typed_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -229,7 +229,7 @@ def cross_join_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -267,7 +267,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey,
            c.c_name,
            COUNT(DISTINCT o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -412,10 +412,10 @@ def union_high_low_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_user_value",
     oracle="""
     SELECT event_id, user_id, ts,
-           SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_value,
+           ) AS DOUBLE) AS running_value,
            LAG(event_type) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
            ) AS prev_event_type
@@ -432,7 +432,7 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast(_DEC)).over(frame).alias("running_value"),
+        F.sum(F.col("value").cast(_DEC)).over(frame).cast("double").alias("running_value"),
         F.lag("event_type").over(w).alias("prev_event_type"),
     )
 
@@ -442,7 +442,7 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -474,3 +474,4 @@ from high_volume_market_data_pipeline_spark import queries_asof  # noqa: E402,F4
 from high_volume_market_data_pipeline_spark import queries_multimodal  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_analytics  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_sql  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_history  # noqa: E402,F401

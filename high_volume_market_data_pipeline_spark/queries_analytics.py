@@ -574,7 +574,7 @@ def salted_event_value_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         final_aggs=[
             F.sum("pn").alias("n_events"),
-            F.sum("ps").cast("decimal(38,4)").alias("total_value"),
+            F.sum("ps").cast("double").alias("total_value"),
         ],
         salt_from="event_id",
         n_salts=16,
@@ -885,7 +885,7 @@ def parts_sales_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forecast_revenue_q6",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(38,4)) AS promo_revenue,
+                AS DOUBLE) AS promo_revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'

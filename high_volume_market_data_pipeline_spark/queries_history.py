@@ -1,0 +1,57 @@
+"""S8 — table history / time travel surface as a driver query.
+
+Mirrors the reference's ``view_delta_history.py:44-72`` workflow: write a
+table, upsert into it, restore an old version, then read the history log
+newest-first. Timestamps are wall-clock, so the check is rows-only (no
+DuckDB oracle — the operation log is engine metadata, not SQL state); the
+version/operation/row-count columns ARE deterministic and pytest pins the
+time-travel reads (tests/test_history.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.registry import query
+from high_volume_market_data_pipeline_spark.sinks.history import (
+    VersionedParquetTable,
+)
+
+
+@query("table_history_ops")
+def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 full write → v1 partial overwrite-style write → v2 restore(0);
+    returns (version, operation, n_rows) newest-first — the
+    ``DeltaTable.history()`` read path over the parquet-native log."""
+    root = os.path.join(tempfile.gettempdir(), "hvmdp_history_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table.write(orders, "WRITE", {"mode": "overwrite"})
+    table.write(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "MERGE",
+        {"keys": "o_orderkey"},
+    )
+    table.restore(spark, 0)
+
+    hist = table.history(spark)
+    counts = [
+        (v, table.read(spark, version=v).count())
+        for v in [r["version"] for r in hist.select("version").collect()]
+    ]
+    counts_df = spark.createDataFrame(counts, "version BIGINT, n_rows BIGINT")
+    return (
+        hist.join(counts_df, "version")
+        .select("version", "operation", "n_rows")
+        .orderBy(F.desc("version"))
+    )

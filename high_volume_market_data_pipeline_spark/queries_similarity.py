@@ -71,36 +71,66 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")
 
 
+def _nd_plane_dot_sql(plane: int, n_planes: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of the sign-LSH hyperplane dot product: the hyperplane is
+    a deterministic md5-derived constant (similarity/knn._hyperplane), so it
+    embeds verbatim as a literal DOUBLE list — the oracle replicates the
+    bucketing bit-exactly."""
+    from high_volume_market_data_pipeline_spark.similarity.knn import _hyperplane
+
+    lit = "[" + ",".join(repr(x) for x in _hyperplane(dim, plane)) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dim}+1),"
+        f" i -> v[i] * ({lit}::DOUBLE[])[i]))"
+    )
+
+
+_ND_BUCKET_SQL = (
+    f"(CASE WHEN {_nd_plane_dot_sql(0)} >= 0 THEN 1 ELSE 0 END)"
+    f" + (CASE WHEN {_nd_plane_dot_sql(1)} >= 0 THEN 2 ELSE 0 END)"
+)
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v
+    WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id % 10 = 0
+    ), e AS (
+      SELECT vec_id, v, {_ND_BUCKET_SQL} AS bucket FROM e0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+             6) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(
-             list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
-              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
-           6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ROUND(
-             list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
-              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
-           6) >= 0.3
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= 0.3
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on an id-stratified block (vec_id %
-    10) — the blocked-quadratic verify stage; threshold 0.3 (testdata's
-    random vectors top out ≈0.48)."""
+    """Embedding-cosine near-dup pairs, LSH-blocked: candidates share a
+    sign-LSH bucket (2 hyperplanes ⇒ 4 buckets here), so the join is an
+    equi-join on the bucket key — per-bucket quadratic, never a cross join
+    (asserted in tests/test_plan_properties.py). The id-stratified sample
+    (vec_id % 10) keeps the sf0.01 result readable; threshold 0.3
+    (testdata's random vectors top out ≈0.48)."""
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        random_hyperplane_buckets,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
-    return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+    emb = random_hyperplane_buckets(emb, n_planes=2, dim=64)
+    return embedding_near_dup_pairs(
+        emb, block_col="bucket", threshold=0.3
+    ).orderBy("id_a", "id_b")
 
 
 @query("knn_ivf_cells")

@@ -18,7 +18,7 @@ _PEAK_DAY_SQL = """
     WITH daily AS (
       SELECT CAST(l_shipdate AS DATE) AS d,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                  AS DECIMAL(38,4)) AS rev
+                  AS DOUBLE) AS rev
       FROM lineitem
       GROUP BY d
     ), ranked AS (

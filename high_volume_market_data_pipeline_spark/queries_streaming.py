@@ -9,6 +9,7 @@ foreachBatch sinks in streaming/sink.py (exercised in tests/).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,9 +36,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single parquet file, so it is staged via symlink into a scratch dir
     (a real deployment streams from an arrival directory anyway)."""
     path = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        "/tmp", f"hvmdp_stream_{abs(hash(os.path.abspath(sf_dir)))}"
-    )
+    # Stable digest (not builtin hash(): str hashes are salted per process,
+    # which would mint a fresh staging dir every run and defeat the reuse
+    # check below).
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join("/tmp", f"hvmdp_stream_{digest}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -56,7 +59,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -73,7 +76,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,4)").alias(
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias(
                 "total_value"
             ),
         ],

@@ -39,8 +39,19 @@ _DEC = "decimal(18,4)"
 
 
 def dsum(col: F.Column):
-    """Exact decimal sum of a double expression (order-independent)."""
-    return F.sum(col.cast(_DEC)).cast("decimal(38,4)")
+    """Exact decimal sum of a double expression (order-independent), emitted
+    as DOUBLE.
+
+    The sum itself runs in DECIMAL(18,4) so it is summation-order
+    independent; the single final decimal→double cast is correctly rounded
+    in both engines. Emitting DOUBLE (not DECIMAL) matters for the driver
+    hash: DuckDB's ``.df()`` coerces DECIMAL results to float64 while Spark's
+    ``.toPandas()`` yields ``Decimal`` objects whose string form keeps
+    trailing scale zeros (``'1259321.6100'`` vs ``'1259321.61'``) — so any
+    query whose decimal output has a trailing zero hash-mismatches even
+    though values are equal (the round-1 failure mode for all 10 red rows).
+    """
+    return F.sum(col.cast(_DEC)).cast("double")
 
 
 def davg(col: F.Column):
@@ -49,7 +60,7 @@ def davg(col: F.Column):
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:

@@ -1,0 +1,173 @@
+"""S8 — table history + time travel, parquet-native.
+
+Reference surface: ``view_delta_history.py:44-72`` (``DeltaTable.forPath(
+...).history()`` → version/timestamp/operation DataFrame, newest first) and
+the README's time-travel claims. ``delta-spark`` is not installable in this
+environment, so the same observable API is provided over plain parquet with
+a JSON manifest log — the layout Delta itself uses (data files + ordered
+commit log), minus transactions we cannot express without a JVM extension:
+
+    <root>/_log/<version>.json   one manifest per committed version
+    <root>/_v<version>/          immutable parquet snapshot for that version
+
+Commit protocol: write the snapshot dir first, then create the manifest via
+atomic rename of a temp file. A crashed writer leaves an orphan ``_v*`` dir
+(cleaned by ``vacuum``) but can never corrupt the current version — readers
+only follow manifests. This also makes MERGE/OPTIMIZE through the table
+crash-safe: the previous snapshot is untouched until vacuum retires it.
+
+At cluster scale the manifest write is a single small driver-side file per
+commit (same as a Delta commit json); snapshots are whatever Spark wrote —
+partitioned, distributed parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+
+
+class VersionedParquetTable:
+    """Versioned snapshots of a parquet table with Delta-like history()."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.log_dir = os.path.join(root, _LOG)
+
+    # -- log plumbing -------------------------------------------------------
+
+    def _manifests(self) -> list[dict]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in sorted(os.listdir(self.log_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.log_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["version"])
+
+    def latest_version(self) -> int | None:
+        ms = self._manifests()
+        return ms[-1]["version"] if ms else None
+
+    def exists(self) -> bool:
+        """M5 — table existence probe (DeltaTable.isDeltaTable analogue)."""
+        return self.latest_version() is not None
+
+    # -- write path ---------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        operation: str = "WRITE",
+        parameters: dict | None = None,
+        partition_by: str | None = None,
+    ) -> int:
+        """Commit ``df`` as the next version; returns the version number."""
+        version = (self.latest_version() or 0) + 1 if self.exists() else 0
+        data_dir = os.path.join(self.root, f"_v{version:08d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir)
+
+        manifest = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": operation,
+            "parameters": parameters or {},
+            "data_dir": data_dir,
+        }
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        return version
+
+    # -- read path ----------------------------------------------------------
+
+    def _resolve(self, version: int | None, as_of_ts: float | None) -> dict:
+        ms = self._manifests()
+        if not ms:
+            raise FileNotFoundError(f"no versions at {self.root}")
+        if version is not None:
+            for m in ms:
+                if m["version"] == version:
+                    return m
+            raise ValueError(f"version {version} not found at {self.root}")
+        if as_of_ts is not None:
+            eligible = [m for m in ms if m["timestamp"] <= as_of_ts]
+            if not eligible:
+                raise ValueError(f"no version at or before ts={as_of_ts}")
+            return eligible[-1]
+        return ms[-1]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Current snapshot, or time travel by version / timestamp
+        (``VERSION AS OF`` / ``TIMESTAMP AS OF`` analogue)."""
+        return spark.read.parquet(self._resolve(version, as_of_ts)["data_dir"])
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """(version, timestamp, operation, parameters) — newest first, like
+        ``DeltaTable.history()`` (view_delta_history.py:57-59)."""
+        rows = [
+            (
+                m["version"],
+                float(m["timestamp"]),
+                m["operation"],
+                json.dumps(m["parameters"], sort_keys=True),
+            )
+            for m in reversed(self._manifests())
+        ]
+        return spark.createDataFrame(
+            rows, "version BIGINT, timestamp DOUBLE, operation STRING, parameters STRING"
+        )
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: re-commit an old snapshot as
+        the new head (Delta-parity; keeps the log linear)."""
+        df = self.read(spark, version=version)
+        return self.write(df, "RESTORE", {"restored_version": version})
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retire snapshot dirs older than the newest ``keep_last`` versions
+        (and any orphan ``_v*`` dirs with no manifest). Time travel below
+        the horizon stops working — same contract as Delta VACUUM."""
+        import shutil
+
+        ms = self._manifests()
+        keep = {m["version"] for m in ms[-keep_last:]} if ms else set()
+        removed: list[int] = []
+        if not os.path.isdir(self.root):
+            return removed
+        known = {m["version"]: m for m in ms}
+        for d in os.listdir(self.root):
+            if not d.startswith("_v"):
+                continue
+            try:
+                v = int(d[2:])
+            except ValueError:
+                continue
+            if v in keep:
+                continue
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            removed.append(v)
+            if v in known:
+                mf = os.path.join(self.log_dir, f"{v:08d}.json")
+                if os.path.exists(mf):
+                    os.remove(mf)
+        return removed

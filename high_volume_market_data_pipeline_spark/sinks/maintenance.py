@@ -33,8 +33,16 @@ def _swap_rewrite(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # Same crash-safe promotion as the merge sink: old data is parked, not
+    # deleted, until the new table is in place.
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
 
 
 def compact_table(
@@ -73,9 +81,19 @@ def zorder_cluster(
 
 def vacuum_orphans(path: str) -> int:
     """M4 equivalent: delete leftover temp dirs from interrupted
-    merges/optimizes. Returns count removed."""
+    merges/optimizes. Returns count removed.
+
+    Safety: refuses to remove anything while the target table itself is
+    missing — in that state a temp/parked dir may be the only surviving
+    copy (interrupted swap) and deleting it would be data loss."""
+    if not os.path.exists(path):
+        return 0
     removed = 0
-    for d in glob.glob(f"{path}__merge_*") + glob.glob(f"{path}__opt_*"):
+    for d in (
+        glob.glob(f"{path}__merge_*")
+        + glob.glob(f"{path}__opt_*")
+        + glob.glob(f"{path}__old_*")
+    ):
         shutil.rmtree(d, ignore_errors=True)
         removed += 1
     return removed

@@ -95,7 +95,18 @@ def _merge_parquet(
         keys,
         [F.desc(_PRECEDENCE), F.desc(order_col)],
     )
+    # Crash-safe swap: park the old table aside BEFORE promoting the new
+    # one and delete it only after the promotion rename succeeded. A crash
+    # at any point leaves either the old table in place or the old copy in
+    # ``__old_*`` — never a state where the ``__merge_*`` temp is the only
+    # surviving copy (which vacuum would then delete: data loss).
     tmp = f"{target_path}__merge_{uuid.uuid4().hex[:8]}"
     write_to(merged, tmp)
-    shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    try:
+        os.rename(tmp, target_path)
+    except OSError:
+        os.rename(old, target_path)  # roll back; tmp left for vacuum
+        raise
+    shutil.rmtree(old)

@@ -54,9 +54,15 @@ def write_single_csv(
     Small results (≤ via_pandas_max_rows) go through Arrow → pandas (K4);
     larger ones use coalesce(1).write.csv + rename (K5) so the data never
     materializes on the driver. Both are final-report paths — a single
-    file is inherently single-writer and only sane for small outputs."""
-    n = df.count()
-    if n <= via_pandas_max_rows:
+    file is inherently single-writer and only sane for small outputs.
+
+    The size probe uses ``limit(n+1).count()`` so the full input is
+    computed at most once: the probe stops scanning after n+1 rows instead
+    of materializing (and then recomputing) the whole frame."""
+    small = (
+        df.limit(via_pandas_max_rows + 1).count() <= via_pandas_max_rows
+    )
+    if small:
         df.toPandas().to_csv(path, index=False)
         return
     tmp = path + "_tmpdir"

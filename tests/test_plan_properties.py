@@ -84,3 +84,11 @@ def test_q4_plans_semi_join(spark):
     """EXISTS must plan as a semi join (right columns never materialize)."""
     plan = _plan(spark, "priority_count_q4")
     assert "LeftSemi" in plan, plan
+
+
+def test_embedding_near_dup_never_cross_joins(spark):
+    """The near-dup query must equi-join on the LSH bucket key — a quadratic
+    cross join would not survive a 100× corpus."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

