@@ -44,6 +44,8 @@ _TAIL = [
     "sessionize_events_batch",      # batch twin of stream_session_windows
     "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)
     "user_event_type_sets",         # collect_set; array surface in knn/minhash
+    "supplier_diversity_q16",       # anti-join ⊂ customers_without_orders + Q4 semi
+    "bulk_part_suppliers_q20",      # semi-join chain ⊂ priority_count_q4
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",

@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 from high_volume_market_data_pipeline_spark.catalog import load_table
 from high_volume_market_data_pipeline_spark.operators import (
+    anti_join,
     broadcast_join,
     equi_join,
+    global_sort,
     grouped_agg,
     semi_join,
     top_k_global,
@@ -991,3 +993,95 @@ def returned_top_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
     ).select("c_custkey", "c_name", "revenue", "n_name")
     return top_k_global(grouped, 20, F.desc("revenue"), "c_custkey")
+
+
+@query(
+    "supplier_diversity_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'ECONOMY'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 20
+    """,
+)
+def supplier_diversity_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp routed through lineitem): how many
+    distinct suppliers ship each surviving (brand, type) — an anti-join
+    (NOT IN, null-safe here because s_suppkey is non-null) feeding a
+    distinct-count aggregation. The anti side (negative-balance suppliers)
+    broadcasts; part is a broadcast dim; only the distinct-agg shuffles."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "ECONOMY")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    survivors = anti_join(li, bad, "l_suppkey")
+    j = broadcast_join(
+        survivors, part, F.col("l_partkey") == part.p_partkey
+    )
+    grouped = grouped_agg(
+        j,
+        ["p_brand", "p_type"],
+        [F.countDistinct("l_suppkey").alias("supplier_cnt")],
+    )
+    return top_k_global(
+        grouped, 20, F.desc("supplier_cnt"), "p_brand", "p_type"
+    )
+
+
+@query(
+    "bulk_part_suppliers_q20",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    ORDER BY s_name
+    """,
+)
+def bulk_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that moved > 300 units of red parts in
+    1996 — a HAVING-filtered aggregation feeding a left-semi join. Date +
+    name predicates push to the scans; the semi join keeps supplier
+    columns out of the shuffle until the tiny qualifying set is known."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    qualifying = (
+        grouped_agg(
+            broadcast_join(li, part, li.l_partkey == part.p_partkey),
+            ["l_suppkey"],
+            [F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty")],
+        )
+        .filter(F.col("_qty") > 300)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return global_sort(
+        semi_join(supp, qualifying, "s_suppkey").select("s_name", "s_acctbal"),
+        "s_name",
+    )

@@ -33,8 +33,12 @@ def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     table = VersionedParquetTable(root)
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    # A thin slice is enough — the query exercises the log/commit/travel
+    # machinery, not bulk write throughput (stress.py covers that).
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
     table.write(orders, "WRITE", {"mode": "overwrite"})
     table.write(

@@ -17,6 +17,7 @@ from high_volume_market_data_pipeline_spark.registry import query
 from high_volume_market_data_pipeline_spark.similarity import (
     brute_force_knn,
     lsh_bucketed_knn,
+    with_recall_at_k,
 )
 
 _N_QUERIES = 8
@@ -64,11 +65,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("knn_lsh_bucketed")
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH buckets + multi-probe — the scale path
-    (per-bucket quadratic instead of global). Approximate ⇒ rows-only gate;
-    recall vs brute force is asserted in tests/test_dedup_similarity.py."""
+    (per-bucket quadratic instead of global). Approximate ⇒ rows-only gate,
+    but the result carries a self-grading ``recall_at_k`` column (vs brute
+    force), so a recall regression is visible in the recorded values; the
+    ≥ threshold assertion lives in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_bucketed_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")
+    ann = lsh_bucketed_knn(q, emb, k=_K)
+    exact = brute_force_knn(q, emb, k=_K)
+    return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
 
 
 def _nd_plane_dot_sql(plane: int, n_planes: int = 2, dim: int = 64) -> str:
@@ -143,4 +148,6 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_knn(q, emb, k=_K).orderBy("query_id", "knn_rank")
+    ann = ivf_knn(q, emb, k=_K)
+    exact = brute_force_knn(q, emb, k=_K)
+    return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")

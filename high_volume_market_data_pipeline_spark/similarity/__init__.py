@@ -4,7 +4,8 @@ from high_volume_market_data_pipeline_spark.similarity.knn import (
     brute_force_knn,
     ivf_knn,
     lsh_bucketed_knn,
+    with_recall_at_k,
     random_hyperplane_buckets,
 )
 
-__all__ = ["brute_force_knn", "ivf_knn", "lsh_bucketed_knn", "random_hyperplane_buckets"]
+__all__ = ["brute_force_knn", "ivf_knn", "lsh_bucketed_knn", "random_hyperplane_buckets", "with_recall_at_k"]

@@ -273,3 +273,33 @@ def ivf_knn(
             "knn_rank",
         )
     )
+
+
+def with_recall_at_k(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Append per-query ``recall_at_k`` to an ANN result: |ann ∩ exact| /
+    |exact| over neighbor sets (both inputs shaped (query_id, neighbor_id,
+    ...)).
+
+    Grading the approximate result against the exact one is the standard
+    ANN quality gate; at real scale run it over a query SAMPLE (brute force
+    on the sample costs one broadcast pass over the corpus). Queries whose
+    ANN result is empty keep recall 0 via the left join + fill."""
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "leftsemi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_total"))
+    rec = hits.join(totals, "query_id").select(
+        "query_id",
+        F.round(F.col("_hits") / F.col("_total"), 4).alias("recall_at_k"),
+    )
+    return (
+        ann.join(F.broadcast(rec), "query_id", "left")
+        .na.fill({"recall_at_k": 0.0})
+    )

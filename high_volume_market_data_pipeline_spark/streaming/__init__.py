@@ -25,12 +25,14 @@ from high_volume_market_data_pipeline_spark.streaming.joins import (
 )
 from high_volume_market_data_pipeline_spark.streaming.custom_state import (
     running_user_totals,
+    running_user_totals_tws,
 )
 
 __all__ = [
     "interval_join_streams",
     "read_parquet_stream",
     "running_user_totals",
+    "running_user_totals_tws",
     "run_to_memory_sink",
     "session_window_agg",
     "sliding_window_agg",

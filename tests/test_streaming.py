@@ -2,6 +2,7 @@
 arrival, streaming dedup across batches, foreachBatch upsert sink."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -199,3 +200,66 @@ def test_rate_source_synthetic_ticks(spark):
     row = spark.table(name).first()
     assert set(spark.table(name).columns) == {"ts", "coin_id", "price"}
     assert 0 <= row["coin_id"] < 5
+
+
+def test_transform_with_state_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API) must produce the
+    same final per-key totals as applyInPandasWithState and the batch
+    groupBy — same two-file, one-file-per-trigger harness. Needs the
+    RocksDB state-store provider (production config for this API) and
+    google.protobuf (absent in this container → skip)."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.streaming.custom_state import (
+        running_user_totals_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("user_id") < 50)
+    )
+    stream_dir = str(tmp_path / "stream_in")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        stream_dir + "/f0.parquet"
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        stream_dir + "/f1.parquet"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir + "/*")
+        )
+        out = run_to_memory_sink(
+            running_user_totals_tws(sdf), output_mode="append"
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {}
+    for r in out:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-6

@@ -80,6 +80,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed, no_oracle = [], []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,8 +88,10 @@ def main() -> int:
             try:
                 n = fn(spark, sf_dir).count()
                 print(f"{name:40s} rows-only ({n} rows)")
+                results[name] = {"check": "rows_only", "spark_rows": n}
             except Exception as e:  # noqa: BLE001
                 print(f"{name:40s} ROWS-ONLY ERROR: {e}")
+                results[name] = {"check": "rows_only", "err": str(e)}
                 failed.append(name)
             no_oracle.append(name)
             continue
@@ -98,6 +101,14 @@ def main() -> int:
             sn, sc, sr = canon(sdf)
             on, oc, orows = canon(odf)
             ok = sn == on and sc == oc and sr == orows
+            results[name] = {
+                "check": "oracle",
+                "rows_match": sn == on,
+                "cols_match": sc == oc,
+                "values_match": sr == orows,
+                "spark_rows": sn,
+                "oracle_rows": on,
+            }
             if ok:
                 print(f"{name:40s} OK ({sn} rows)")
             else:
@@ -114,11 +125,19 @@ def main() -> int:
                 failed.append(name)
         except Exception as e:  # noqa: BLE001
             print(f"{name:40s} ERROR: {e}")
+            results[name] = {"check": "oracle", "err": str(e)}
             failed.append(name)
 
-    print(f"\nchecked={len(qs)} failed={len(failed)} rows_only={len(no_oracle)}")
+    print(f"\nchecked={len(results)} failed={len(failed)} rows_only={len(no_oracle)}")
     if failed:
         print("failed:", ", ".join(failed))
+    out_json = os.environ.get("VERIFY_JSON_OUT")
+    if out_json and not only:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print("wrote", out_json)
     spark.stop()
     return 1 if failed else 0
 
