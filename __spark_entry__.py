@@ -46,6 +46,8 @@ _TAIL = [
     "user_event_type_sets",         # collect_set; array surface in knn/minhash
     "supplier_diversity_q16",       # anti-join ⊂ customers_without_orders + Q4 semi
     "bulk_part_suppliers_q20",      # semi-join chain ⊂ priority_count_q4
+    "priority_shipping_modes_q12",  # conditional agg ⊂ pivot (FILTER counts)
+    "discounted_bulk_revenue_q19",  # OR-pushdown ⊂ Q6 predicate family
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",

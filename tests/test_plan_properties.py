@@ -92,3 +92,19 @@ def test_embedding_near_dup_never_cross_joins(spark):
     plan = _plan(spark, "embedding_near_dup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q16_anti_join_broadcasts_small_side(spark):
+    """NOT IN (negative-balance suppliers) must plan as a broadcast anti
+    join — the tiny exclusion set never forces a fact shuffle."""
+    plan = _plan(spark, "supplier_diversity_q16")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_after_having(spark):
+    """The qualifying-supplier set must reach supplier as a semi join;
+    part dim broadcasts into the lineitem scan side."""
+    plan = _plan(spark, "bulk_part_suppliers_q20")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
