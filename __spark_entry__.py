@@ -48,6 +48,8 @@ _TAIL = [
     "bulk_part_suppliers_q20",      # semi-join chain ⊂ priority_count_q4
     "priority_shipping_modes_q12",  # conditional agg ⊂ pivot (FILTER counts)
     "discounted_bulk_revenue_q19",  # OR-pushdown ⊂ Q6 predicate family
+    "nation_trade_volume_q7",       # dual-aliased dim broadcast ⊂ Q5 family
+    "market_share_q8",              # conditional-sum ratio ⊂ Q12 + Q5 family
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",

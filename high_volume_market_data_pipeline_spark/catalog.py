@@ -63,7 +63,11 @@ def register_catalog_tables(
     """K6: persistent catalog registration (main_pipeline.py:189-218
     analogue): CREATE DATABASE IF NOT EXISTS → external tables over the
     parquet locations → verified SHOW TABLES. Works against the default
-    in-memory catalog or a configured Hive metastore alike."""
+    in-memory catalog or a configured Hive metastore alike
+    (session.build_metastore_session for the persistent Derby-backed one)."""
+    # events.parquet is TIMESTAMP(NANOS): schema inference at CREATE TABLE
+    # needs the same legacy conf load_table uses.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -52,12 +52,16 @@ def connected_components(
     target = max(8, min(int(prev_parts), n_pairs // 250_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
+        # No .distinct() here: min-label propagation is idempotent under
+        # duplicate edges (min of a multiset), callers pass deduped pairs
+        # (lsh_candidate_pairs dropDuplicates), and id_a < id_b rules out
+        # self-loops — a distinct would add a full edge-set shuffle for
+        # nothing.
         edges = (
             pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
             .union(
                 pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
             )
-            .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Round 1 fused into seeding: with identity labels, the propagated

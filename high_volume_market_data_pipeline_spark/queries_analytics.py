@@ -798,7 +798,8 @@ def order_value_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offers AS (
       SELECT l_partkey, l_suppkey,
-             ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+             floor(l_extendedprice * 1000000.0 / l_quantity) / 1000000.0
+               AS unit_price
       FROM lineitem WHERE l_quantity > 0
     ), ranked AS (
       SELECT l_partkey, l_suppkey, unit_price,
@@ -824,14 +825,21 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per part across suppliers — min-per-group via ranking window,
     then broadcast-joined to both dimension tables. The correlated
     subquery a SQL user would write becomes ONE window pass instead of a
-    per-row rescan."""
+    per-row rescan.
+
+    Unit price is truncated to micro-units with floor(x*1e6/q)/1e6 — pure
+    IEEE double ops, bit-identical across engines. ROUND(x, 6) is NOT: the
+    engines resolve half-way doubles differently (found at sf0.1:
+    64.0746875 → 64.074688 in Spark, 64.074687 in DuckDB), which flips
+    row_number winners on near-tie prices."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     offers = li.select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias(
-            "unit_price"
-        ),
+        (
+            F.floor(F.col("l_extendedprice") * F.lit(1000000.0) / F.col("l_quantity"))
+            / F.lit(1000000.0)
+        ).alias("unit_price"),
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
     best = (
@@ -1173,3 +1181,151 @@ def discounted_bulk_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         ],
     )
+
+
+@query(
+    "nation_trade_volume_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year.
+    The two tiny nation dims broadcast (aliased twice — supplier side and
+    customer side); the cross-pair disjunction is evaluated after both
+    broadcasts, so the fact shuffles only for the orders/customer joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = equi_join(li, supp, li.l_suppkey == supp.s_suppkey)
+    j = equi_join(j, orders, F.col("l_orderkey") == orders.o_orderkey)
+    j = equi_join(j, cust, F.col("o_custkey") == cust.c_custkey)
+    j = broadcast_join(j, n1, F.col("s_nationkey") == F.col("n1_key"))
+    j = broadcast_join(j, n2, F.col("c_nationkey") == F.col("n2_key"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    out = grouped_agg(
+        j.filter(pair).withColumn(
+            "l_year", F.year("l_shipdate").cast("long")
+        ),
+        ["supp_nation", "cust_nation", "l_year"],
+        [
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        ],
+    )
+    return global_sort(out, "supp_nation", "cust_nation", "l_year")
+
+
+@query(
+    "market_share_q8",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold into
+    ASIA customers, per order year — a conditional-sum ratio over one
+    8-table join pass (never two scans). Exact-decimal numerator and
+    denominator, one double division at the end keeps both engines
+    bit-equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    j = equi_join(j, supp, F.col("l_suppkey") == supp.s_suppkey)
+    j = equi_join(j, orders, F.col("l_orderkey") == orders.o_orderkey)
+    j = equi_join(j, cust, F.col("o_custkey") == cust.c_custkey)
+    j = broadcast_join(j, n_cust, F.col("c_nationkey") == F.col("nc_key"))
+    j = broadcast_join(j, region, F.col("nc_region") == region.r_regionkey)
+    j = broadcast_join(j, n_supp, F.col("s_nationkey") == F.col("ns_key"))
+    vol = j.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast(_DEC)
+        .alias("volume"),
+        "supp_nation",
+    )
+    zero = F.lit(0).cast(_DEC)
+    out = grouped_agg(
+        vol,
+        ["o_year"],
+        [
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(F.col("volume")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        ],
+    )
+    return global_sort(out, "o_year")

@@ -88,6 +88,36 @@ def build_session(
     return spark
 
 
+def build_metastore_session(
+    metastore_root: str,
+    app_name: str = "hvmdp-metastore",
+    master: str | None = None,
+) -> SparkSession:
+    """K6 — session backed by a PERSISTENT Hive metastore (Derby).
+
+    The reference registers external tables in Hive-on-Postgres
+    (main_pipeline.py:189-218, spark_manager.py:214-240); Postgres is not
+    available here, but Spark ships Hive support with an embedded Derby
+    metastore, which gives the same observable contract: tables registered
+    in one session are visible to LATER sessions pointing at the same
+    ``metastore_root``. On a cluster, swap the Derby JDBC URL for the
+    shared metastore service — the calling code does not change.
+    """
+    wh = os.path.join(metastore_root, "warehouse")
+    db = os.path.join(metastore_root, "metastore_db")
+    return build_session(
+        app_name=app_name,
+        master=master,
+        extra_conf={
+            "spark.sql.catalogImplementation": "hive",
+            "spark.sql.warehouse.dir": wh,
+            "javax.jdo.option.ConnectionURL": (
+                f"jdbc:derby:;databaseName={db};create=true"
+            ),
+        },
+    )
+
+
 def stop_session(spark: SparkSession) -> None:
     """Stop the session (reference force_stop, spark_manager.py:304-326)."""
     try:
