@@ -50,6 +50,10 @@ _TAIL = [
     "discounted_bulk_revenue_q19",  # OR-pushdown ⊂ Q6 predicate family
     "nation_trade_volume_q7",       # dual-aliased dim broadcast ⊂ Q5 family
     "market_share_q8",              # conditional-sum ratio ⊂ Q12 + Q5 family
+    "important_part_stock_q11",     # scalar-threshold broadcast ⊂ Q22 shape
+    "small_quantity_orders_q17",    # correlated window avg ⊂ orders_above_customer_avg
+    "large_volume_customers_q18",   # having→semi→topK ⊂ Q20 + top10 family
+    "dormant_rich_customers_q22",   # scalar threshold + anti ⊂ Q16/Q22 family
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",
@@ -57,6 +61,7 @@ _TAIL = [
     "knn_ivf_cells",
     # engine-metadata surface (history log) — rows-only by nature
     "table_history_ops",
+    "curation_funnel",              # assembly of 4 oracle-checked components
 ]
 
 

@@ -1,0 +1,132 @@
+"""Training-data curation pipeline — the LLM-data counterpart of the
+medallion assembly (plans/medallion.py maps the reference's Bronze→Silver→
+Gold; this maps raw documents → clean training corpus).
+
+Stages, all built from the engine's verified components:
+
+1. PROFILE   — token/char/quality/language columns (functions/text) —
+               pure column expressions riding inside the scan stage;
+2. FILTER    — quality + language + length gates (data-dependent knobs);
+3. EXACT     — fingerprint dedup keeping the min id (dedup/exact);
+4. NEAR      — MinHash→LSH candidate pairs → connected components →
+               keep one doc per cluster (dedup/minhash + clustering);
+5. EMIT      — curated corpus + a per-stage survival report.
+
+Scale notes: the text bytes shuffle exactly ONCE (the LSH band explode);
+every other stage is either scan-local (profile/filter), a key-only
+aggregation (exact dedup groups fingerprints, not text), or graph-sized
+(components over the pair set). Keep-decisions join back on ids — at
+100 TB the heavy columns stay parked in parquet until the final
+semi-join re-read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.dedup.clustering import (
+    connected_components,
+)
+from high_volume_market_data_pipeline_spark.dedup.exact import exact_dedup
+from high_volume_market_data_pipeline_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+)
+from high_volume_market_data_pipeline_spark.functions.text import (
+    bpe_ish_token_count,
+    char_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@dataclass
+class CurationReport:
+    """Row counts after each stage (the curation funnel)."""
+
+    n_input: int = 0
+    n_quality: int = 0
+    n_exact: int = 0
+    n_near: int = 0
+    stages: list[str] = field(default_factory=list)
+
+
+def profile_documents(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Stage 1: append token/char/quality/language columns (JVM column
+    exprs only — no shuffle, rides in the scan stage)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "n_chars": char_count(t),
+            "quality": quality_score(t),
+            "lang": lang_id(t),
+        }
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Stage 2: drop short/junk documents (predicates push to the scan)."""
+    out = df.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    if langs:
+        out = out.filter(F.col("lang").isin(*langs))
+    return out
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.5,
+) -> tuple[DataFrame, CurationReport]:
+    """Full curation: returns (curated profiled corpus, funnel report).
+
+    Deterministic end to end: exact dedup keeps min id per fingerprint;
+    near-dup clustering keeps the min id per connected component — so the
+    surviving set is a pure function of the input, never of partitioning.
+    """
+    report = CurationReport()
+    report.n_input = docs.count()
+
+    profiled = profile_documents(docs, text_col)
+    gated = quality_gate(profiled, min_tokens, min_quality, langs).persist()
+    report.n_quality = gated.count()
+    report.stages.append("quality_gate")
+
+    kept_exact = exact_dedup(gated, text_col, id_col).select(
+        F.col("kept_id").alias(id_col)
+    )
+    exact_survivors = gated.join(kept_exact, id_col, "leftsemi").persist()
+    report.n_exact = exact_survivors.count()
+    report.stages.append("exact_dedup")
+    gated.unpersist()
+
+    pairs = lsh_candidate_pairs(exact_survivors, text_col, id_col).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    curated = exact_survivors.join(drop, id_col, "left_anti")
+    report.n_near = curated.count()
+    report.stages.append("near_dedup")
+    exact_survivors.unpersist()
+
+    return curated, report

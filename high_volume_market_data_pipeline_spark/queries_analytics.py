@@ -1329,3 +1329,196 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return global_sort(out, "o_year")
+
+
+@query(
+    "important_part_stock_q11",
+    oracle=f"""
+    WITH part_value AS (
+      SELECT l_partkey,
+             {dsum_sql("l_extendedprice")} AS part_revenue
+      FROM lineitem
+      GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(SUM(CAST(part_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM part_value
+    )
+    SELECT pv.l_partkey AS part_key, pv.part_revenue
+    FROM part_value pv, total t
+    WHERE pv.part_revenue > t.total_revenue * 0.0005
+    ORDER BY part_revenue DESC, part_key
+    """,
+)
+def important_part_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a FRACTION OF THE
+    GLOBAL TOTAL — a scalar aggregate joined back as a broadcast threshold
+    (one row), never a per-row subquery re-scan. The grouped frame is
+    computed once and reused for both the per-part values and the total
+    (persist barrier keeps it single-execution)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # persist() with no matching unpersist: the returned frame is LAZY, so
+    # unpersisting here (before any action) would silently recompute the
+    # grouped frame once per consumer; the cache instead ages out via LRU.
+    part_value = grouped_agg(
+        li,
+        ["l_partkey"],
+        [dsum(F.col("l_extendedprice")).alias("part_revenue")],
+    ).persist()
+    total = grouped_agg(
+        part_value,
+        [],
+        [dsum(F.col("part_revenue")).alias("total_revenue")],
+    )
+    out = (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > F.col("total_revenue") * 0.0005)
+        .select(F.col("l_partkey").alias("part_key"), "part_revenue")
+    )
+    return out.orderBy(F.desc("part_revenue"), "part_key")
+
+
+@query(
+    "small_quantity_orders_q17",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice,
+             AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM li
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def small_quantity_orders_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average quantity —
+    the correlated AVG becomes ONE window pass over the partkey partition
+    (no join-back, no per-part rescan); then a scalar aggregate.
+
+    avg_qty is AVG over BIGINT quantities: sum of exact integers / count,
+    one double division per part — cross-engine deterministic (no decimal
+    needed). The final money sum goes through exact decimal as usual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    small = li.select(
+        "l_extendedprice",
+        "l_quantity",
+        F.avg("l_quantity").over(w).alias("avg_qty"),
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return grouped_agg(
+        small,
+        [],
+        [
+            (
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        ],
+    )
+
+
+@query(
+    "large_volume_customers_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           {dsum_sql("l.l_quantity")} AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 — grouped
+    HAVING feeds a semi join on the fact, then the detail re-aggregates
+    per (customer, order) and global top-100 plans as
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        grouped_agg(
+            li,
+            ["l_orderkey"],
+            [F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty")],
+        )
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey")
+    )
+    j = equi_join(
+        semi_join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"), big, "l_orderkey"
+        ),
+        cust,
+        F.col("o_custkey") == cust.c_custkey,
+    )
+    j = equi_join(j, li, "l_orderkey")
+    grouped = grouped_agg(
+        j.withColumnRenamed("l_orderkey", "o_orderkey"),
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"],
+        [dsum(F.col("l_quantity")).alias("total_qty")],
+    ).select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty",
+    )
+    return top_k_global(grouped, 100, F.desc("o_totalprice"), "o_orderkey")
+
+
+@query(
+    "dormant_rich_customers_q22",
+    oracle="""
+    WITH positive AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, positive p
+    WHERE c.c_acctbal > p.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    ORDER BY c_custkey
+    """,
+)
+def dormant_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (dormant since 2000) — a broadcast scalar threshold
+    (exact-decimal avg) composed with an anti join. The date predicate
+    pushes to the orders scan, which then projects to one column before
+    shuffling."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    positive = grouped_agg(
+        cust.filter(F.col("c_acctbal") > 0.0),
+        [],
+        [
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        ],
+    )
+    rich = cust.crossJoin(F.broadcast(positive)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return global_sort(
+        anti_join(rich, orders, "c_custkey").select("c_custkey", "c_acctbal"),
+        "c_custkey",
+    )

@@ -59,3 +59,26 @@ def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "operation", "n_rows")
         .orderBy(F.desc("version"))
     )
+
+
+@query("curation_funnel")
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation (plans/curation.py): profile →
+    quality gate → exact dedup → near-dup cluster keep-one, reported as
+    the survival funnel. Rows-only gate: the assembly is pinned by
+    tests/test_curation.py and every component by its own oracle query
+    (text_stats, exact_dedup_documents, minhash_lsh_near_dup,
+    dedup_clusters)."""
+    from high_volume_market_data_pipeline_spark.plans.curation import (
+        curate_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = curate_documents(docs)
+    rows = [
+        ("0_input", report.n_input),
+        ("1_quality_gate", report.n_quality),
+        ("2_exact_dedup", report.n_exact),
+        ("3_near_dedup", report.n_near),
+    ]
+    return spark.createDataFrame(rows, "stage STRING, n_docs BIGINT")

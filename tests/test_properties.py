@@ -125,3 +125,41 @@ def test_salted_agg_matches_plain_for_any_input(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+def test_floor_micro_unit_price_is_cross_engine_deterministic(spark):
+    """floor(px*1e6/qty)/1e6 must be bit-identical in Spark, DuckDB, and
+    plain IEEE Python — the determinism contract behind
+    cheapest_supplier_per_part (ROUND(x, 6) breaks it on halfway doubles;
+    see NOTES.md round-2 fix #4)."""
+    import math
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    rng = random.Random(42)
+    cases = [
+        (round(rng.uniform(1.0, 100.0), 2) * q, float(q))
+        for q in range(1, 51)
+        for _ in range(4)
+    ]
+    expected = [math.floor(px * 1_000_000.0 / qty) / 1_000_000.0 for px, qty in cases]
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT floor(? * 1000000.0 / ?) / 1000000.0", [px, qty]
+        ).fetchone()[0]
+        for px, qty in cases
+    ]
+    assert duck == expected
+
+    df = spark.createDataFrame(cases, "px double, qty double")
+    got = [
+        r["u"]
+        for r in df.select(
+            (F.floor(F.col("px") * F.lit(1000000.0) / F.col("qty")) / F.lit(1000000.0)).alias("u")
+        ).collect()
+    ]
+    assert got == expected
