@@ -44,6 +44,9 @@ _TAIL = [
     "sessionize_events_batch",      # batch twin of stream_session_windows
     "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)
     "user_event_type_sets",         # collect_set; array surface in knn/minhash
+    "stream_dedup_events",          # no-dup testdata ⇒ identity end state;
+                                    # dropDuplicatesWithinWatermark pinned in
+                                    # tests/test_streaming.py with real dupes
     "supplier_diversity_q16",       # anti-join ⊂ customers_without_orders + Q4 semi
     "bulk_part_suppliers_q20",      # semi-join chain ⊂ priority_count_q4
     "priority_shipping_modes_q12",  # conditional agg ⊂ pivot (FILTER counts)
@@ -54,6 +57,9 @@ _TAIL = [
     "small_quantity_orders_q17",    # correlated window avg ⊂ orders_above_customer_avg
     "large_volume_customers_q18",   # having→semi→topK ⊂ Q20 + top10 family
     "dormant_rich_customers_q22",   # scalar threshold + anti ⊂ Q16/Q22 family
+    "customer_order_distribution_q13",  # left-outer histogram ⊂ parts_sales_coverage
+    "top_supplier_q15",             # max-of-agg join-back ⊂ Q11 scalar family
+    "promo_revenue_share_q14",      # CASE-ratio ⊂ market_share_q8 pattern
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",

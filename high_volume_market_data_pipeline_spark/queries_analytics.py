@@ -1522,3 +1522,129 @@ def dormant_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         anti_join(rich, orders, "c_custkey").select("c_custkey", "c_acctbal"),
         "c_custkey",
     )
+
+
+@query(
+    "customer_order_distribution_q13",
+    oracle="""
+    WITH per_customer AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_customer
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts — a LEFT
+    OUTER join (zero-order customers count as 0: COUNT(col) skips the
+    nulls the outer join manufactures) followed by a second, much smaller
+    aggregation over the counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_customer = grouped_agg(
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left"),
+        ["c_custkey"],
+        [F.count("o_orderkey").alias("c_count")],
+    )
+    dist = grouped_agg(
+        per_customer, ["c_count"], [F.count(F.lit(1)).alias("custdist")]
+    )
+    return dist.orderBy(F.desc("custdist"), F.desc("c_count"))
+
+
+@query(
+    "top_supplier_q15",
+    oracle=f"""
+    WITH supplier_revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN supplier_revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM supplier_revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the MAXIMUM quarterly
+    revenue — max-of-aggregate as a one-row broadcast joined back by
+    EQUALITY (ties all surface, unlike LIMIT 1). The revenue view is
+    persisted so the max probe and the join-back share one computation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    supplier_revenue = grouped_agg(
+        li,
+        [F.col("l_suppkey").alias("supplier_no")],
+        [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )],
+    ).persist()
+    peak = grouped_agg(
+        supplier_revenue, [], [F.max("total_revenue").alias("_peak")]
+    )
+    winners = supplier_revenue.crossJoin(F.broadcast(peak)).filter(
+        F.col("total_revenue") == F.col("_peak")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    out = equi_join(
+        supp, winners, supp.s_suppkey == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+    return global_sort(out, "s_suppkey")
+
+
+@query(
+    "promo_revenue_share_q14",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO revenue share for one month — conditional
+    CASE-sum over the part broadcast join, exact-decimal numerator and
+    denominator in ONE aggregation pass, one double division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    part = load_table(spark, sf_dir, "part")
+    j = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    return grouped_agg(
+        j,
+        [],
+        [
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )

@@ -73,7 +73,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         curate_documents,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Deterministic id-stratified half: the funnel exercises every stage
+    # at half the LSH/clustering cost; full-corpus dedup is already
+    # benchmarked by dedup_clusters/minhash_lsh_near_dup.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
     _, report = curate_documents(docs)
     rows = [
         ("0_input", report.n_input),

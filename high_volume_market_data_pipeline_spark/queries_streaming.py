@@ -246,3 +246,42 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory_sink(projected, output_mode="append")
     return out.orderBy("click_id", "purchase_id")
+
+
+@query(
+    "stream_static_nation_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', e.ts) AS day_start,
+           n.n_name,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY day_start, n_name
+    ORDER BY day_start, n_name
+    """,
+)
+def stream_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriches against a batch dim
+    (nation) joined per micro-batch as a broadcast hash join — no state,
+    no watermark interaction (unlike stream-stream joins) — then a daily
+    tumbling count per nation. This is the canonical streaming enrichment
+    shape: at scale the dim is broadcast once per batch, the stream never
+    shuffles for the join."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+
+    sdf = _events_stream(spark, sf_dir).withColumn(
+        "n_nationkey", F.pmod(F.col("user_id"), F.lit(25)).cast("long")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = sdf.join(F.broadcast(nation), "n_nationkey")
+    agg = tumbling_window_agg(
+        enriched,
+        "ts",
+        "1 day",
+        ["n_name"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    out = run_to_memory_sink(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("day_start"), "n_name", "n_events"
+    ).orderBy("day_start", "n_name")

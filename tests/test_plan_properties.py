@@ -108,3 +108,19 @@ def test_q20_semi_join_after_having(spark):
     plan = _plan(spark, "bulk_part_suppliers_q20")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_broadcasts_one_row(spark):
+    """The max-of-aggregate probe must reach the join-back as a broadcast
+    (BroadcastNestedLoopJoin over ONE row is fine; a shuffled join or a
+    per-row subquery rescan is not)."""
+    plan = _plan(spark, "top_supplier_q15")
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_q13_left_outer_two_phase(spark):
+    """Q13's histogram must keep the outer join and both aggregations
+    inside three shuffles (join + per-customer agg + count-of-counts)."""
+    plan = _plan(spark, "customer_order_distribution_q13")
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    assert _shuffles(plan) <= 4

@@ -263,3 +263,43 @@ def test_transform_with_state_matches_legacy_api(spark, tmp_path):
     for uid, (n, total) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 1e-6
+
+
+def test_checkpoint_recovery_processes_each_file_once(spark, tmp_path):
+    """Restarting an availableNow query against the SAME checkpoint must
+    process only files that arrived after the first run — the source
+    offset log survives the restart (exactly-once per input file)."""
+    import pyspark.sql.functions as F
+
+    from high_volume_market_data_pipeline_spark.streaming.sink import (
+        foreach_batch_apply,
+    )
+
+    src = str(tmp_path / "arrivals")
+    log = str(tmp_path / "processed_log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append_to_log(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(log)
+
+    def run_once():
+        sdf = spark.readStream.schema("k long, v long").parquet(src + "/*")
+        q = foreach_batch_apply(sdf, append_to_log, ckpt)
+        q.awaitTermination()
+
+    spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v")).coalesce(
+        1
+    ).write.parquet(src + "/f0.parquet")
+    run_once()
+    assert spark.read.parquet(log).count() == 5
+
+    spark.range(3).select((F.col("id") + 100).alias("k"), F.lit(2).alias("v")).coalesce(
+        1
+    ).write.parquet(src + "/f1.parquet")
+    run_once()
+    out = spark.read.parquet(log)
+    # 5 + 3, not 5 + 8: file f0 was NOT reprocessed on restart.
+    assert out.count() == 8
+    assert out.filter(F.col("v") == 1).count() == 5
+    assert out.filter(F.col("v") == 2).count() == 3
