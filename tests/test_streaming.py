@@ -303,3 +303,49 @@ def test_checkpoint_recovery_processes_each_file_once(spark, tmp_path):
     assert out.count() == 8
     assert out.filter(F.col("v") == 1).count() == 5
     assert out.filter(F.col("v") == 2).count() == 3
+
+
+def test_late_events_beyond_watermark_are_dropped(spark, tmp_path):
+    """Append-mode watermark semantics: an event arriving after its
+    window was finalized (watermark passed window end) must NOT reopen
+    the window — the emitted count excludes it. This is the documented
+    late-data contract (SURVEY §2.10): batch MERGE is the reconciliation
+    path for anything later than the watermark."""
+    src = str(tmp_path / "src")
+    # Micro-batch boundaries matter: the watermark that FILTERS input
+    # lags one batch behind the one that evicts state (measured on this
+    # Spark: a late row arriving in the batch immediately after the
+    # watermark-advancing event is still merged). So put the advancing
+    # event (12:59) two batches before the late arrival, with a spacer
+    # batch in between — then the drop is deterministic
+    # (numRowsDroppedByWatermark=1).
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, 1, _ts(spark, "2024-01-01 10:15:00")),
+            (2, 2, _ts(spark, "2024-01-01 10:20:00")),
+        ],
+    )
+    _write_batch(spark, src, [(3, 3, _ts(spark, "2024-01-01 12:59:00"))])
+    _write_batch(spark, src, [(6, 6, _ts(spark, "2024-01-01 12:59:30"))])
+    # Final batch: one event 2.5 h late into the finalized 10:00 window
+    # (dropped), one at 13:30 advancing the watermark past 13:00 so the
+    # 12:00 window finalizes and emits.
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, 4, _ts(spark, "2024-01-01 10:30:00")),
+            (5, 5, _ts(spark, "2024-01-01 13:30:00")),
+        ],
+    )
+    sdf = read_parquet_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_window_agg(
+        sdf, "ts", "1 hour", [], [F.count(F.lit(1)).alias("n")]
+    )
+    out = run_to_memory_sink(agg, output_mode="append")
+    got = {(r["window"].start.isoformat(), r.n) for r in out.collect()}
+    assert ("2024-01-01T10:00:00", 2) in got      # late event NOT counted
+    assert ("2024-01-01T10:00:00", 3) not in got
+    assert ("2024-01-01T12:00:00", 2) in got
