@@ -38,6 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _TAIL = [
     # oracle-backed but operator-redundant with head entries
     "top1_order_by_price",          # O2 ⊂ top10_orders_by_price
+    "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
+    "distinct_order_priorities",    # A2 distinct ⊂ exact_dedup_documents
+    "lang_quota_sample",            # row_number quota ⊂ user_peak_event window
+    "token_budget_chunks",          # cumsum window ⊂ running_user_value + agg
     "customers_without_orders",     # 0-row result at sf0.01 — no value signal
     "json_props_profile",           # get_json_object ⊂ events_typed_enrichment
     "parts_catalog_labels",         # CASE projection ⊂ events_typed_enrichment
@@ -60,6 +64,8 @@ _TAIL = [
     "customer_order_distribution_q13",  # left-outer histogram ⊂ parts_sales_coverage
     "top_supplier_q15",             # max-of-agg join-back ⊂ Q11 scalar family
     "promo_revenue_share_q14",      # CASE-ratio ⊂ market_share_q8 pattern
+    "product_type_profit_q9",       # multi-dim broadcast chain ⊂ Q5/Q8 family
+    "waiting_supplier_q21",         # exists/not-exists → window counts ⊂ Q17/Q18
     # approximate / no-oracle (driver records rows-only at best)
     "approx_value_percentiles",
     "approx_distinct_users",

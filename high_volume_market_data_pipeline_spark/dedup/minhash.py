@@ -52,17 +52,27 @@ _SLICES_PER_MD5 = 4  # 32 hex chars / 8 per component
 
 def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
     """Array of word w-grams of the normalized text; documents shorter than
-    w words contribute their whole normalized text as one shingle."""
-    norm = normalize_text(text)
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - w + 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(w)]
-        ),
-    )
-    return F.when(n < w, F.array(norm)).otherwise(grams)
+    w words contribute their whole normalized text as one shingle.
+
+    The token array is bound ONCE per row (bind_once): the gram lambda
+    references it w times per gram, and an unbound reference would
+    re-evaluate split(regexp_replace(...)) for every element_at — w × n
+    regex passes per document (the CollapseProject/no-CSE trap; measured
+    8× on the w=8 contamination screen)."""
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(w)]
+            ),
+        )
+        # array_join(toks, " ") round-trips the normalized text exactly
+        # (split/join share the single-space delimiter).
+        return F.when(n < w, F.array(F.array_join(toks, " "))).otherwise(grams)
+
+    return _bind(F.split(normalize_text(text), " "), build)
 
 
 def signature_column(

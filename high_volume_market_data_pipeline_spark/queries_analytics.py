@@ -1648,3 +1648,138 @@ def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         ],
     )
+
+
+@query(
+    "product_type_profit_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - p.p_retailprice * 0.6 * l.l_quantity"
+           )} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_type_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year. The testdata has no partsupp table, so supply cost is a
+    deterministic stand-in (60% of p_retailprice) — the plan shape is the
+    real Q9: fact ⋈ two broadcast dims (part filtered by LIKE before the
+    join, supplier), fact ⋈ fact on orderkey, nation broadcast, then a
+    two-term profit expression aggregated per (nation, year). The LIKE
+    filter prunes part BEFORE the join so only matching partkeys reach the
+    shuffle. Profit subtraction happens per-row in double (same
+    parenthesization as the oracle — IEEE ops are order-deterministic),
+    summed exactly in decimal via dsum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    j = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    j = broadcast_join(j, supp, F.col("l_suppkey") == supp.s_suppkey)
+    j = equi_join(j, orders, F.col("l_orderkey") == orders.o_orderkey)
+    j = broadcast_join(j, nation, F.col("s_nationkey") == nation.n_nationkey)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.6) * F.col("l_quantity")
+    out = grouped_agg(
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit_line"),
+        ),
+        ["nation", "o_year"],
+        [dsum(F.col("profit_line")).alias("profit")],
+    )
+    return global_sort(out, "nation", F.desc("o_year"))
+
+
+@query(
+    "waiting_supplier_q21",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN l.l_suppkey END AS late_supp
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT late_supp) AS n_late_supp
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM flagged f
+    JOIN per_order po ON po.l_orderkey = f.l_orderkey
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE f.late_supp IS NOT NULL
+      AND po.n_supp >= 2 AND po.n_late_supp = 1
+      AND n.n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier finalized order ("late" derived: shipped >60 days after
+    order date — the testdata has no commit/receipt dates). The classic
+    formulation is EXISTS(other supplier) AND NOT EXISTS(other late
+    supplier) — two correlated fact self-scans. Spark-first reformulation:
+    ONE shuffle on l_orderkey, then window collect_set counts of distinct
+    suppliers / distinct late suppliers per order replace both correlated
+    subqueries (a supplier qualifies iff n_supp>=2, n_late_supp==1, and it
+    is late). Order groups are tiny (lines per order), so the per-partition
+    window buffering is bounded; supplier and nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    j = equi_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    flagged = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(late, F.col("l_suppkey")).alias("late_supp"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = flagged.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn("n_late_supp", F.size(F.collect_set("late_supp").over(w)))
+    cand = per_order.filter(
+        F.col("late_supp").isNotNull()
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+    )
+    cand = broadcast_join(cand, supp, cand.l_suppkey == supp.s_suppkey)
+    cand = broadcast_join(
+        cand, nation, F.col("s_nationkey") == nation.n_nationkey
+    )
+    grouped = grouped_agg(
+        cand, ["s_name"], [F.count(F.lit(1)).alias("numwait")]
+    )
+    return top_k_global(grouped, 10, F.desc("numwait"), "s_name")

@@ -1,0 +1,244 @@
+"""Dataset-curation queries for training-data assembly: contamination
+screening, deterministic splits, quota sampling, and token-budget shard
+packing over `documents` (driver north-star extension — the reference has
+no curation surface; these are the ops a 100 TB pretraining pipeline runs
+after dedup/quality gating).
+
+Determinism rules (registry docstring): every sampling / splitting decision
+derives from md5 over UTF-8 bytes — never engine RNG — so each query has a
+bit-identical DuckDB twin. Token counts are integers; cumulative sums are
+integer-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.dedup.minhash import word_shingles
+from high_volume_market_data_pipeline_spark.functions.text import token_count
+from high_volume_market_data_pipeline_spark.operators import broadcast_join
+from high_volume_market_data_pipeline_spark.queries_dedup import _hex_to_int_sql
+from high_volume_market_data_pipeline_spark.registry import query
+
+# Word 8-grams for contamination: long enough that the synthetic vocab only
+# collides on genuinely shared passages (trigram shingles — the near-dup
+# default — would flag almost every doc pair from a small vocabulary).
+_CONTAM_W = 8
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _shingle_sql(w: int) -> str:
+    """DuckDB twin of dedup.minhash.word_shingles(text, w) given ``t`` =
+    token array and ``norm`` = normalized text columns in scope."""
+    gram = " || ' ' || ".join(f"t[i+{off}]" for off in range(w))
+    return (
+        f"CASE WHEN len(t) < {w} THEN [norm] "
+        f"ELSE list_transform(range(1, len(t) - {w} + 2), i -> {gram}) END"
+    )
+
+
+_TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_SPLIT_BUCKET_SQL = (
+    _hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+)
+
+
+def _split_bucket(doc_id: F.Column) -> F.Column:
+    """Deterministic 0-99 bucket from md5 of the document id (first 8 hex
+    chars → int) — identical bytes, identical bucket, in any engine."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents
+    ), toks AS (
+      SELECT doc_id, source, norm,
+             string_split(norm, ' ') AS t FROM base
+    ), sh AS (
+      SELECT doc_id, source,
+             {_shingle_sql(_CONTAM_W)} AS shingles
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(list_distinct(shingles)) AS s
+      FROM sh WHERE source = 'src0'
+    ), train AS (
+      SELECT doc_id, source, unnest(list_distinct(shingles)) AS s
+      FROM sh WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, t.source, COUNT(*) AS n_shared
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id, t.source
+    ORDER BY t.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training documents sharing at least
+    one word 8-gram with the held-out benchmark set (source 'src0' stands
+    in for an eval suite). The benchmark side collapses to a DISTINCT
+    shingle set and BROADCASTS — eval suites are tiny next to a training
+    corpus, so the 100 TB side streams through a broadcast-hash semi
+    structure with no fact shuffle before the per-doc count. Docs shorter
+    than 8 words contribute their whole normalized text (same fallback as
+    word_shingles), so verbatim short-doc copies are still caught."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(F.col("text"), _CONTAM_W))
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "source", F.explode(grams).alias("s")
+    )
+    hit = broadcast_join(train, bench, train.s == bench.s)
+    return (
+        hit.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "hash_split_train_val",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_TOKC_SQL} AS tok,
+             n_chars
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split keyed on md5(doc_id) —
+    the split of a document never depends on partitioning, row order, or
+    cluster size, so re-runs and incremental appends land each doc in the
+    same split (the property `randomSplit` does NOT give you on a growing
+    table). Pure map-side: one narrow projection then a 3-group
+    aggregation; at 100 TB the only shuffle carries 3 partial rows per
+    task."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            token_count(F.col("text")).alias("tok"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "lang_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked
+    WHERE rk <= 20 ORDER BY lang, rk
+    """,
+)
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-quota sampling for dataset mixing: keep at most 20 docs
+    per language, chosen by md5(doc_id) rank — a deterministic uniform
+    draw (hash order is independent of doc content and arrival order).
+    This is how a mixing recipe caps an over-represented language without
+    an RNG: one shuffle on lang, per-partition heap via row_number, early
+    filter. Skewed languages (English at web scale) would salt the rank
+    into sub-quotas per salt — same pattern as operators/skew.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "token_budget_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKC_SQL} AS tok FROM documents
+    ), c AS (
+      SELECT doc_id, source, tok,
+             SUM(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR((cum - tok) / 512.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+)
+def token_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard planning: pack each source's documents (in
+    doc_id order) into ~512-token chunks by exclusive running sum — the
+    deterministic greedy packing a tokenize-and-shard job uses to emit
+    fixed-budget training shards. Parallel by construction: the cumulative
+    sum partitions on source, so no global single-partition window; at
+    100 TB the unit would be (source, day) files with the same shape.
+    Integer token counts make the running sum engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    chunk = F.floor((F.col("cum") - F.col("tok")) / F.lit(512.0)).cast("long")
+    return (
+        c.withColumn("chunk_id", chunk)
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "chunk_id")
+    )

@@ -124,3 +124,35 @@ def test_q13_left_outer_two_phase(spark):
     plan = _plan(spark, "customer_order_distribution_q13")
     assert "LeftOuter" in plan or "RightOuter" in plan, plan
     assert _shuffles(plan) <= 4
+
+
+def test_q9_broadcasts_all_dims(spark):
+    """Q9 profit: part (LIKE-filtered), supplier, nation all broadcast —
+    the fact shuffles only for the orders join + aggregation + sort; no
+    nested-loop joins anywhere."""
+    plan = _plan(spark, "product_type_profit_q9")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_window_reuses_join_partitioning(spark):
+    """Q21 waiting-supplier: the per-order window must reuse the
+    lineitem⋈orders join's hash partitioning on the order key — one fact
+    shuffle feeds both, never a second Exchange between join and window."""
+    plan = _plan(spark, "waiting_supplier_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join (≤2 exchanges) + s_name agg + top-K; a join→window re-shuffle
+    # would push this past 4.
+    assert _shuffles(plan) <= 4
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """Contamination screen: the benchmark shingle set must broadcast —
+    the training corpus never shuffles for the probe join (only the
+    benchmark-side distinct and the final per-doc count exchange)."""
+    plan = _plan(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
