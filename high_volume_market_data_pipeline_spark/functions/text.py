@@ -98,7 +98,9 @@ def lang_id(text: Column) -> Column:
 
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # Collapse THEN trim: trim only strips spaces, so edge tabs/newlines
+    # must become spaces first or "a\n" and "a" normalize differently.
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 def fingerprint(text: Column) -> Column:

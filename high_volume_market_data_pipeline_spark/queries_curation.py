@@ -27,7 +27,7 @@ from high_volume_market_data_pipeline_spark.registry import query
 # default — would flag almost every doc pair from a small vocabulary).
 _CONTAM_W = 8
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def _shingle_sql(w: int) -> str:

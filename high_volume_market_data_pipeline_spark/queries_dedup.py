@@ -26,7 +26,7 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
 from high_volume_market_data_pipeline_spark.dedup.simhash import BITS
 from high_volume_market_data_pipeline_spark.registry import query
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 @query(

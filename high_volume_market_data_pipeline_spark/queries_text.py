@@ -120,7 +120,7 @@ def doc_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     ORDER BY doc_id
     """,

@@ -163,3 +163,66 @@ def test_floor_micro_unit_price_is_cross_engine_deterministic(spark):
         ).collect()
     ]
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab c\t\n",  # tiny vocab → repeated tokens, odd whitespace
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_word_shingles_matches_python_reference(spark, texts, w):
+    """word_shingles (bind_once expression shape) ≡ a plain Python
+    re-implementation: normalize → split → w-grams, whole-normalized-text
+    fallback for short docs. Guards the CSE rewrite against semantic
+    drift on whitespace/empty edge cases."""
+    import re as _re
+
+    from high_volume_market_data_pipeline_spark.dedup.minhash import (
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", word_shingles(F.col("t"), w).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        norm = _re.sub(r"\s+", " ", t.lower()).strip(" ")
+        toks = norm.split(" ")
+        if len(toks) < w:
+            expected = [norm]
+        else:
+            expected = [
+                " ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)
+            ]
+        assert got[i] == expected, (t, w, got[i], expected)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=25))
+def test_split_bucket_matches_python_md5(spark, ids):
+    """The md5 split bucket (first 8 hex chars → int % 100) is engine-
+    independent: Spark's conv(substring(md5)) equals Python's hashlib on
+    the decimal-string bytes of the id."""
+    import hashlib
+
+    from high_volume_market_data_pipeline_spark.queries_curation import (
+        _split_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", _split_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    for i in set(ids):
+        expected = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert got[i] == expected, (i, got[i], expected)
