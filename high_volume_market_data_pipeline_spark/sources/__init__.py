@@ -2,7 +2,9 @@
 
 from high_volume_market_data_pipeline_spark.sources.readers import (
     json_strings_to_df,
+    read_csv,
     read_json,
+    read_orc,
     read_parquet,
     rows_to_df,
 )
@@ -13,7 +15,9 @@ from high_volume_market_data_pipeline_spark.sources.generator import (
 __all__ = [
     "generate_market_data",
     "json_strings_to_df",
+    "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "rows_to_df",
 ]

@@ -82,3 +82,37 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV scan with an explicit schema (inference would add a full extra
+    pass over the files — never at scale). With ``corrupt_col``, malformed
+    lines surface with their raw text in that column (PERMISSIVE +
+    columnNameOfCorruptRecord, same dead-letter contract as
+    json_strings_to_df) instead of silently nulling."""
+    from pyspark.sql.types import StringType
+
+    reader = spark.read.option("header", str(header).lower())
+    if corrupt_col:
+        widened = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType(), True)]
+        )
+        return (
+            reader.schema(widened)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .csv(path)
+        )
+    return reader.schema(schema).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC table scan — same pruning/pushdown contract as parquet (both
+    are columnar; Catalyst pushes filters and prunes columns either way)."""
+    return spark.read.orc(path)

@@ -108,3 +108,47 @@ def test_json_strings_corrupt_capture(spark):
     assert got[1] == ("ok", None)
     assert got[2] == (None, None)  # valid JSON, missing field → null field
     assert got[None][1] == "{not json at all"  # malformed → captured raw
+
+
+def test_read_csv_schema_and_dead_letter(spark, tmp_path):
+    """CSV scan: explicit schema (no inference pass), malformed lines
+    captured raw in the corrupt column instead of silently nulled."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from high_volume_market_data_pipeline_spark.sources.readers import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,ok\nnot_a_number,bad\n2,fine\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_csv(spark, str(p), schema, corrupt_col="_corrupt")
+    rows = df.collect()
+    good = {r["id"]: r["name"] for r in rows if r["_corrupt"] is None}
+    bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
+    assert good == {1: "ok", 2: "fine"}
+    assert bad == ["not_a_number,bad"]
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC write (K1 with fmt='orc') → read_orc roundtrip preserves rows
+    and hive-partition layout."""
+    from high_volume_market_data_pipeline_spark.sinks.writers import (
+        write_partitioned_overwrite,
+    )
+    from high_volume_market_data_pipeline_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], "id long, v string, day string"
+    )
+    out = str(tmp_path / "orc_tbl")
+    write_partitioned_overwrite(df, out, "day", fmt="orc")
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("day=")
+    ) == ["day=d1", "day=d2"]
+    back = read_orc(spark, out)
+    assert {(r["id"], r["v"], r["day"]) for r in back.collect()} == {
+        (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"),
+    }
