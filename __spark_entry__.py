@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _TAIL = [
     # oracle-backed but operator-redundant with head entries
     "top1_order_by_price",          # O2 ⊂ top10_orders_by_price
+    "running_user_value",           # rows-unbounded-preceding cumsum frame ⊂
+                                    # gapfill_nation_daily_revenue forward fill
+    "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status
     "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
     "distinct_order_priorities",    # A2 distinct ⊂ exact_dedup_documents
     "lang_quota_sample",            # row_number quota ⊂ user_peak_event window

@@ -476,3 +476,4 @@ from high_volume_market_data_pipeline_spark import queries_analytics  # noqa: E4
 from high_volume_market_data_pipeline_spark import queries_sql  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_history  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_curation  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_timeseries  # noqa: E402,F401

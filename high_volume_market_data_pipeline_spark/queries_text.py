@@ -117,6 +117,88 @@ def doc_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(u.t) AS token
+      FROM documents, unnest({_TOKS_SQL}) AS u(t)
+      WHERE length(u.t) >= 3 AND NOT list_contains({_SW_SQL}, lower(u.t))
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tfidf, rnk AS term_rank
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+                        DESC, tf.token
+             ) AS rnk
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic corpus-statistics
+    operator (keyword extraction, relevance features for curation).
+
+    Shape at scale: tokenize+explode is map-side; tf is one shuffle on
+    (doc_id, token); df derives from tf with a token-only shuffle whose
+    output is the VOCABULARY (sublinear in corpus size) — broadcast back
+    onto tf, so the per-doc ranking window re-uses the tf partitioning.
+    The corpus size joins in as a broadcast one-row frame, never a
+    driver-side collect. Ranking orders by the ROUNDED score (then token)
+    so cross-engine double ulps cannot flip ranks.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.explode(F.split(F.trim("text"), r"\s+")).alias("raw")
+    toks = (
+        docs.select("doc_id", raw)
+        .filter(
+            (F.length("raw") >= 3) & ~F.lower("raw").isin(*sorted(STOPWORDS))
+        )
+        .select("doc_id", F.lower("raw").alias("token"))
+    )
+    # tf feeds both the df derivation and the scored join — persist so the
+    # tokenize+explode+shuffle pipeline runs once.
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,

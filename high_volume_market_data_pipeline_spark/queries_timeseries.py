@@ -1,0 +1,94 @@
+"""Time-series gap-fill queries (driver north-star extension).
+
+The reference's hypertable surface (rollups over time buckets) stops at
+SPARSE aggregates; a downstream consumer (forecasting, feature windows)
+needs DENSE series. `gapfill_nation_daily_revenue` is the canonical shape:
+sparse big-order revenue per nation-day → calendar spine → forward fill.
+
+Determinism notes (driver value-hash gate): revenue goes through the exact
+decimal sum (`dsum`) before the double cast; the spine is integer date
+arithmetic; the forward-fill window frame is ROWS UNBOUNDED PRECEDING with
+a total (key, day) order — all bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.operators.joins import (
+    broadcast_join,
+    equi_join,
+)
+from high_volume_market_data_pipeline_spark.operators.aggregates import grouped_agg
+from high_volume_market_data_pipeline_spark.operators.timeseries import gapfill_daily
+from high_volume_market_data_pipeline_spark.registry import dsum, dsum_sql, query
+
+
+@query(
+    "gapfill_nation_daily_revenue",
+    oracle=f"""
+    WITH f AS (
+      SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_totalprice > 400000
+    ), a AS (
+      SELECT nation, day, {dsum_sql("o_totalprice")} AS revenue
+      FROM f GROUP BY 1, 2
+    ), b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM a),
+    k AS (SELECT DISTINCT nation FROM a),
+    spine AS (
+      SELECT nation, CAST(u AS DATE) AS day
+      FROM k, b,
+           unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS s(u)
+    )
+    SELECT spine.nation, spine.day,
+           COALESCE(last_value(a.revenue IGNORE NULLS) OVER (
+             PARTITION BY spine.nation ORDER BY spine.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS revenue,
+           CAST(a.revenue IS NULL AS INT) AS is_gap
+    FROM spine LEFT JOIN a ON spine.nation = a.nation AND spine.day = a.day
+    ORDER BY spine.nation, spine.day
+    """,
+)
+def gapfill_nation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: sparse daily big-order revenue per nation →
+    dense calendar series, gaps carried forward (0.0 before the first
+    observation), spine-only days flagged.
+
+    The selective filter runs before any join (pushed to the scan); nation
+    is a broadcast dim; the spine/fill machinery (operators/timeseries.py)
+    touches only the post-aggregation frame — keys × days, not fact rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = equi_join(orders, cust, orders.o_custkey == cust.c_custkey)
+    j = broadcast_join(j, nation, F.col("c_nationkey") == nation.n_nationkey)
+    sparse = grouped_agg(
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.to_date("o_orderdate").alias("day"),
+            "o_totalprice",
+        ),
+        ["nation", "day"],
+        [dsum(F.col("o_totalprice")).alias("revenue")],
+    )
+    dense = gapfill_daily(
+        sparse,
+        key_col="nation",
+        day_col="day",
+        value_col="revenue",
+        default=F.lit(0.0),
+        gap_flag_col="is_gap",
+    )
+    return dense.select("nation", "day", "revenue", "is_gap").orderBy(
+        "nation", "day"
+    )
