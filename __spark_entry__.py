@@ -42,6 +42,10 @@ _TAIL = [
                                     # gapfill_nation_daily_revenue forward fill
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status
     "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
+    "daily_event_profile",          # date-bucket agg ⊂ hypertable_rollup grains
+    "pii_redact_documents",         # no PII in synthetic corpus ⇒ identity
+                                    # values; real-PII behavior pinned in
+                                    # tests (regex parity still hash-gated)
     "distinct_order_priorities",    # A2 distinct ⊂ exact_dedup_documents
     "lang_quota_sample",            # row_number quota ⊂ user_peak_event window
     "token_budget_chunks",          # cumsum window ⊂ running_user_value + agg

@@ -96,6 +96,38 @@ def lang_id(text: Column) -> Column:
     return F.greatest(*scored).getField("lang")
 
 
+# PII scrub patterns — restricted to syntax that parses identically in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, leftmost-greedy
+# on these shapes is the same match set in both engines. Order matters:
+# URLs first (an email inside a URL must redact as part of the URL), then
+# emails, then phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\s-]{6,}[0-9]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs / emails / phone-like runs with ``<KIND>`` tokens.
+    Pure chained regexp_replace — scan-stage codegen, no shuffle, and a
+    bit-identical SQL twin (regexp_replace(..., 'g') in DuckDB)."""
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Total count of PII matches in the ORIGINAL text (counts are
+    per-pattern on the unredacted input, so an email inside a URL counts
+    under both — the redacted text is what dedups overlaps)."""
+    total = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        total = total + F.regexp_count(text, F.lit(pat))
+    return total
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     # Collapse THEN trim: trim only strips spaces, so edge tabs/newlines

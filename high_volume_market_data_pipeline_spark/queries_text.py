@@ -14,12 +14,15 @@ from pyspark.sql import functions as F
 from high_volume_market_data_pipeline_spark.catalog import load_table
 from high_volume_market_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
     STOPWORDS,
     bpe_ish_token_count,
     fingerprint,
     lang_id,
+    pii_counts,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_count,
     token_count,
 )
@@ -196,6 +199,115 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
         .orderBy("doc_id", "term_rank")
     )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           floor(len(list_distinct(toks)) * 1000000.0 / n) / 1000000.0
+             AS distinct_ratio,
+           floor(list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) * 1000000.0 / n)
+             / 1000000.0 AS top_token_share,
+           CASE WHEN n >= 2 THEN
+             floor((len(bg) - len(list_distinct(bg))) * 1000000.0
+                   / len(bg)) / 1000000.0
+           ELSE 0.0 END AS bigram_rep_ratio
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: distinct-token ratio, most-frequent
+    token share, repeated-adjacent-bigram fraction — the boilerplate/spam
+    detectors a curation gate runs before training.
+
+    All pure array expressions on the scan stage (zero shuffles, zero
+    Python); per-row cost is O(tokens · distinct-tokens), bounded by doc
+    length, embarrassingly parallel at 100 TB. Ratios use the
+    floor(x*1e6/n)/1e6 form: token counts are often powers of two, where
+    ROUND(x/n, 6) lands on exact decimal halfway points and Spark (HALF_UP)
+    and DuckDB disagree — floor over the identical IEEE division is
+    bit-deterministic (see NOTES.md determinism rules).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda y: y == t)),
+        )
+    )
+    # element_at is 1-indexed — mirrors DuckDB's toks[i].
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    n_bg = F.size(bg)
+    rep_bg = n_bg - F.size(F.array_distinct(bg))
+
+    def _ratio6(num, den):
+        return F.floor(num * F.lit(1000000.0) / den) / F.lit(1000000.0)
+
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            nd.alias("n_distinct"),
+            _ratio6(nd, n).alias("distinct_ratio"),
+            _ratio6(top_cnt, n).alias("top_token_share"),
+            F.when(n >= 2, _ratio6(rep_bg, n_bg))
+            .otherwise(F.lit(0.0))
+            .alias("bigram_rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_redact_sql() -> str:
+    expr = "text"
+    for kind, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    return f"{expr} AS redacted, {counts} AS n_redactions"
+
+
+@query(
+    "pii_redact_documents",
+    oracle=f"""
+    SELECT doc_id, {_pii_redact_sql()}
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: URLs / emails / phone-like runs → ``<KIND>`` tokens,
+    plus a per-doc match count. Chained regexp_replace in scan-stage codegen
+    — the shape of every large-scale scrubbing pass (the synthetic corpus
+    contains no PII, so the value-hash gate here pins the stronger property
+    that the regexes alter NOTHING they shouldn't; real-PII behavior is
+    pinned by tests/test_analytics.py::test_pii_redaction_on_pii_text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_counts(F.col("text")).alias("n_redactions"),
+    ).orderBy("doc_id")
 
 
 @query(

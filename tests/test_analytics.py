@@ -86,3 +86,80 @@ def test_approx_percentiles_rank_accuracy(spark):
             assert abs(rank_frac - q) <= 1 / 10_000 + 1.5 / n, (
                 et, q, a, rank_frac, n,
             )
+
+
+def test_pii_redaction_on_pii_text(spark):
+    """The synthetic corpus has no PII, so the registered query only pins
+    the no-false-positive property; THIS pins actual redaction — and that
+    Spark (Java regex) and DuckDB (RE2) agree on real PII text."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from high_volume_market_data_pipeline_spark.queries_text import (
+        pii_redact_documents,
+    )
+    from high_volume_market_data_pipeline_spark.queries import ORACLE_SQL
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call +1 (415) 555-0199 now",
+         "en", "s", 60),
+        (1, "see https://ex.com/a?b=c#d and mail root@ex.org", "en", "s", 46),
+        (2, "no pii here just words", "en", "s", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["doc_id"]: r for r in pii_redact_documents(spark, tmp).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp, 'documents.parquet')}/*.parquet')"
+        )
+        oracle = con.execute(ORACLE_SQL["pii_redact_documents"]).df()
+
+    assert got[0]["redacted"] == "contact <EMAIL> or call <PHONE> now"
+    assert got[0]["n_redactions"] == 2
+    assert got[1]["redacted"] == "see <URL> and mail <EMAIL>"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["redacted"] == rows[2][1]
+    assert got[2]["n_redactions"] == 0
+    # Cross-engine: DuckDB's RE2 must produce byte-identical redactions.
+    for _, orow in oracle.iterrows():
+        srow = got[orow["doc_id"]]
+        assert srow["redacted"] == orow["redacted"], orow["doc_id"]
+        assert srow["n_redactions"] == orow["n_redactions"]
+
+
+def test_repetition_stats_flag_boilerplate(spark):
+    """A doc that is one phrase repeated must score high bigram repetition
+    and low distinct ratio; a all-distinct doc scores 1.0 / 0.0."""
+    import os
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.queries_text import (
+        doc_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now", "en", "s", 31),
+            (1, "all tokens here are fully unique", "en", "s", 32),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r for r in doc_repetition_stats(spark, tmp).collect()}
+    rep = out[0]
+    assert rep["n_tokens"] == 8 and rep["n_distinct"] == 2
+    assert rep["distinct_ratio"] == 0.25
+    assert rep["top_token_share"] == 0.5
+    # 7 bigrams, 2 distinct ("buy now", "now buy") -> 5/7 repeated
+    assert abs(rep["bigram_rep_ratio"] - 5 / 7) < 1e-6
+    uniq = out[1]
+    assert uniq["distinct_ratio"] == 1.0
+    assert uniq["bigram_rep_ratio"] == 0.0
