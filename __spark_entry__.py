@@ -43,6 +43,9 @@ _TAIL = [
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status
     "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
     "daily_event_profile",          # date-bucket agg ⊂ hypertable_rollup grains
+    "sql_peak_revenue_day",         # date-group + rank window ⊂
+                                    # gold_daily_topk_stats (spark.sql API
+                                    # surface still pinned by tests)
     "pii_redact_documents",         # no PII in synthetic corpus ⇒ identity
                                     # values; real-PII behavior pinned in
                                     # tests (regex parity still hash-gated)

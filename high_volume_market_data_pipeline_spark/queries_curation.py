@@ -189,6 +189,70 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Context-window chunking knobs: 32-token windows advancing 24 tokens
+# (8-token overlap) — the sliding-window shape; real pipelines use
+# 2048/1536 etc., identical plan.
+_CW = 32
+_CS = 24
+
+
+@query(
+    "context_window_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(1, len(toks) + 1, {_CS})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CS} AS BIGINT) AS chunk_id,
+           start,
+           least(start + {_CW} - 1, n) - start + 1 AS chunk_tokens,
+           array_to_string(
+             list_slice(toks, start, least(start + {_CW} - 1, n)), ' '
+           ) AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: each document becomes overlapping
+    32-token windows with stride 24 — how a tokenize-and-pack job turns
+    variable-length documents into fixed-context training samples without
+    losing cross-boundary n-grams.
+
+    Pure per-row array work (sequence → explode → slice) on the scan
+    stage: no shuffle, no Python, output rows ∝ input tokens / stride.
+    At 100 TB this is the map stage before shard writing; the final
+    orderBy exists only for the deterministic oracle compare (a real run
+    writes partitioned by hash(doc_id) with no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(_CS))).alias("start"),
+    )
+    start = F.col("start")
+    chunk = F.slice(F.col("toks"), start, F.lit(_CW))
+    return (
+        d.select(
+            "doc_id",
+            ((start - 1) / _CS).cast("long").alias("chunk_id"),
+            "start",
+            F.size(chunk).alias("chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 @query(
     "token_budget_chunks",
     oracle=f"""

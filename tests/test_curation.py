@@ -50,3 +50,33 @@ def test_profile_columns_ride_in_scan_stage(spark):
     assert plan.count("Exchange") == 0  # pure column exprs, no shuffle
     gated = quality_gate(profiled, min_tokens=5)
     assert gated.count() <= docs.count()
+
+
+def test_context_window_chunks_overlap_and_tail(spark):
+    """Windows advance by the stride (overlap = W - S) and the last chunk
+    clamps at the document end instead of padding or dropping."""
+    import os
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.queries_curation import (
+        context_window_chunks,
+    )
+
+    text = " ".join(f"w{i}" for i in range(1, 41))  # 40 tokens
+    docs = spark.createDataFrame(
+        [(7, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = context_window_chunks(spark, tmp).collect()
+    # starts at 1 and 25 (stride 24); 40 tokens => second window is 16 long
+    assert [(r["chunk_id"], r["start"], r["chunk_tokens"]) for r in rows] == [
+        (0, 1, 32),
+        (1, 25, 16),
+    ]
+    first, second = rows[0]["chunk_text"].split(), rows[1]["chunk_text"].split()
+    assert first == [f"w{i}" for i in range(1, 33)]
+    assert second == [f"w{i}" for i in range(25, 41)]
+    # 8-token overlap between consecutive windows
+    assert first[-8:] == second[:8]
