@@ -58,6 +58,9 @@ _TAIL = [
     "sessionize_events_batch",      # batch twin of stream_session_windows
     "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)
     "user_event_type_sets",         # collect_set; array surface in knn/minhash
+    "label_centroid_embeddings",    # array<double> output — driver-hash
+                                    # behavior on array cells unobserved, so
+                                    # tail-only; oracle-verified locally
     "stream_dedup_events",          # no-dup testdata ⇒ identity end state;
                                     # dropDuplicatesWithinWatermark pinned in
                                     # tests/test_streaming.py with real dupes

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from high_volume_market_data_pipeline_spark.catalog import load_table
 from high_volume_market_data_pipeline_spark.dedup import embedding_near_dup_pairs
+from high_volume_market_data_pipeline_spark.functions.vectors import as_double
 from high_volume_market_data_pipeline_spark.registry import query
 from high_volume_market_data_pipeline_spark.similarity import (
     brute_force_knn,
@@ -151,3 +152,65 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_knn(q, emb, k=_K)
     exact = brute_force_knn(q, emb, k=_K)
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
+
+
+@query(
+    "label_centroid_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), p AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(floor(v * 10000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 10000000.0 AS m,
+             COUNT(*) AS cnt
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           MAX(cnt) AS n_vecs,
+           list(m ORDER BY pos) AS centroid
+    FROM p GROUP BY label ORDER BY label
+    """,
+)
+def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise vector centroid: element-wise mean embedding per label —
+    the class-prototype reduce behind nearest-centroid classification,
+    IVF seeding, and per-domain drift monitoring.
+
+    posexplode → (label, pos) partial+final aggregation → one re-group to
+    reassemble the array. Shuffle volume is |labels|·dim per map partition
+    after partial agg (tiny); the dim-fold never touches Python.
+
+    Determinism: elements are floor-quantized to 1e-7 BEFORE the sum, so
+    the cross-row aggregation is exact integer math (summation-order
+    independent) — registry.dsum's decimal trick does not transfer here
+    because float32-derived doubles don't round-trip a DECIMAL(38,s) cast
+    identically across engines (observed 1-ulp scale-12 divergence), while
+    floor of the bit-identical product v*1e7 has no rounding mode at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    per = e.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * 10000000.0)).cast("double")
+            / F.count("*")
+            / F.lit(10000000.0)
+        ).alias("m"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

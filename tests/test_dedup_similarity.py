@@ -99,3 +99,30 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_label_centroid_exact_mean(spark):
+    """Centroid = element-wise mean at 1e-7 quantization, arrays ordered by
+    dimension; one row per label."""
+    import os
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.queries_similarity import (
+        label_centroid_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], 0),
+            (2, [3.0, 4.0, 5.0], 0),
+            (3, [10.0, 0.0, -2.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        rows = label_centroid_embeddings(spark, tmp).collect()
+    by_label = {r["label"]: r for r in rows}
+    assert by_label[0]["n_vecs"] == 2 and by_label[1]["n_vecs"] == 1
+    assert by_label[0]["centroid"] == [2.0, 3.0, 4.0]
+    assert by_label[1]["centroid"] == [10.0, 0.0, -2.0]
