@@ -33,15 +33,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (S7: spark.read.parquet).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf) and
-    truncate to micros engine-side, matching DuckDB's NANOS→TIMESTAMP
-    truncation so oracle comparisons agree.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) (vectorized reader rejects it → read
+    nanos-as-long and truncate to micros) and TIMESTAMP(MICROS) without
+    isAdjustedToUTC (Spark reads TIMESTAMP_NTZ, which disallows long casts
+    and differs from every downstream operator's LTZ assumption). Both are
+    normalized here to a session-TZ (UTC) TimestampType so operators and
+    DuckDB oracles agree; keep the normalization at read time, not in the
+    session config.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
