@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _TAIL = [
     # oracle-backed but operator-redundant with head entries
     "top1_order_by_price",          # O2 ⊂ top10_orders_by_price
+    "customer_order_revenue",       # equi-join+agg ⊂ returned_top_customers_q10
+    "forecast_revenue_q6",          # filter+agg ⊂ pricing_summary + Q3 predicates
     "running_user_value",           # rows-unbounded-preceding cumsum frame ⊂
                                     # gapfill_nation_daily_revenue forward fill
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status

@@ -39,6 +39,16 @@ from high_volume_market_data_pipeline_spark.operators.skew import (
     salted_grouped_agg,
     salted_join,
 )
+from high_volume_market_data_pipeline_spark.operators.setops import (
+    except_distinct,
+    intersect_distinct,
+)
+from high_volume_market_data_pipeline_spark.operators.sampling import (
+    group_cap_sample,
+    hash_bucket,
+    hash_rate_sample,
+    hash_split,
+)
 from high_volume_market_data_pipeline_spark.operators.layout import (
     compact_output,
     copartition_by,
@@ -48,6 +58,12 @@ from high_volume_market_data_pipeline_spark.operators.layout import (
 
 __all__ = [
     "anti_join",
+    "except_distinct",
+    "group_cap_sample",
+    "hash_bucket",
+    "hash_rate_sample",
+    "hash_split",
+    "intersect_distinct",
     "broadcast_join",
     "cross_join",
     "dedup_exact",

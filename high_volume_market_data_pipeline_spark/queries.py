@@ -27,6 +27,8 @@ from high_volume_market_data_pipeline_spark.operators import (
     dedup_keep_latest,
     distinct_values,
     equi_join,
+    except_distinct,
+    intersect_distinct,
     global_sort,
     grouped_agg,
     rank_top_k_per_group,
@@ -401,6 +403,41 @@ def union_high_low_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", F.lit("low").alias("bucket")
     )
     return global_sort(union_all(high, low), "event_id")
+
+
+@query(
+    "set_ops_user_cohorts",
+    oracle="""
+    WITH clickers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), purchasers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT 'click_and_purchase' AS cohort, COUNT(*) AS n_users
+    FROM (SELECT * FROM clickers INTERSECT SELECT * FROM purchasers)
+    UNION ALL
+    SELECT 'click_no_purchase' AS cohort, COUNT(*) AS n_users
+    FROM (SELECT * FROM clickers EXCEPT SELECT * FROM purchasers)
+    ORDER BY cohort
+    """,
+)
+def set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort sizing: users who both clicked and
+    purchased vs. clicked but never purchased. Set ops plan as distinct
+    aggregates feeding left-semi / left-anti hash joins on user_id — the
+    whole cohort computation stays distributed (one shuffle per distinct +
+    a keyed join), vs. collecting id sets to the driver. AQE broadcasts a
+    side that turns out small."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = intersect_distinct(clickers, purchasers).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit("click_and_purchase").alias("cohort"), "n_users")
+    only = except_distinct(clickers, purchasers).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit("click_no_purchase").alias("cohort"), "n_users")
+    return union_all(both, only).orderBy("cohort")
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from high_volume_market_data_pipeline_spark.catalog import load_table
 from high_volume_market_data_pipeline_spark.dedup.minhash import word_shingles
 from high_volume_market_data_pipeline_spark.functions.text import token_count
-from high_volume_market_data_pipeline_spark.operators import broadcast_join
+from high_volume_market_data_pipeline_spark.operators import (
+    broadcast_join,
+    group_cap_sample,
+    hash_rate_sample,
+    hash_split,
+)
 from high_volume_market_data_pipeline_spark.queries_dedup import _hex_to_int_sql
 from high_volume_market_data_pipeline_spark.registry import query
 
@@ -44,16 +49,6 @@ _TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
 _SPLIT_BUCKET_SQL = (
     _hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))") + " % 100"
 )
-
-
-def _split_bucket(doc_id: F.Column) -> F.Column:
-    """Deterministic 0-99 bucket from md5 of the document id (first 8 hex
-    chars → int) — identical bytes, identical bucket, in any engine."""
-    return (
-        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
 
 
 @query(
@@ -135,13 +130,12 @@ def hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; at 100 TB the only shuffle carries 3 partial rows per
     task."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = _split_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    labelled = hash_split(
+        docs, "doc_id", {"train": 90, "val": 5, "test": 5}
     )
     return (
-        docs.select(
-            split.alias("split"),
+        labelled.select(
+            "split",
             token_count(F.col("text")).alias("tok"),
             "n_chars",
         )
@@ -179,13 +173,45 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. Skewed languages (English at web scale) would salt the rank
     into sub-quotas per salt — same pattern as operators/skew.py."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
+        group_cap_sample(docs.select("doc_id", "lang"), ["lang"], "doc_id", 20)
+        .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
+    )
+
+
+# Stratified retention rates (percent) for the language-mixing sample:
+# downweight the dominant language, keep nearly all of the rare ones.
+_MIX_RATES = {"en": 25, "de": 60, "es": 70, "fr": 70, "zh": 90}
+_MIX_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "stratified_lang_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100
+          < {_MIX_RATE_SQL}
+    ORDER BY doc_id
+    """,
+)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rate sampling for language mixing: each language keeps a
+    different fraction of its documents (en 25% … zh 90%), decided by
+    md5(doc_id) bucket — no RNG, so membership is stable across re-runs,
+    engines, and table growth. Entirely map-side: the filter rides the
+    parquet scan (no shuffle at any scale); contrast lang_quota_sample,
+    which needs a per-language shuffle to enforce an absolute cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_rate_sample(docs, "doc_id", _MIX_RATES, stratum="lang")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
 
 

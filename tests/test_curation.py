@@ -80,3 +80,74 @@ def test_context_window_chunks_overlap_and_tail(spark):
     assert second == [f"w{i}" for i in range(25, 41)]
     # 8-token overlap between consecutive windows
     assert first[-8:] == second[:8]
+
+
+def test_hash_rate_sample_is_stable_and_map_side(spark):
+    """Membership is a pure function of the key — independent of row order,
+    partitioning, and the rest of the table — and the plan has no shuffle."""
+    from high_volume_market_data_pipeline_spark.operators import (
+        hash_rate_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"en": 25, "de": 60, "es": 70, "fr": 70, "zh": 90}
+    kept = hash_rate_sample(docs, "doc_id", rates, stratum="lang")
+    ids = {r[0] for r in kept.select("doc_id").collect()}
+    # Repartitioned + subsetted input keeps exactly the same members.
+    shuffled = docs.filter(F.col("doc_id") % 3 == 0).repartition(7)
+    ids_sub = {
+        r[0]
+        for r in hash_rate_sample(shuffled, "doc_id", rates, stratum="lang")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_sub == {i for i in ids if i % 3 == 0}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # filter rides the scan
+
+
+def test_group_cap_sample_enforces_cap(spark):
+    from high_volume_market_data_pipeline_spark.operators import (
+        group_cap_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    capped = group_cap_sample(docs, ["lang"], "doc_id", 7)
+    per_lang = capped.groupBy("lang").count().collect()
+    assert all(r["count"] <= 7 for r in per_lang)
+    # Groups with >= 7 docs fill the cap exactly.
+    big = {
+        r["lang"]
+        for r in docs.groupBy("lang").count().filter("count >= 7").collect()
+    }
+    assert {r["lang"] for r in per_lang if r["count"] == 7} == big
+
+
+def test_hash_split_fractions_and_validation(spark):
+    import pytest
+
+    from high_volume_market_data_pipeline_spark.operators import hash_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    labelled = hash_split(docs, "doc_id", {"train": 90, "val": 5, "test": 5})
+    counts = dict(
+        (r["split"], r["count"])
+        for r in labelled.groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"] + counts["test"]
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 50, "val": 10})
+
+
+def test_set_ops_match_python_sets(spark):
+    from high_volume_market_data_pipeline_spark.operators import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    a = spark.createDataFrame([(i,) for i in [1, 2, 2, 3, 5]], "v long")
+    b = spark.createDataFrame([(i,) for i in [2, 3, 4]], "v long")
+    assert {r[0] for r in intersect_distinct(a, b).collect()} == {2, 3}
+    assert {r[0] for r in except_distinct(a, b).collect()} == {1, 5}

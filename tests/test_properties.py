@@ -214,14 +214,14 @@ def test_split_bucket_matches_python_md5(spark, ids):
     the decimal-string bytes of the id."""
     import hashlib
 
-    from high_volume_market_data_pipeline_spark.queries_curation import (
-        _split_bucket,
+    from high_volume_market_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
     )
 
     df = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
     got = {
         r["doc_id"]: r["b"]
-        for r in df.select("doc_id", _split_bucket(F.col("doc_id")).alias("b")).collect()
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
     }
     for i in set(ids):
         expected = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
