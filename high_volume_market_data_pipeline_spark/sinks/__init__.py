@@ -10,6 +10,7 @@ from high_volume_market_data_pipeline_spark.sinks.writers import (
     write_partition_scoped_overwrite,
     write_partitioned_overwrite,
     write_single_csv,
+    write_training_shards,
 )
 from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
 from high_volume_market_data_pipeline_spark.sinks.bucketed import (
@@ -31,5 +32,6 @@ __all__ = [
     "write_partition_scoped_overwrite",
     "write_partitioned_overwrite",
     "write_single_csv",
+    "write_training_shards",
     "zorder_cluster",
 ]

@@ -14,6 +14,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_overwrite(
@@ -70,3 +71,35 @@ def write_single_csv(
     part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
     shutil.copy(part, path)
     shutil.rmtree(tmp)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int,
+    order_within_shard: str | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Deterministic shard export for training data: rows land in shard
+    ``pmod(hash(key), n_shards)`` regardless of input partitioning, so a
+    re-run (or a resumed job) produces byte-stable shard membership — the
+    property a data-loader checkpoint depends on.
+
+    Plan shape: one hash repartition on the shard id (`repartition(n, col)`
+    — rows with equal shard id colocate, one output task per shard), an
+    optional within-partition sort (NOT a global orderBy: sortWithinPartitions
+    adds no exchange, and loaders that stream a shard sequentially get
+    locality e.g. by source or doc length), and ``maxRecordsPerFile`` to
+    bound individual file sizes without another shuffle. At 100 TB the same
+    call with n_shards ~ tens of thousands yields loader-sized files with
+    no driver-side involvement."""
+    shard = F.pmod(F.hash(F.col(key)), F.lit(n_shards)).alias("shard")
+    out = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    if order_within_shard is not None:
+        out = out.sortWithinPartitions(order_within_shard)
+    writer = out.write.mode("overwrite").partitionBy("shard").format(fmt)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)

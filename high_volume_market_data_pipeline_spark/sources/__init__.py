@@ -2,6 +2,7 @@
 
 from high_volume_market_data_pipeline_spark.sources.readers import (
     json_strings_to_df,
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
@@ -15,6 +16,7 @@ from high_volume_market_data_pipeline_spark.sources.generator import (
 __all__ = [
     "generate_market_data",
     "json_strings_to_df",
+    "read_binary_files",
     "read_csv",
     "read_json",
     "read_orc",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
@@ -116,3 +117,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC table scan — same pruning/pushdown contract as parquet (both
     are columnar; Catalyst pushes filters and prunes columns either way)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content binary) —
+    the scan that feeds the multimodal pipeline (multimodal/binary_ops
+    expects exactly this opaque-binary + metadata shape).
+
+    Scale notes: ``length``/``path``/``modificationTime`` come from file
+    STATUS, so metadata-only queries (count, size histograms, partitioning
+    decisions) never read payload bytes — project without ``content`` and
+    the scan skips the data entirely. ``max_bytes`` pushes a length filter
+    into the source (pathGlobFilter/maxFileSize-style pruning) so oversized
+    assets are excluded before any byte is fetched; each file must still fit
+    in one row (~2 GB JVM array ceiling) — chunk bigger objects upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -42,3 +42,36 @@ def test_decode_image_is_gated(spark):
     assets = to_binary_assets(load_table(spark, SF_DIR, "documents"))
     with pytest.raises(NotImplementedError, match="mapInPandas plumbing"):
         decode_image(assets)
+
+
+def test_binary_file_source_feeds_byte_features(spark, tmp_path):
+    """binaryFile scan → multimodal pipeline end to end: per-file rows with
+    opaque content, glob + size pushdown, and the features UDF consuming
+    the scan's output directly."""
+    from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
+        byte_features,
+    )
+    from high_volume_market_data_pipeline_spark.sources import (
+        read_binary_files,
+    )
+
+    blobs = {"a.img": b"\x01payload-a\x7f", "b.img": b"\x02pb\x7e",
+             "skip.txt": b"not-an-image", "big.img": b"x" * 4096}
+    for name, blob in blobs.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img", max_bytes=1024)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # glob and size filter applied
+    assert bytes(rows["a.img"]["content"]) == blobs["a.img"]
+    assert rows["b.img"]["length"] == len(blobs["b.img"])
+
+    assets = df.select(
+        F.xxhash64("path").alias("asset_id"), "content"
+    )
+    feats = {
+        r["n_bytes"]: (r["first_byte"], r["last_byte"])
+        for r in byte_features(assets).collect()
+    }
+    assert feats == {len(blobs["a.img"]): (0x01, 0x7F),
+                     len(blobs["b.img"]): (0x02, 0x7E)}

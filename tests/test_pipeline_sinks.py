@@ -154,3 +154,39 @@ def test_gold_empty_silver_guard(spark, tmp_path):
     gold = run_gold(spark, paths)
     assert gold.count() == 0
     assert spark.read.parquet(paths.gold).count() == 0
+
+
+def test_write_training_shards_deterministic_membership(spark, tmp_path):
+    """Shard id is a pure function of the key: re-writing from a different
+    input partitioning yields identical per-shard membership, every shard
+    directory exists, and maxRecordsPerFile bounds file row counts."""
+    import glob as _glob
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.sinks import (
+        write_training_shards,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    p1, p2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    write_training_shards(
+        docs, p1, key="doc_id", n_shards=8,
+        order_within_shard="source", max_records_per_file=25,
+    )
+    write_training_shards(
+        docs.repartition(13).sortWithinPartitions("source"), p2,
+        key="doc_id", n_shards=8,
+    )
+
+    r1 = spark.read.parquet(p1).select("shard", "doc_id")
+    r2 = spark.read.parquet(p2).select("shard", "doc_id")
+    m1 = {(r["shard"], r["doc_id"]) for r in r1.collect()}
+    m2 = {(r["shard"], r["doc_id"]) for r in r2.collect()}
+    assert m1 == m2
+    assert len(m1) == docs.count()
+    assert {s for s, _ in m1} == set(range(8))
+    # maxRecordsPerFile honored per physical file
+    for f in _glob.glob(p1 + "/shard=*/part-*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 25
