@@ -40,6 +40,7 @@ _TAIL = [
     "top1_order_by_price",          # O2 ⊂ top10_orders_by_price
     "customer_order_revenue",       # equi-join+agg ⊂ returned_top_customers_q10
     "forecast_revenue_q6",          # filter+agg ⊂ pricing_summary + Q3 predicates
+    "doc_fingerprints",             # md5 fingerprint op ⊂ exact_dedup_documents
     "running_user_value",           # rows-unbounded-preceding cumsum frame ⊂
                                     # gapfill_nation_daily_revenue forward fill
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status

@@ -7,6 +7,11 @@ from high_volume_market_data_pipeline_spark.plans.medallion import (
     run_medallion,
     run_silver,
 )
+from high_volume_market_data_pipeline_spark.plans.streaming_medallion import (
+    run_streaming_medallion,
+    stream_bronze,
+    stream_silver,
+)
 
 __all__ = [
     "MedallionPaths",
@@ -14,4 +19,7 @@ __all__ = [
     "run_gold",
     "run_medallion",
     "run_silver",
+    "run_streaming_medallion",
+    "stream_bronze",
+    "stream_silver",
 ]

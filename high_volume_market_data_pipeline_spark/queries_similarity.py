@@ -155,6 +155,74 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_stats",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, dim, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, dim, v,
+             list_transform(v, x -> CAST(floor(x * scale) AS INT)) AS qv
+      FROM m
+    )
+    SELECT vec_id, dim,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           len(list_filter(qv, x -> x = 0)) AS n_zero
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit: max-abs scaling to [-127, 127]
+    (floor, not round — floor of a bit-identical double has no rounding
+    mode, so the quantized ints match across engines exactly), plus the
+    L2 norm and zero-bucket count a vector-store ingest job reports before
+    committing a quantized shard.
+
+    Entirely per-row array math inside codegen: no shuffle, no Python; the
+    ``scale`` denominator is bound once per row (functions/expr.bind_once)
+    so the O(dim) transform doesn't re-evaluate the O(dim) max — without
+    the binding the quantize step is O(dim²) per row."""
+    from high_volume_market_data_pipeline_spark.functions.expr import bind_once
+    from high_volume_market_data_pipeline_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+
+    def stats(scale: F.Column) -> F.Column:
+        q = F.transform(v, lambda x: F.floor(x * scale).cast("int"))
+        return F.struct(
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min(q).alias("q_min"),
+            F.array_max(q).alias("q_max"),
+            F.size(F.filter(q, lambda x: x == 0)).alias("n_zero"),
+        )
+
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    return (
+        emb.withColumn("s", bind_once(scale, stats))
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(norm(v), 6).alias("l2_norm"),
+            "s.q_sum",
+            "s.q_min",
+            "s.q_max",
+            "s.n_zero",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "label_centroid_embeddings",
     oracle="""
     WITH e AS (

@@ -349,3 +349,68 @@ def test_late_events_beyond_watermark_are_dropped(spark, tmp_path):
     assert ("2024-01-01T10:00:00", 2) in got      # late event NOT counted
     assert ("2024-01-01T10:00:00", 3) not in got
     assert ("2024-01-01T12:00:00", 2) in got
+
+
+def test_streaming_medallion_matches_batch_end_state(spark, tmp_path):
+    """Two incremental syncs (second delivers new days PLUS re-delivered
+    duplicates of old rows) must converge to the same silver/gold state as
+    one batch medallion over the full input, and the second sync must not
+    double-publish bronze rows."""
+    from high_volume_market_data_pipeline_spark.plans.medallion import (
+        run_medallion,
+    )
+    from high_volume_market_data_pipeline_spark.plans.streaming_medallion import (
+        run_streaming_medallion,
+    )
+    from high_volume_market_data_pipeline_spark.sources.generator import (
+        generate_market_data,
+    )
+
+    full_path = str(tmp_path / "full")
+    generate_market_data(spark, n_coins=6, days=4).write.parquet(full_path)
+    full = spark.read.parquet(full_path)
+    cut = "2024-01-03"  # generator's hourly grid spans fixed dates
+    days = sorted(r[0] for r in full.select(
+        F.to_date(F.col("last_updated")).alias("d")).distinct().collect())
+    cut = str(days[len(days) // 2])
+    chunk1 = full.filter(F.to_date("last_updated") < F.lit(cut))
+    chunk2 = full.filter(F.to_date("last_updated") >= F.lit(cut))
+    dupes = chunk1.limit(17)  # re-delivered rows, identical payload
+
+    ingest = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    raw_dir = str(tmp_path / "raw")
+    stream_root = str(tmp_path / "stream_root")
+    batch_root = str(tmp_path / "batch_root")
+
+    chunk1.write.mode("append").parquet(raw_dir)
+    t1 = run_streaming_medallion(
+        spark, raw_dir, full.schema, stream_root, ingestion_time=ingest
+    )
+    assert set(t1) == {"bronze", "silver", "gold"}
+    bronze_after_1 = spark.read.parquet(stream_root + "/bronze/market_snapshots").count()
+    assert bronze_after_1 == chunk1.count()
+
+    chunk2.unionByName(dupes).write.mode("append").parquet(raw_dir)
+    run_streaming_medallion(
+        spark, raw_dir, full.schema, stream_root, ingestion_time=ingest
+    )
+
+    # Bronze appended only the new files' rows (checkpoint skips chunk1).
+    bronze_rows = spark.read.parquet(
+        stream_root + "/bronze/market_snapshots"
+    ).count()
+    assert bronze_rows == full.count() + dupes.count()
+
+    run_medallion(spark, full, batch_root, ingestion_time=ingest)
+
+    s_stream = spark.read.parquet(stream_root + "/silver/market_snapshots")
+    s_batch = spark.read.parquet(batch_root + "/silver/market_snapshots")
+    key = ["id", "last_updated"]
+    assert s_stream.count() == s_batch.count()  # dups collapsed
+    assert s_stream.select(*key).subtract(s_batch.select(*key)).count() == 0
+
+    g_stream = spark.read.parquet(stream_root + "/gold/market_stats")
+    g_batch = spark.read.parquet(batch_root + "/gold/market_stats")
+    rows_s = sorted(map(tuple, g_stream.collect()))
+    rows_b = sorted(map(tuple, g_batch.collect()))
+    assert rows_s == rows_b
