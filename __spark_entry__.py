@@ -49,6 +49,8 @@ _TAIL = [
     "sql_peak_revenue_day",         # date-group + rank window ⊂
                                     # gold_daily_topk_stats (spark.sql API
                                     # surface still pinned by tests)
+    "sql_grouping_sets_orders",     # GROUPING SETS ⊃ rollup_order_status
+                                    # (head) — same Expand+shuffle shape
     "pii_redact_documents",         # no PII in synthetic corpus ⇒ identity
                                     # values; real-PII behavior pinned in
                                     # tests (regex parity still hash-gated)

@@ -41,3 +41,34 @@ def sql_peak_revenue_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim by both engines (spark.sql over registered views ≡ DuckDB)."""
     register_views(spark, sf_dir)
     return spark.sql(_PEAK_DAY_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, o_orderpriority),
+      (o_orderstatus),
+      (o_orderpriority),
+      ()
+    )
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+@query("sql_grouping_sets_orders", oracle=_GROUPING_SETS_SQL)
+def sql_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    §2.5's grouping-analytics family): four arbitrary grouping combinations
+    in ONE pass with GROUPING() disambiguating real nulls from subtotal
+    rows. Spark expands the sets with a single Expand node over one
+    shuffle — same cost shape as the rollup/cube operators; the SQL text
+    runs verbatim on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
