@@ -55,6 +55,10 @@ _TAIL = [
                                     # values; real-PII behavior pinned in
                                     # tests (regex parity still hash-gated)
     "distinct_order_priorities",    # A2 distinct ⊂ exact_dedup_documents
+    "event_type_audiences",         # set-op surface ⊂ set_ops_user_cohorts
+    "profile_orders_columns",       # multi-metric agg ⊂ dq_orders_expectations
+                                    # one-pass shape (head) + stats family
+    "fk_orphan_lineitems",          # anti-join agg ⊂ customers_without_orders
     "lang_quota_sample",            # row_number quota ⊂ user_peak_event window
     "token_budget_chunks",          # cumsum window ⊂ running_user_value + agg
     "customers_without_orders",     # 0-row result at sf0.01 — no value signal

@@ -49,6 +49,11 @@ from high_volume_market_data_pipeline_spark.operators.sampling import (
     hash_rate_sample,
     hash_split,
 )
+from high_volume_market_data_pipeline_spark.operators.quality import (
+    check_expectations,
+    check_referential,
+    column_stats,
+)
 from high_volume_market_data_pipeline_spark.operators.layout import (
     compact_output,
     copartition_by,
@@ -58,6 +63,9 @@ from high_volume_market_data_pipeline_spark.operators.layout import (
 
 __all__ = [
     "anti_join",
+    "check_expectations",
+    "check_referential",
+    "column_stats",
     "except_distinct",
     "group_cap_sample",
     "hash_bucket",

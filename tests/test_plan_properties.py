@@ -156,3 +156,38 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_stats_single_scan(spark):
+    """Profiling N columns must read the input once: one parquet scan in
+    the executed plan regardless of column count (the naive per-column
+    loop would scan N times — the oracle SQL deliberately does, and the
+    operator must not)."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.operators import column_stats
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    prof = column_stats(orders, ["o_custkey", "o_orderkey", "o_totalprice"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_check_expectations_single_scan_no_shuffle_input(spark):
+    """All expectation counters evaluate inside one aggregation over one
+    scan; the only exchange is the single-partition final agg."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.operators import (
+        check_expectations,
+    )
+    from tests.conftest import SF_DIR
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = check_expectations(
+        orders,
+        {"pos": F.col("o_totalprice") > 0, "nn": F.col("o_orderdate").isNotNull()},
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
