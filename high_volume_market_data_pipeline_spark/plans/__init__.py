@@ -4,6 +4,7 @@ from high_volume_market_data_pipeline_spark.plans.medallion import (
     MedallionPaths,
     run_bronze,
     run_gold,
+    run_gold_incremental,
     run_medallion,
     run_silver,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "MedallionPaths",
     "run_bronze",
     "run_gold",
+    "run_gold_incremental",
     "run_medallion",
     "run_silver",
     "run_streaming_medallion",

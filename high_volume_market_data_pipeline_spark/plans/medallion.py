@@ -141,13 +141,32 @@ def run_silver(
     return deduped
 
 
+def _gold_stats(silver: DataFrame, top_k: int) -> DataFrame:
+    """Per-day top-K-by-volume stats (W2+P4+A1+O1) — shared by the full
+    and incremental gold paths, so both produce identical per-date rows."""
+    co = copartition_by(silver, ["partition_date"])
+    top = rank_top_k_per_group(
+        co, ["partition_date"], [F.desc("total_volume")], k=top_k
+    )
+    return grouped_agg(
+        top,
+        ["partition_date"],
+        [
+            F.sum("market_cap").alias("total_market_cap"),
+            F.avg("current_price").alias("avg_price"),
+        ],
+    ).orderBy("partition_date")
+
+
 def run_gold(
     spark: SparkSession, paths: MedallionPaths, top_k: int = 10
 ) -> DataFrame:
-    """Per-day top-K-by-volume stats (W2+P4+A1+O1) → gold + CSV report.
+    """Full gold rebuild → partitioned gold table + CSV report.
 
     Reads Silver FROM DISK (reference main_pipeline.py:291-294: gold
-    benefits from the just-compacted files, not the pre-compaction cache)."""
+    benefits from the just-compacted files, not the pre-compaction cache).
+    Gold is partitioned by partition_date so the incremental path
+    (run_gold_incremental) can replace exactly the touched dates."""
     silver = spark.read.parquet(paths.silver)
     if silver.isEmpty():
         # P7 empty-input guard (silver_to_gold_crypto_stats.py:64-65):
@@ -159,20 +178,44 @@ def run_gold(
         ).limit(0)
         empty.write.mode("overwrite").parquet(paths.gold)
         return empty
-    co = copartition_by(silver, ["partition_date"])
-    top = rank_top_k_per_group(
-        co, ["partition_date"], [F.desc("total_volume")], k=top_k
-    )
-    gold = grouped_agg(
-        top,
-        ["partition_date"],
-        [
-            F.sum("market_cap").alias("total_market_cap"),
-            F.avg("current_price").alias("avg_price"),
-        ],
-    ).orderBy("partition_date")
-    compact_output(gold).write.mode("overwrite").parquet(paths.gold)
+    gold = _gold_stats(silver, top_k)
+    compact_output(gold).write.mode("overwrite").partitionBy(
+        "partition_date"
+    ).parquet(paths.gold)
     write_single_csv(spark.read.parquet(paths.gold).orderBy("partition_date"), paths.report_csv)
+    return gold
+
+
+def run_gold_incremental(
+    spark: SparkSession,
+    paths: MedallionPaths,
+    dates: list,
+    top_k: int = 10,
+) -> DataFrame:
+    """Partition-scoped gold refresh: recompute ONLY the given
+    partition_dates and dynamic-partition-overwrite them in the gold
+    table; untouched dates keep their existing files byte-for-byte.
+
+    This is the scale upgrade over the reference, which rebuilds all of
+    gold every run (silver_to_gold_crypto_stats.py:88-101): a daily sync
+    touching 1 of 10,000 dates does 1/10,000th of the work — the silver
+    read prunes to the touched partitions (isin filter on the partition
+    column reaches the file listing), the window/agg run on that slice,
+    and the write replaces only those directories. The CSV report still
+    reflects the WHOLE table (one small re-read)."""
+    if not dates:
+        return spark.read.parquet(paths.gold).limit(0)
+    silver = spark.read.parquet(paths.silver).filter(
+        F.col("partition_date").isin(list(dates))
+    )
+    gold = _gold_stats(silver, top_k)
+    write_partition_scoped_overwrite(
+        compact_output(gold), paths.gold, "partition_date"
+    )
+    write_single_csv(
+        spark.read.parquet(paths.gold).orderBy("partition_date"),
+        paths.report_csv,
+    )
     return gold
 
 

@@ -190,3 +190,75 @@ def test_write_training_shards_deterministic_membership(spark, tmp_path):
     for f in _glob.glob(p1 + "/shard=*/part-*.parquet"):
         n = spark.read.parquet(f).count()
         assert n <= 25
+
+
+def test_incremental_gold_matches_full_rebuild(spark, tmp_path):
+    """After new dates land in silver, refreshing only those dates must
+    equal a full gold rebuild — and must NOT rewrite untouched partitions
+    (their files stay byte-identical on disk)."""
+    import glob as _glob
+
+    from high_volume_market_data_pipeline_spark.plans.medallion import (
+        MedallionPaths,
+        run_gold,
+        run_gold_incremental,
+        run_medallion,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
+    from high_volume_market_data_pipeline_spark.sources.generator import (
+        generate_market_data,
+    )
+
+    root = str(tmp_path / "mroot")
+    paths = MedallionPaths(root)
+    full = generate_market_data(spark, n_coins=5, days=4)
+    days = sorted(
+        r[0] for r in full.select(
+            F.to_date("last_updated").alias("d")).distinct().collect()
+    )
+    old_days, new_days = days[:2], days[2:]
+    chunk1 = full.filter(F.to_date("last_updated").isin(old_days))
+    chunk2 = full.filter(F.to_date("last_updated").isin(new_days))
+
+    ingest = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    run_medallion(spark, chunk1, root, optimize_silver=False,
+                  ingestion_time=ingest)
+
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(paths.gold + "/partition_date=*/part-*.parquet")
+    }
+    assert untouched
+
+    # New dates arrive in silver (same path the medallion sync uses).
+    from high_volume_market_data_pipeline_spark.operators.projection import (
+        enrich_ingestion,
+        project_cast,
+    )
+    from high_volume_market_data_pipeline_spark.plans.medallion import (
+        SILVER_CASTS,
+    )
+
+    enriched2 = enrich_ingestion(chunk2, ingestion_time=ingest)
+    merge_upsert(
+        project_cast(enriched2, SILVER_CASTS), paths.silver,
+        keys=["id", "last_updated"], order_col="_ingested_at",
+        partition_by="partition_date",
+    )
+
+    inc = run_gold_incremental(spark, paths, [str(d) for d in new_days])
+    assert inc.count() == len(new_days)
+
+    got = sorted(map(tuple, spark.read.parquet(paths.gold).collect()))
+
+    # Full rebuild in a separate root over the same silver content.
+    paths2 = MedallionPaths(str(tmp_path / "mroot2"))
+    os.makedirs(os.path.dirname(paths2.silver), exist_ok=True)
+    spark.read.parquet(paths.silver).write.partitionBy(
+        "partition_date").parquet(paths2.silver)
+    run_gold(spark, paths2)
+    want = sorted(map(tuple, spark.read.parquet(paths2.gold).collect()))
+    assert got == want
+
+    for f, mtime in untouched.items():
+        assert os.path.getmtime(f) == mtime  # old partitions untouched
