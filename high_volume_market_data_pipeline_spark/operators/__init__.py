@@ -49,6 +49,11 @@ from high_volume_market_data_pipeline_spark.operators.sampling import (
     hash_rate_sample,
     hash_split,
 )
+from high_volume_market_data_pipeline_spark.operators.schema_evolution import (
+    SchemaDiff,
+    align_to_schema,
+    schema_diff,
+)
 from high_volume_market_data_pipeline_spark.operators.quality import (
     check_expectations,
     check_referential,
@@ -62,6 +67,8 @@ from high_volume_market_data_pipeline_spark.operators.layout import (
 )
 
 __all__ = [
+    "SchemaDiff",
+    "align_to_schema",
     "anti_join",
     "check_expectations",
     "check_referential",
@@ -85,6 +92,7 @@ __all__ = [
     "rank_top_k_per_group",
     "row_number_top_k_per_group",
     "select_columns",
+    "schema_diff",
     "semi_join",
     "top_k_global",
     "union_all",

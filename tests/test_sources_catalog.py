@@ -152,3 +152,46 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert {(r["id"], r["v"], r["day"]) for r in back.collect()} == {
         (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"),
     }
+
+
+def test_schema_diff_and_align(spark):
+    """Drift detection + explicit evolution policy: added columns null-fill
+    backward, removed columns drop (or survive with keep_extra), retyped
+    columns flag the append as incompatible."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.operators import (
+        align_to_schema,
+        schema_diff,
+    )
+
+    table = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, sym string, price double"
+    )
+    batch = spark.createDataFrame(
+        [(2, "b", 7, "x")], "id long, sym string, vol long, extra string"
+    )
+    d = schema_diff(table.schema, batch.schema)
+    assert d.added == ["extra", "vol"]
+    assert d.removed == ["price"]
+    assert d.retyped == [] and d.is_compatible_append
+
+    aligned = align_to_schema(batch, table.schema)
+    assert aligned.columns == ["id", "sym", "price"]
+    row = aligned.collect()[0]
+    assert row["price"] is None and row["id"] == 2
+    assert table.unionByName(aligned).count() == 2
+
+    widened = align_to_schema(batch, table.schema, keep_extra=True)
+    assert widened.columns == ["id", "sym", "price", "vol", "extra"]
+
+    retyped = spark.createDataFrame([(1, "a", "not-a-number")],
+                                    "id long, sym string, price string")
+    d2 = schema_diff(table.schema, retyped.schema)
+    assert d2.retyped == [("price", "double", "string")]
+    assert not d2.is_compatible_append
+
+    # align casts when asked anyway (explicit policy, not silent rewrite)
+    cast_back = align_to_schema(retyped, table.schema)
+    assert cast_back.schema["price"].dataType.simpleString() == "double"
+    assert cast_back.select(F.col("price").isNull()).collect()[0][0]
