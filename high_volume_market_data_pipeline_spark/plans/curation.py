@@ -94,12 +94,25 @@ def curate_documents(
     min_quality: float = 0.2,
     langs: tuple[str, ...] | None = None,
     jaccard_threshold: float = 0.5,
+    embeddings: DataFrame | None = None,
+    embedding_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    lsh_planes: int = 4,
 ) -> tuple[DataFrame, CurationReport]:
     """Full curation: returns (curated profiled corpus, funnel report).
 
     Deterministic end to end: exact dedup keeps min id per fingerprint;
     near-dup clustering keeps the min id per connected component — so the
     surviving set is a pure function of the input, never of partitioning.
+
+    With ``embeddings`` (one vector per doc id), semantic near-dups join
+    the candidate edge set: vectors of surviving docs get a sign-LSH
+    bucket, per-bucket cosine pairs ≥ ``cosine_threshold`` union with the
+    MinHash pairs, and ONE connected-components pass clusters both edge
+    kinds — a paraphrased copy and a token-level copy collapse into the
+    same component. The embedding side never goes all-pairs: the bucket
+    join keeps it per-block quadratic, same discipline as the text LSH.
     """
     report = CurationReport()
     report.n_input = docs.count()
@@ -119,7 +132,36 @@ def curate_documents(
 
     pairs = lsh_candidate_pairs(exact_survivors, text_col, id_col).filter(
         F.col("est_jaccard") >= jaccard_threshold
-    )
+    ).select("id_a", "id_b")
+    if embeddings is not None:
+        from high_volume_market_data_pipeline_spark.dedup.embedding import (
+            embedding_near_dup_pairs,
+        )
+        from high_volume_market_data_pipeline_spark.similarity.knn import (
+            random_hyperplane_buckets,
+        )
+
+        surviving_vecs = embeddings.join(
+            exact_survivors.select(F.col(id_col).alias(embedding_id_col)),
+            embedding_id_col,
+            "leftsemi",
+        )
+        bucketed = random_hyperplane_buckets(
+            surviving_vecs, vec_col=embedding_col, n_planes=lsh_planes
+        )
+        epairs = embedding_near_dup_pairs(
+            bucketed,
+            vec_col=embedding_col,
+            id_col=embedding_id_col,
+            block_col="bucket",
+            threshold=cosine_threshold,
+        ).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        pairs = pairs.unionByName(epairs).distinct()
+        report.stages.append("embedding_pairs")
+
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

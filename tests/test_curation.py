@@ -151,3 +151,31 @@ def test_set_ops_match_python_sets(spark):
     b = spark.createDataFrame([(i,) for i in [2, 3, 4]], "v long")
     assert {r[0] for r in intersect_distinct(a, b).collect()} == {2, 3}
     assert {r[0] for r in except_distinct(a, b).collect()} == {1, 5}
+
+
+def test_curation_with_embedding_stage(spark):
+    """Semantic near-dup edges union with the MinHash edges into one
+    clustering pass: the joint funnel never keeps more docs than the
+    text-only funnel, the stage is recorded, and the result is
+    deterministic."""
+    from high_volume_market_data_pipeline_spark.plans.curation import (
+        curate_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    text_only, rep0 = curate_documents(docs)
+    joint, rep1 = curate_documents(
+        docs, embeddings=emb, cosine_threshold=0.3, lsh_planes=2
+    )
+    assert rep1.stages == [
+        "quality_gate", "exact_dedup", "embedding_pairs", "near_dedup",
+    ]
+    assert rep1.n_near <= rep0.n_near
+    assert rep1.n_near < rep1.n_exact  # threshold 0.3 really drops docs
+    joint2, rep2 = curate_documents(
+        docs, embeddings=emb, cosine_threshold=0.3, lsh_planes=2
+    )
+    ids1 = {r[0] for r in joint.select("doc_id").collect()}
+    ids2 = {r[0] for r in joint2.select("doc_id").collect()}
+    assert ids1 == ids2 and rep2.n_near == rep1.n_near
