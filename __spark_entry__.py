@@ -41,6 +41,8 @@ _TAIL = [
     "customer_order_revenue",       # equi-join+agg ⊂ returned_top_customers_q10
     "forecast_revenue_q6",          # filter+agg ⊂ pricing_summary + Q3 predicates
     "doc_fingerprints",             # md5 fingerprint op ⊂ exact_dedup_documents
+    "broadcast_dim_join",           # J2 broadcast ⊂ revenue_by_nation_q5
+                                    # (broadcast plan asserted there too)
     "running_user_value",           # rows-unbounded-preceding cumsum frame ⊂
                                     # gapfill_nation_daily_revenue forward fill
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status

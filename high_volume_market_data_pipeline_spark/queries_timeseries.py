@@ -92,3 +92,89 @@ def gapfill_nation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select("nation", "day", "revenue", "is_gap").orderBy(
         "nation", "day"
     )
+
+
+@query(
+    "event_rate_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT bucket_ts, event_type, n_events,
+             SUM(n_events) OVER win AS s,
+             SUM(n_events * n_events) OVER win AS s2,
+             COUNT(n_events) OVER win AS cnt
+      FROM hourly
+      WINDOW win AS (
+        PARTITION BY event_type ORDER BY bucket_ts
+        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT bucket_ts, event_type, n_events,
+           FLOOR((s / 24.0) * 1e6) / 1e6 AS trailing_mean,
+           FLOOR(((n_events - s / 24.0)
+                  / sqrt((s2 - s * s / 24.0) / 24.0)) * 1e6) / 1e6
+             AS z_score
+    FROM w
+    WHERE cnt = 24 AND (s2 - s * s / 24.0) > 0
+      AND abs((n_events - s / 24.0)
+              / sqrt((s2 - s * s / 24.0) / 24.0)) >= 2
+    ORDER BY event_type, bucket_ts
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event_type scored
+    against the trailing 24 observed buckets' mean/std; |z| ≥ 2 flags.
+
+    The monitoring-over-aggregates shape (volume-drop / spike alerting on
+    an ingest feed). One shuffle for the hourly rollup, one for the
+    per-type window — the window input is the ROLLUP (≤ |types|·hours
+    rows), not the raw events, so the alert pass costs nothing at 100 TB.
+
+    Determinism: counts are integers, so the trailing moment sums (Σn,
+    Σn²) are engine-exact, the derived mean/variance are identical IEEE
+    doubles, and the z comparison agrees bit-for-bit — the same
+    moment-sum trick as stats_quantity_price (built-in stddev is NOT
+    cross-engine reproducible). Outputs floor-quantize to 1e-6 (ROUND on
+    integer-ratio doubles hits halfway cases systematically; floor has no
+    rounding mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-24, -1)
+    )
+    n = F.col("n_events")
+    w = hourly.select(
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        F.sum(n).over(win).alias("s"),
+        F.sum(n * n).over(win).alias("s2"),
+        F.count(n).over(win).alias("cnt"),
+    )
+    mean = F.col("s") / 24.0
+    var = (F.col("s2") - F.col("s") * F.col("s") / 24.0) / 24.0
+    z = (n - mean) / F.sqrt(var)
+    return (
+        w.filter(
+            (F.col("cnt") == 24)
+            & ((F.col("s2") - F.col("s") * F.col("s") / 24.0) > 0)
+            & (F.abs(z) >= 2)
+        )
+        .select(
+            "bucket_ts",
+            "event_type",
+            "n_events",
+            (F.floor(mean * 1e6) / 1e6).alias("trailing_mean"),
+            (F.floor(z * 1e6) / 1e6).alias("z_score"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )

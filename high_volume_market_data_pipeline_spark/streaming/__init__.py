@@ -23,6 +23,9 @@ from high_volume_market_data_pipeline_spark.streaming.dedup import (
 from high_volume_market_data_pipeline_spark.streaming.joins import (
     interval_join_streams,
 )
+from high_volume_market_data_pipeline_spark.streaming.quality import (
+    monitor_expectations,
+)
 from high_volume_market_data_pipeline_spark.streaming.custom_state import (
     running_user_totals,
     running_user_totals_tws,
@@ -30,6 +33,7 @@ from high_volume_market_data_pipeline_spark.streaming.custom_state import (
 
 __all__ = [
     "interval_join_streams",
+    "monitor_expectations",
     "read_parquet_stream",
     "running_user_totals",
     "running_user_totals_tws",

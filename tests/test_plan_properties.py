@@ -191,3 +191,37 @@ def test_check_expectations_single_scan_no_shuffle_input(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_incremental_gold_prunes_silver_partitions(spark, tmp_path):
+    """The isin date filter must reach the silver scan as a partition
+    filter — the incremental refresh reads only the touched directories,
+    which is the entire point at 10,000 dates."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.plans.medallion import (
+        MedallionPaths,
+        run_medallion,
+    )
+    from high_volume_market_data_pipeline_spark.sources.generator import (
+        generate_market_data,
+    )
+
+    root = str(tmp_path / "mroot")
+    data = generate_market_data(spark, n_coins=3, days=3)
+    run_medallion(spark, data, root, optimize_silver=False,
+                  ingestion_time=F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+    paths = MedallionPaths(root)
+    days = sorted(
+        r[0] for r in spark.read.parquet(paths.silver)
+        .select("partition_date").distinct().collect()
+    )
+    pruned = spark.read.parquet(paths.silver).filter(
+        F.col("partition_date").isin([str(days[0])])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan's partition filter carries the isin predicate
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "partition_date" in pf and pf.strip() != ""

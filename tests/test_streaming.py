@@ -414,3 +414,46 @@ def test_streaming_medallion_matches_batch_end_state(spark, tmp_path):
     rows_s = sorted(map(tuple, g_stream.collect()))
     rows_b = sorted(map(tuple, g_batch.collect()))
     assert rows_s == rows_b
+
+
+def test_monitor_expectations_per_batch_ledger(spark, tmp_path):
+    """Per-micro-batch DQ: each batch appends one ledger row per rule;
+    totals across batches equal the batch-mode report; the violation hook
+    fires only for failing batches."""
+    from high_volume_market_data_pipeline_spark.operators.quality import (
+        check_expectations,
+    )
+    from high_volume_market_data_pipeline_spark.streaming import (
+        monitor_expectations,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, 5, _ts(spark, "2024-01-01 00:00:00"))])
+    _write_batch(spark, src, [(2, -3, _ts(spark, "2024-01-01 01:00:00")),
+                              (3, 9, _ts(spark, "2024-01-01 02:00:00"))])
+
+    rules = {"seq_positive": F.col("seq") > 0}
+    hits = []
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = monitor_expectations(
+        sdf, rules,
+        log_path=str(tmp_path / "ledger"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_violation=lambda failing, bid: hits.append(bid),
+    )
+    q.awaitTermination()
+
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    rows = ledger.orderBy("batch_id").collect()
+    assert len(rows) == 2  # one rule x two micro-batches
+    assert sum(r["n_violations"] for r in rows) == 1
+    assert len(hits) == 1  # only the batch containing seq=-3
+
+    batch_report = check_expectations(spark.read.parquet(src), rules)
+    want = batch_report.collect()[0]
+    assert want["n_violations"] == 1
+    assert sum(r["n_rows"] for r in rows) == want["n_rows"]
