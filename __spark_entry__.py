@@ -65,6 +65,8 @@ _TAIL = [
     "token_budget_chunks",          # cumsum window ⊂ running_user_value + agg
     "customers_without_orders",     # 0-row result at sf0.01 — no value signal
     "json_props_profile",           # get_json_object ⊂ events_typed_enrichment
+    "variant_props_buckets",        # VARIANT read path; JSON agg surface
+                                    # ⊂ json_props_profile family
     "parts_catalog_labels",         # CASE projection ⊂ events_typed_enrichment
     "sessionize_events_batch",      # batch twin of stream_session_windows
     "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)

@@ -621,6 +621,45 @@ def json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_buckets",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type, k_decile
+    ORDER BY event_type, k_decile
+    """,
+)
+def variant_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json encodes
+    props ONCE into the binary variant form, then typed field reads
+    (try_variant_get) are offset lookups, not string re-parses — the
+    OPEN-schema counterpart of json_props_profile's from_json (which needs
+    the schema declared up front). Integer decile buckets keep the oracle
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy(
+            "event_type", F.floor(F.col("k") / 10).alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
+@query(
     "stats_quantity_price",
     oracle="""
     WITH m AS (
