@@ -63,17 +63,40 @@ def zorder_cluster(
     path: str,
     columns: list[str],
     partition_by: str | None = None,
+    strategy: str = "zvalue",
+    n_files: int | None = None,
 ) -> None:
-    """M1/M2 equivalent: cluster data so row-group stats skip for
-    predicates on ``columns`` (range-partition on the leading column, sort
-    within partitions by all of them — the linear-order approximation of
-    Z-ordering; same stats-skipping benefit for single-column ranges).
-    Hive partitioning of the table (``partition_by``) is preserved; the
-    range clustering applies within each hive partition."""
+    """M1/M2 equivalent: cluster data so row-group/file min-max stats skip
+    for predicates on ``columns``. ``n_files`` pins the range-partition
+    count (the OPTIMIZE file-size target); default lets AQE coalesce to
+    advisory-size partitions — which at small volumes collapses to one
+    file, correct for compaction but useless for measuring skipping.
+
+    ``strategy="zvalue"`` (default for 2+ columns): range-cluster on the
+    Morton interleave of the columns' bucket bits (functions/zorder), so
+    EVERY clustered column gets file-level skipping — a lexicographic sort
+    gives the trailing columns none (each file spans their full range; the
+    test pins the difference). ``strategy="linear"`` keeps the plain
+    range-partition + sort (equivalent for a single column, and what you
+    want when one column dominates the predicates). Hive partitioning of
+    the table (``partition_by``) is preserved; clustering applies within
+    each hive partition."""
+    use_z = strategy == "zvalue" and len(columns) > 1
+    nf = [n_files] if n_files else []
+
     def transform(df):
         lead = [F.col(partition_by)] if partition_by else []
+        if use_z:
+            from high_volume_market_data_pipeline_spark.functions.zorder import (
+                with_z_value,
+            )
+
+            z = with_z_value(df, columns)
+            return z.repartitionByRange(*nf, *lead, F.col("__z")).sortWithinPartitions(
+                *([partition_by] if partition_by else []), "__z"
+            ).drop("__z")
         return df.repartitionByRange(
-            *lead, *[F.col(c) for c in columns]
+            *nf, *lead, *[F.col(c) for c in columns]
         ).sortWithinPartitions(*([partition_by] if partition_by else []), *columns)
 
     _swap_rewrite(spark, path, transform, partition_by)

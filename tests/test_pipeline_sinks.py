@@ -262,3 +262,50 @@ def test_incremental_gold_matches_full_rebuild(spark, tmp_path):
 
     for f, mtime in untouched.items():
         assert os.path.getmtime(f) == mtime  # old partitions untouched
+
+
+def test_zvalue_clustering_skips_on_both_columns(spark, tmp_path):
+    """Morton clustering gives BOTH columns file-level min/max locality;
+    lexicographic gives the trailing column none. Measured directly from
+    the written files' parquet stats — the exact numbers data skipping
+    uses."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from high_volume_market_data_pipeline_spark.sinks.maintenance import (
+        zorder_cluster,
+    )
+
+    df = spark.range(40_000).select(
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(10_000))).alias("a"),
+        (F.pmod(F.xxhash64(F.col("id") + 1_000_000), F.lit(10_000))).alias("b"),
+    )
+
+    def spans(path):
+        out = {"a": [], "b": []}
+        for f in _glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            for col in ("a", "b"):
+                idx = md.schema.names.index(col)
+                lo = min(md.row_group(rg).column(idx).statistics.min
+                         for rg in range(md.num_row_groups))
+                hi = max(md.row_group(rg).column(idx).statistics.max
+                         for rg in range(md.num_row_groups))
+                out[col].append(hi - lo)
+        return {c: sum(v) / len(v) for c, v in out.items()}
+
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    df.write.parquet(lex)
+    df.write.parquet(zed)
+    zorder_cluster(spark, lex, ["a", "b"], strategy="linear", n_files=8)
+    zorder_cluster(spark, zed, ["a", "b"], strategy="zvalue", n_files=8)
+
+    s_lex, s_zed = spans(lex), spans(zed)
+    full = 10_000
+    # Lexicographic: a clusters tightly, b spans ~everything.
+    assert s_lex["a"] < 0.5 * full
+    assert s_lex["b"] > 0.8 * full
+    # Z-value: BOTH columns cluster well below the full range.
+    assert s_zed["a"] < 0.7 * full
+    assert s_zed["b"] < 0.7 * full
