@@ -48,6 +48,8 @@ _TAIL = [
     "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status
     "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
     "daily_event_profile",          # date-bucket agg ⊂ hypertable_rollup grains
+    "hypertable_rollup",            # ROLLUP-over-time-grains Expand shape ⊂
+                                    # rollup_order_status; buckets ⊂ anomalies
     "sql_peak_revenue_day",         # date-group + rank window ⊂
                                     # gold_daily_topk_stats (spark.sql API
                                     # surface still pinned by tests)

@@ -228,3 +228,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_kept"),
     ).orderBy("doc_id")
+
+
+_TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+@query(
+    "ngram_jaccard_blocked",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    tc AS (
+      SELECT doc_id, lang, {_TOKC_SQL} AS nt FROM documents
+    ), d AS (
+      SELECT s.doc_id,
+             tc.lang || '|' || CAST(tc.nt // 16 AS VARCHAR) AS blk,
+             list_distinct(s.shingles) AS shd
+      FROM sh s JOIN tc USING (doc_id)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_filter(a.shd, x -> list_contains(b.shd, x)))
+                   / CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE), 6)
+               AS jaccard
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone exact n-gram Jaccard dedup (no MinHash estimate in the
+    loop): candidate pairs come from a cheap deterministic block —
+    (language, token-count bucket of 16) — then word-trigram Jaccard
+    computes exactly on each pair. The blocked quadratic is the honest
+    cost model: near-dups rarely differ in language or by 16+ tokens, so
+    blocks bound the pair count the way LSH bands do, with zero signature
+    cost — the right method when candidate volume is small or shingle
+    sets are short. (minhash_lsh_near_dup is the scale path when they
+    aren't; both use the same verify arithmetic.)"""
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            "lang",
+            F.floor(token_count(F.col("text")) / 16).cast("long").cast("string"),
+        ).alias("blk"),
+    )
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"), "blk")
+        .join(d.select(F.col("doc_id").alias("id_b"), "blk"), "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return (
+        ngram_jaccard(pairs, docs, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
