@@ -50,6 +50,9 @@ _TAIL = [
     "daily_event_profile",          # date-bucket agg ⊂ hypertable_rollup grains
     "hypertable_rollup",            # ROLLUP-over-time-grains Expand shape ⊂
                                     # rollup_order_status; buckets ⊂ anomalies
+    "stats_quantity_price",         # moment-sum determinism ⊂
+                                    # event_rate_anomalies (head); corr
+                                    # variant still verified locally
     "sql_peak_revenue_day",         # date-group + rank window ⊂
                                     # gold_daily_topk_stats (spark.sql API
                                     # surface still pinned by tests)

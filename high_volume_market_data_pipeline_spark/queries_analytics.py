@@ -1822,3 +1822,72 @@ def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand, ["s_name"], [F.count(F.lit(1)).alias("numwait")]
     )
     return top_k_global(grouped, 10, F.desc("numwait"), "s_name")
+
+
+@query(
+    "user_event_run_features",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS sw
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             SUM(sw) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS run_id
+      FROM o
+    ), runs AS (
+      SELECT user_id, run_id, COUNT(*) AS run_len FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map featurization via applyInPandas: each user's event
+    sequence arrives as ONE pandas frame (Arrow batch, sorted in pandas —
+    per-group order is not imperative logic Spark lacks, but run-length
+    features over a sequence are the canonical sequential-feature shape a
+    pandas body expresses naturally). Integer outputs (event count, number
+    of same-type runs, longest run) make the grouped-map path exactly
+    checkable against a gaps-and-islands SQL twin — the strongest parity
+    statement available for the Arrow grouped-map API.
+
+    Scale shape: one shuffle on user_id, then embarrassingly parallel
+    per-group pandas; group size is bounded by per-user activity (salt
+    mega-users first if a group outgrows executor memory)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["ts", "event_id"])
+        t = s["event_type"]
+        new_run = t.ne(t.shift())
+        run_lens = t.groupby(new_run.cumsum()).size()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(s)],
+                "n_runs": [int(new_run.sum())],
+                "max_run": [int(run_lens.max())],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            features,
+            schema="user_id long, n_events long, n_runs long, max_run long",
+        )
+        .orderBy("user_id")
+    )
