@@ -226,3 +226,42 @@ def test_split_bucket_matches_python_md5(spark, ids):
     for i in set(ids):
         expected = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
         assert got[i] == expected, (i, got[i], expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_interleave_bits_matches_python_reference(spark, pairs):
+    """Morton interleave is bit-exact vs a Python reference: output bit
+    (b*n + i) equals bit b of input column i — the property Z-order
+    locality rests on."""
+    from high_volume_market_data_pipeline_spark.functions.zorder import (
+        interleave_bits,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(set(pairs))]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", interleave_bits([F.col("a"), F.col("b")], 12).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for bit in range(12):
+            z |= ((a >> bit) & 1) << (bit * 2)
+            z |= ((b >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    for i, a, b in rows:
+        assert got[i] == ref(a, b), (a, b, got[i], ref(a, b))
