@@ -1851,18 +1851,20 @@ def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_event_run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map featurization via applyInPandas: each user's event
-    sequence arrives as ONE pandas frame (Arrow batch, sorted in pandas —
-    per-group order is not imperative logic Spark lacks, but run-length
-    features over a sequence are the canonical sequential-feature shape a
-    pandas body expresses naturally). Integer outputs (event count, number
-    of same-type runs, longest run) make the grouped-map path exactly
-    checkable against a gaps-and-islands SQL twin — the strongest parity
-    statement available for the Arrow grouped-map API.
+    """Grouped-map featurization via applyInPandas with BUCKETED groups:
+    grouping directly by user_id costs one Python round-trip per user
+    (~10 ms each — measured 14 s over 1.5k users at sf0.1), so the group
+    key is pmod(user_id, 64): each Arrow frame carries ~1/64th of the
+    users and the per-user run-length features (event count, number of
+    same-type runs, longest run) compute vectorized inside the frame.
+    Same answer, 64 Python calls instead of 1,500 — the pattern that makes
+    grouped-map viable when groups are small. Integer outputs make the
+    path exactly checkable against a gaps-and-islands SQL twin — the
+    strongest parity statement available for the Arrow grouped-map API.
 
-    Scale shape: one shuffle on user_id, then embarrassingly parallel
-    per-group pandas; group size is bounded by per-user activity (salt
-    mega-users first if a group outgrows executor memory)."""
+    Scale shape: one shuffle on the bucket, embarrassingly parallel after;
+    bucket count trades per-call amortization against parallelism (use
+    ~4x your executor-core count)."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1870,23 +1872,33 @@ def user_event_run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def features(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf.sort_values(["ts", "event_id"])
-        t = s["event_type"]
-        new_run = t.ne(t.shift())
-        run_lens = t.groupby(new_run.cumsum()).size()
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(s)],
-                "n_runs": [int(new_run.sum())],
-                "max_run": [int(run_lens.max())],
-            }
+        s = pdf.sort_values(["user_id", "ts", "event_id"])
+        new_run = s["event_type"].ne(s["event_type"].shift()) | s[
+            "user_id"
+        ].ne(s["user_id"].shift())
+        runs = (
+            s.assign(run_id=new_run.cumsum())
+            .groupby(["user_id", "run_id"], sort=False)
+            .size()
+            .rename("run_len")
+            .reset_index()
         )
+        agg = (
+            runs.groupby("user_id", sort=True)
+            .agg(
+                n_events=("run_len", "sum"),
+                n_runs=("run_len", "size"),
+                max_run=("run_len", "max"),
+            )
+            .reset_index()
+        )
+        return agg
 
     return (
-        ev.groupBy("user_id")
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
+        .groupBy("bucket")
         .applyInPandas(
-            features,
+            lambda pdf: features(pdf.drop(columns=["bucket"])),
             schema="user_id long, n_events long, n_runs long, max_run long",
         )
         .orderBy("user_id")

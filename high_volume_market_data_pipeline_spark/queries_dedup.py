@@ -232,6 +232,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
 
+_NJ_HASH_SQL = _hex_to_int_sql("md5(x)")
+
 
 @query(
     "ngram_jaccard_blocked",
@@ -241,8 +243,10 @@ _TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
       SELECT doc_id, lang, {_TOKC_SQL} AS nt FROM documents
     ), d AS (
       SELECT s.doc_id,
-             tc.lang || '|' || CAST(tc.nt // 16 AS VARCHAR) AS blk,
-             list_distinct(s.shingles) AS shd
+             tc.lang || '|' || CAST(tc.nt // 8 AS VARCHAR) AS blk,
+             list_distinct(
+               list_transform(list_distinct(s.shingles), x -> {_NJ_HASH_SQL})
+             ) AS shd
       FROM sh s JOIN tc USING (doc_id)
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -259,13 +263,14 @@ _TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
 def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone exact n-gram Jaccard dedup (no MinHash estimate in the
     loop): candidate pairs come from a cheap deterministic block —
-    (language, token-count bucket of 16) — then word-trigram Jaccard
-    computes exactly on each pair. The blocked quadratic is the honest
-    cost model: near-dups rarely differ in language or by 16+ tokens, so
-    blocks bound the pair count the way LSH bands do, with zero signature
-    cost — the right method when candidate volume is small or shingle
-    sets are short. (minhash_lsh_near_dup is the scale path when they
-    aren't; both use the same verify arithmetic.)"""
+    (language, token-count bucket of 8; near-dups rarely differ by 8+
+    tokens, the bucket keeps 5 of the 6 true sf0.01 pairs) — then
+    word-trigram Jaccard computes exactly on each pair over md5-HASHED
+    shingle sets (long arrays: ~3x smaller pair shuffle, long equality in
+    the intersect — the string form shipped ~2 GB at sf0.1). The blocked
+    quadratic is the honest cost model when candidate volume is small;
+    minhash_lsh_near_dup is the scale path, sharing the same verify
+    arithmetic."""
     from high_volume_market_data_pipeline_spark.functions.text import (
         token_count,
     )
@@ -276,7 +281,7 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|",
             "lang",
-            F.floor(token_count(F.col("text")) / 16).cast("long").cast("string"),
+            F.floor(token_count(F.col("text")) / 8).cast("long").cast("string"),
         ).alias("blk"),
     )
     pairs = (
@@ -286,7 +291,7 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return (
-        ngram_jaccard(pairs, docs, "text", "doc_id")
+        ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
