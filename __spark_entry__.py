@@ -75,6 +75,7 @@ _TAIL = [
     "parts_catalog_labels",         # CASE projection ⊂ events_typed_enrichment
     "sessionize_events_batch",      # batch twin of stream_session_windows
     "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)
+    "order_price_rank_metrics",     # percent_rank/cume_dist ⊂ window family
     "user_event_type_sets",         # collect_set; array surface in knn/minhash
     "label_centroid_embeddings",    # array<double> output — driver-hash
                                     # behavior on array cells unobserved, so

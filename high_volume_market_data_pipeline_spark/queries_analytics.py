@@ -1903,3 +1903,44 @@ def user_event_run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "order_price_rank_metrics",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             PERCENT_RANK() OVER w AS price_percent_rank,
+             CUME_DIST() OVER w AS price_cume_dist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    )
+    SELECT o_orderkey, o_orderpriority,
+           price_percent_rank, price_cume_dist
+    FROM r WHERE o_orderkey % 199 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def order_price_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank and cume_dist of
+    each order's price within its priority class (the normalized-rank
+    features a scoring pipeline feeds downstream). Both are defined as
+    exact integer ratios — (rank-1)/(n-1) and peers_at_or_below/n — so the
+    doubles are bit-identical across engines with no rounding needed. The
+    deterministic keyspace sample keeps the verified output small; the
+    window itself runs over the full table (one shuffle on the priority
+    key)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("price_percent_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+        )
+        .filter(F.col("o_orderkey") % 199 == 0)
+        .orderBy("o_orderkey")
+    )
