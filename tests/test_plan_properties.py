@@ -225,3 +225,21 @@ def test_incremental_gold_prunes_silver_partitions(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "partition_date" in pf and pf.strip() != ""
+
+
+def test_ngram_jaccard_blocked_never_cartesian(spark):
+    """The blocked pair generation must plan as an equi-join on the block
+    key — a cross join here is quadratic over the whole corpus."""
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        ngram_jaccard_blocked,
+    )
+    from tests.conftest import SF_DIR
+
+    plan = (
+        ngram_jaccard_blocked(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
