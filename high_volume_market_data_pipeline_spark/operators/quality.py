@@ -80,12 +80,19 @@ def check_expectations(
     """Evaluate named row-level expectations in one aggregation pass →
     one row per rule: (rule, n_rows, n_violations, pass). A null predicate
     result counts as a violation (unknown ≠ satisfied — ANSI three-valued
-    logic would silently pass NULLs otherwise)."""
+    logic would silently pass NULLs otherwise). A zero-row input reports
+    0 violations and passed=TRUE per rule — SUM over no rows is NULL, and
+    a publish gate reading a NULL ``passed`` would behave unexpectedly
+    (the same agg runs per micro-batch in streaming/quality, where empty
+    batches are routine)."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).alias(f"{name}__viol")
         )
     one = df.agg(*aggs)

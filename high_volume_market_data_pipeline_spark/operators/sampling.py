@@ -68,16 +68,29 @@ def group_cap_sample(
     key: str,
     cap: int,
     rank_col: str = "rk",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen by md5(key) rank — a
     deterministic uniform draw without an RNG (hash order is independent of
     row content and arrival order). One shuffle on the group columns;
-    row_number evaluates as a per-partition streaming top-cap. Heavily
-    skewed groups (English at web scale) salt the rank into per-salt
-    sub-quotas first — same two-phase pattern as operators/skew.py."""
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.md5(F.col(key).cast("string")), F.col(key)
-    )
+    row_number evaluates as a per-partition streaming top-cap.
+
+    For heavily skewed groups (English at web scale) pass ``n_salt``: phase
+    one caps within (group, md5-salt) sub-partitions — n_salt tasks share a
+    dominant group's scan instead of one hot task — and phase two re-ranks
+    only the surviving ≤ n_salt×cap rows per group. The per-salt top-cap is
+    a superset of the global top-cap (every globally-kept row ranks ≤ cap
+    inside its own salt too), so the result is IDENTICAL to the unsalted
+    path; only the shuffle layout changes. Same two-phase pattern as
+    operators/skew.py."""
+    rank_key = [F.md5(F.col(key).cast("string")), F.col(key)]
+    if n_salt is not None and n_salt > 1:
+        salt = hash_bucket(F.col(key), n_salt)
+        w1 = Window.partitionBy(*group_cols, salt).orderBy(*rank_key)
+        df = df.withColumn("_salt_rk", F.row_number().over(w1)).filter(
+            F.col("_salt_rk") <= cap
+        ).drop("_salt_rk")
+    w = Window.partitionBy(*group_cols).orderBy(*rank_key)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= cap
     )
@@ -93,15 +106,21 @@ def hash_split(
     name → percent and must sum to 100. A document's split never depends on
     partitioning, row order, or cluster size, so re-runs and incremental
     appends land it identically — the property ``randomSplit`` does NOT
-    give you on a growing table. Map-side only."""
+    give you on a growing table. Map-side only.
+
+    Bucket ranges are assigned in SORTED split-name order (not dict
+    insertion order): ``{'train': 90, 'val': 5, 'test': 5}`` and
+    ``{'val': 5, 'test': 5, 'train': 90}`` produce the same labelling, so
+    callers that build the mapping dynamically cannot silently relabel
+    every row between runs."""
     total = sum(fractions.values())
     if total != 100:
         raise ValueError(f"split fractions must sum to 100, got {total}")
     bucket = hash_bucket(F.col(key))
     edge = 0
     label: Column | None = None
-    for name, pct in fractions.items():
-        edge += pct
+    for name in sorted(fractions):
+        edge += fractions[name]
         label = (
             F.when(bucket < edge, name)
             if label is None

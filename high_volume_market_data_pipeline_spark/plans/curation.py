@@ -99,6 +99,7 @@ def curate_documents(
     embedding_col: str = "embedding",
     cosine_threshold: float = 0.9,
     lsh_planes: int = 4,
+    embedding_dim: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Full curation: returns (curated profiled corpus, funnel report).
 
@@ -146,8 +147,14 @@ def curate_documents(
             embedding_id_col,
             "leftsemi",
         )
+        # dim=None probes the data's vector length (default) — a hardcoded
+        # wrong dim would NULL every dot product and silently collapse all
+        # vectors into one bucket (an all-pairs quadratic with no error).
         bucketed = random_hyperplane_buckets(
-            surviving_vecs, vec_col=embedding_col, n_planes=lsh_planes
+            surviving_vecs,
+            vec_col=embedding_col,
+            n_planes=lsh_planes,
+            dim=embedding_dim,
         )
         epairs = embedding_near_dup_pairs(
             bucketed,

@@ -107,9 +107,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash_split_train_val",
     oracle=f"""
     WITH b AS (
-      SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
-                  WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
-                  ELSE 'test' END AS split,
+      -- hash_split assigns bucket ranges in SORTED split-name order:
+      -- test < 5, train < 95, val otherwise (insertion-order independent)
+      SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 5 THEN 'test'
+                  WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'train'
+                  ELSE 'val' END AS split,
              {_TOKC_SQL} AS tok,
              n_chars
       FROM documents

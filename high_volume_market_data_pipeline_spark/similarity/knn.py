@@ -82,11 +82,25 @@ def random_hyperplane_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = 64,
     seed: int = 42,
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Append a sign-LSH bucket key: bit p = 1 iff v·hyperplane_p ≥ 0."""
+    """Append a sign-LSH bucket key: bit p = 1 iff v·hyperplane_p ≥ 0.
+
+    ``dim`` must match the vector length: hyperplanes are fixed-length
+    literal arrays, and a mismatch makes every zip_with dot product NULL —
+    which would silently collapse all rows into bucket 0 and turn the
+    downstream block join into an all-pairs quadratic. Pass ``dim=None``
+    to probe the first row's vector length (one cheap job), and any row
+    whose vector length differs from ``dim`` fails loudly at runtime
+    instead of mis-bucketing."""
+    if dim is None:
+        head = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if head is None or head["d"] is None:
+            dim = 1  # empty input: any plane length works, no rows to bucket
+        else:
+            dim = int(head["d"])
     v = as_double(F.col(vec_col))
     bits = []
     for p in range(n_planes):
@@ -100,7 +114,15 @@ def random_hyperplane_buckets(
     key = bits[0]
     for b in bits[1:]:
         key = key + b
-    return df.withColumn(out_col, key.cast("int"))
+    guarded = F.when(F.size(F.col(vec_col)) == dim, key.cast("int")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sign-LSH dim mismatch: hyperplanes are %d-dim but vector has "
+                "%d elements", F.lit(dim), F.size(F.col(vec_col)),
+            )
+        ).cast("int")
+    )
+    return df.withColumn(out_col, guarded)
 
 
 def lsh_bucketed_knn(

@@ -29,12 +29,20 @@ def monitor_expectations(
     log_path: str,
     checkpoint: str,
     on_violation: Callable[[DataFrame, int], None] | None = None,
+    trigger: Mapping[str, object] | None = None,
 ) -> StreamingQuery:
     """Evaluate ``rules`` on every micro-batch and append one row per rule
     to the parquet ledger at ``log_path`` (batch_id, rule, n_rows,
     n_violations, passed). ``on_violation`` (if given) is called with the
     failing rules frame and the batch id — raise there to fail the stream,
-    or divert the batch to quarantine."""
+    or divert the batch to quarantine.
+
+    ``trigger`` passes through to ``writeStream.trigger(**trigger)``:
+    default ``{"availableNow": True}`` drains what's there and stops (the
+    testable batch-equivalence mode); pass
+    ``{"processingTime": "30 seconds"}`` to run as a long-lived continuous
+    monitor."""
+    trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         report = check_expectations(batch_df, rules).withColumn(
@@ -53,6 +61,6 @@ def monitor_expectations(
     return (
         sdf.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**trigger_kwargs)
         .start()
     )
