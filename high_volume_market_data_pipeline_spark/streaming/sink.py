@@ -24,8 +24,8 @@ def foreach_batch_upsert(
     partition_by: str | None = None,
 ) -> StreamingQuery:
     """Upsert each micro-batch into a parquet target: latest row per key
-    wins (merge_upsert handles Delta-less environments via
-    union+dedup+overwrite, same observable semantics as Delta MERGE)."""
+    wins (merge_upsert's union+dedup+rewrite — the same observable
+    semantics as a Delta MERGE; see sinks/merge.py)."""
     from high_volume_market_data_pipeline_spark.sinks.merge import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -70,6 +70,32 @@ def test_vacuum_retires_below_horizon(spark, table):
         table.read(spark, version=0)
 
 
+def test_merge_upsert_versioned_transactional(spark, table):
+    """K3 through the manifest log: MERGE commits a new version — source
+    wins on key collisions, unmatched rows survive, and the pre-merge
+    state stays time-travelable (the transactional behavior the reference
+    gets from Delta MERGE, bronze_to_silver_crypto.py:96-108)."""
+    from high_volume_market_data_pipeline_spark.sinks.merge import (
+        merge_upsert_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id int, val string, seq int"
+    )
+    v0 = merge_upsert_versioned(base, table, keys=["id"], order_col="seq")
+    update = spark.createDataFrame(
+        [(2, "B2", 20), (3, "c", 20)], "id int, val string, seq int"
+    )
+    v1 = merge_upsert_versioned(update, table, keys=["id"], order_col="seq")
+    assert (v0, v1) == (0, 1)
+
+    now = {(r["id"], r["val"]) for r in table.read(spark).collect()}
+    assert now == {(1, "a"), (2, "B2"), (3, "c")}
+    before = {(r["id"], r["val"]) for r in table.read(spark, version=0).collect()}
+    assert before == {(1, "a"), (2, "b")}
+    assert table.history(spark).collect()[0]["operation"] == "MERGE"
+
+
 def test_crashed_writer_leaves_current_version_intact(spark, table):
     table.write(_df(spark, 5, "a"), "WRITE")
     # Simulate a writer that died after the snapshot dir, before the
