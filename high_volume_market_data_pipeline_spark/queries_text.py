@@ -301,24 +301,58 @@ def _pii_redact_sql() -> str:
     return f"{expr} AS redacted, {counts} AS n_redactions"
 
 
+# Synthetic PII rows unioned into BOTH sides of pii_redact_documents so the
+# value hash exercises actual redaction (the generated corpus contains no
+# PII, which would reduce the gate to an identity check). Negative ids
+# cannot collide with generated doc_ids; strings avoid quotes so they embed
+# in the SQL literal verbatim.
+_PII_SEED: tuple[tuple[int, str], ...] = (
+    (-1, "Contact me at jane.doe@example.com for details"),
+    (-2, "Visit https://example.com/path?q=1 for more"),
+    (-3, "Call +1 (555) 123-4567 now"),
+    (-4, "Email bob_smith+tag@mail.example.org or https://sub.example.net/a/b"),
+    (-5, "Office: 020 7946 0958 and fax 020 7946 0959"),
+    (-6, "No pii here at all, just plain text"),
+    (-7, "Mixed: a@b.io and http://x.yz and 555-867-5309 together"),
+    (-8, "url with trailing https://example.org/x#frag end"),
+    (-9, "doubled emails first@ex.com second@ex.org"),
+    (-10, "phone in parens (415) 555-0132 done"),
+    (-11, "https://e.com/a?b=c&d=e plus e.e@e.co plus 12345678901"),
+    (-12, "edge +44 7911 123456 uk mobile"),
+)
+
+_PII_SEED_SQL = ", ".join(
+    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _PII_SEED
+)
+
+
 @query(
     "pii_redact_documents",
     oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_PII_SEED_SQL}) AS seed(doc_id, text)
+    )
     SELECT doc_id, {_pii_redact_sql()}
-    FROM documents
+    FROM corpus
     ORDER BY doc_id
     """,
 )
 def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: URLs / emails / phone-like runs → ``<KIND>`` tokens,
     plus a per-doc match count. Chained regexp_replace in scan-stage codegen
-    — the shape of every large-scale scrubbing pass (the synthetic corpus
-    contains no PII, so the value-hash gate here pins the stronger property
-    that the regexes alter NOTHING they shouldn't; real-PII behavior is
-    pinned by tests/test_analytics.py::test_pii_redaction_on_pii_text).
+    — the shape of every large-scale scrubbing pass. The generated corpus
+    contains no PII (those rows pin that the regexes alter NOTHING they
+    shouldn't); a dozen literal synthetic-PII rows are unioned in on both
+    sides so the value hash also pins real redaction behavior —
+    emails/URLs/phones replaced, counts > 0 (plus
+    tests/test_analytics.py::test_pii_redaction_on_pii_text).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    seed = spark.createDataFrame(list(_PII_SEED), "doc_id bigint, text string")
+    corpus = docs.select("doc_id", "text").unionByName(seed)
+    return corpus.select(
         "doc_id",
         redact_pii(F.col("text")).alias("redacted"),
         pii_counts(F.col("text")).alias("n_redactions"),
