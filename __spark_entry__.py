@@ -28,93 +28,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return gold_daily_topk_stats(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run only records the first 50 registered entries
-# (round-1 evidence: CORRECTNESS_r01.json stopped at entry 50 of 61). Order
-# therefore matters: oracle-backed, operator-distinct queries go first; the
-# tail holds no-oracle (approximate) entries and queries whose operator is
-# already verified by an earlier entry (e.g. top1 ⊂ top10). Every query —
-# head and tail — is still verified locally by tools/verify_correctness.py
-# (full-surface results committed as CORRECTNESS_LOCAL_r02.json).
-_TAIL = [
-    # oracle-backed but operator-redundant with head entries
-    "top1_order_by_price",          # O2 ⊂ top10_orders_by_price
-    "customer_order_revenue",       # equi-join+agg ⊂ returned_top_customers_q10
-    "forecast_revenue_q6",          # filter+agg ⊂ pricing_summary + Q3 predicates
-    "doc_fingerprints",             # md5 fingerprint op ⊂ exact_dedup_documents
-    "broadcast_dim_join",           # J2 broadcast ⊂ revenue_by_nation_q5
-                                    # (broadcast plan asserted there too)
-    "running_user_value",           # rows-unbounded-preceding cumsum frame ⊂
-                                    # gapfill_nation_daily_revenue forward fill
-    "cube_event_stats",             # grouping-analytics ⊂ rollup_order_status
-    "customers_with_orders",        # semi-join ⊂ priority_count_q4 (Q4 plans semi)
-    "daily_event_profile",          # date-bucket agg ⊂ hypertable_rollup grains
-    "hypertable_rollup",            # ROLLUP-over-time-grains Expand shape ⊂
-                                    # rollup_order_status; buckets ⊂ anomalies
-    "stats_quantity_price",         # moment-sum determinism ⊂
-                                    # event_rate_anomalies (head); corr
-                                    # variant still verified locally
-    "sql_peak_revenue_day",         # date-group + rank window ⊂
-                                    # gold_daily_topk_stats (spark.sql API
-                                    # surface still pinned by tests)
-    "sql_grouping_sets_orders",     # GROUPING SETS ⊃ rollup_order_status
-                                    # (head) — same Expand+shuffle shape
-    "pii_redact_documents",         # no PII in synthetic corpus ⇒ identity
-                                    # values; real-PII behavior pinned in
-                                    # tests (regex parity still hash-gated)
-    "distinct_order_priorities",    # A2 distinct ⊂ exact_dedup_documents
-    "event_type_audiences",         # set-op surface ⊂ set_ops_user_cohorts
-    "profile_orders_columns",       # multi-metric agg ⊂ dq_orders_expectations
-                                    # one-pass shape (head) + stats family
-    "fk_orphan_lineitems",          # anti-join agg ⊂ customers_without_orders
-    "lang_quota_sample",            # row_number quota ⊂ user_peak_event window
-    "token_budget_chunks",          # cumsum window ⊂ running_user_value + agg
-    "customers_without_orders",     # 0-row result at sf0.01 — no value signal
-    "json_props_profile",           # get_json_object ⊂ events_typed_enrichment
-    "variant_props_buckets",        # VARIANT read path; JSON agg surface
-                                    # ⊂ json_props_profile family
-    "parts_catalog_labels",         # CASE projection ⊂ events_typed_enrichment
-    "sessionize_events_batch",      # batch twin of stream_session_windows
-    "order_value_quartiles_ntile",  # ntile ⊂ window family (user_peak_event…)
-    "order_price_rank_metrics",     # percent_rank/cume_dist ⊂ window family
-    "user_event_type_sets",         # collect_set; array surface in knn/minhash
-    "label_centroid_embeddings",    # array<double> output — driver-hash
-                                    # behavior on array cells unobserved, so
-                                    # tail-only; oracle-verified locally
-    "stream_dedup_events",          # no-dup testdata ⇒ identity end state;
-                                    # dropDuplicatesWithinWatermark pinned in
-                                    # tests/test_streaming.py with real dupes
-    "supplier_diversity_q16",       # anti-join ⊂ customers_without_orders + Q4 semi
-    "bulk_part_suppliers_q20",      # semi-join chain ⊂ priority_count_q4
-    "priority_shipping_modes_q12",  # conditional agg ⊂ pivot (FILTER counts)
-    "discounted_bulk_revenue_q19",  # OR-pushdown ⊂ Q6 predicate family
-    "nation_trade_volume_q7",       # dual-aliased dim broadcast ⊂ Q5 family
-    "market_share_q8",              # conditional-sum ratio ⊂ Q12 + Q5 family
-    "important_part_stock_q11",     # scalar-threshold broadcast ⊂ Q22 shape
-    "small_quantity_orders_q17",    # correlated window avg ⊂ orders_above_customer_avg
-    "large_volume_customers_q18",   # having→semi→topK ⊂ Q20 + top10 family
-    "dormant_rich_customers_q22",   # scalar threshold + anti ⊂ Q16/Q22 family
-    "customer_order_distribution_q13",  # left-outer histogram ⊂ parts_sales_coverage
-    "top_supplier_q15",             # max-of-agg join-back ⊂ Q11 scalar family
-    "promo_revenue_share_q14",      # CASE-ratio ⊂ market_share_q8 pattern
-    "product_type_profit_q9",       # multi-dim broadcast chain ⊂ Q5/Q8 family
-    "waiting_supplier_q21",         # exists/not-exists → window counts ⊂ Q17/Q18
-    # approximate / no-oracle (driver records rows-only at best)
-    "approx_value_percentiles",
-    "approx_distinct_users",
-    "knn_lsh_bucketed",
-    "knn_ivf_cells",
-    # engine-metadata surface (history log) — rows-only by nature
+# The driver's correctness run records only the FIRST 50 registered entries
+# (round-1 evidence: CORRECTNESS_r01.json stopped at entry 50 of 61), so the
+# 50-slot window rotates between rounds to give every query a hard driver
+# row. Round 2 recorded the 50 operator-distinct queries in
+# CORRECTNESS_r02.json (50/50 green). Round 3 promotes the 45 oracle-backed
+# queries that have only local verification so far (CORRECTNESS_LOCAL_r02*
+# artifacts; array-typed outputs first — the driver hash has never seen an
+# array cell), plus hash_split_train_val (its bucket layout changed to
+# sorted-name order this round — the round-2 row is stale) and 4 rows-only
+# queries that have never had any driver row. The union of round-2 and
+# round-3 windows covers every oracle-backed query; every query, head and
+# tail, is still verified locally by tools/verify_correctness.py each round.
+_HEAD = [
+    # array-typed outputs first: driver-hash canonicalization of array
+    # cells is unobserved — if these mismatch, that's a new rule to learn
+    "label_centroid_embeddings",    # array<double> centroids
+    "user_event_type_sets",         # sorted collect_set arrays
+    # changed this round: sorted-split-name bucket layout (+ oracle)
+    "hash_split_train_val",
+    # hardened this round: non-identity redaction via seeded PII rows
+    "pii_redact_documents",
+    # TPC-H tail — locally green, never driver-recorded
+    "nation_trade_volume_q7",
+    "market_share_q8",
+    "product_type_profit_q9",
+    "important_part_stock_q11",
+    "priority_shipping_modes_q12",
+    "customer_order_distribution_q13",
+    "promo_revenue_share_q14",
+    "top_supplier_q15",
+    "supplier_diversity_q16",
+    "small_quantity_orders_q17",
+    "large_volume_customers_q18",
+    "discounted_bulk_revenue_q19",
+    "bulk_part_suppliers_q20",
+    "waiting_supplier_q21",
+    "dormant_rich_customers_q22",
+    "forecast_revenue_q6",
+    # SQL-API / grouping-analytics surface
+    "sql_grouping_sets_orders",
+    "sql_peak_revenue_day",
+    "cube_event_stats",
+    "hypertable_rollup",
+    "variant_props_buckets",
+    "json_props_profile",
+    # window / ranking / sessionization family
+    "order_value_quartiles_ntile",
+    "order_price_rank_metrics",
+    "running_user_value",
+    "sessionize_events_batch",
+    "stream_dedup_events",
+    "token_budget_chunks",
+    "lang_quota_sample",
+    # joins / set ops / profiling
+    "top1_order_by_price",
+    "customer_order_revenue",
+    "broadcast_dim_join",
+    "customers_with_orders",
+    "customers_without_orders",
+    "fk_orphan_lineitems",
+    "event_type_audiences",
+    "distinct_order_priorities",
+    "daily_event_profile",
+    "stats_quantity_price",
+    "profile_orders_columns",
+    "parts_catalog_labels",
+    "doc_fingerprints",
+    # rows-only queries with no driver row from any round (weak check,
+    # but proves they run under the driver environment)
+    "curation_funnel",
     "table_history_ops",
-    "curation_funnel",              # assembly of 4 oracle-checked components
+    "knn_ivf_cells",
+    "approx_distinct_users",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, priority-ordered
-    so the driver's 50-entry correctness window covers every oracle-backed,
-    operator-distinct query."""
-    head = {n: f for n, f in QUERIES.items() if n not in _TAIL}
-    tail = {n: QUERIES[n] for n in _TAIL if n in QUERIES}
+    """Priority-ordered so the driver's 50-entry correctness window records
+    the round-3 promotion set (_HEAD); the tail holds the queries already
+    driver-green in CORRECTNESS_r02.json plus two approximate rows-only
+    entries (knn_lsh_bucketed, approx_value_percentiles — both pinned by
+    recall/percentile tests in pytest)."""
+    head = {n: QUERIES[n] for n in _HEAD}
+    tail = {n: f for n, f in QUERIES.items() if n not in head}
     return {**head, **tail}
 
 

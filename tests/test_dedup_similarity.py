@@ -32,8 +32,10 @@ def test_minhash_finds_planted_near_dups(spark):
 
 
 def test_lsh_knn_recall_vs_bruteforce(spark):
-    """ANN recall@5 ≥ 0.4 against exact top-5 on the testdata (random
-    embeddings are a worst case for LSH; planted structure raises this)."""
+    """ANN recall@5 ≥ 0.8 against exact top-5 on the testdata — random
+    embeddings are the worst case for sign-LSH, and the 4-table
+    OR-construction + multi-probe must clear 0.8 even there (measured
+    0.95; planted structure in real embeddings only raises recall)."""
     emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     exact = {
@@ -45,7 +47,28 @@ def test_lsh_knn_recall_vs_bruteforce(spark):
         for r in lsh_bucketed_knn(q, emb, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"recall {recall}"
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_lsh_knn_single_table_weaker_than_two(spark):
+    """The OR-construction is the recall lever: adding the second table
+    must never lose neighbors found by table 1 alone (candidate sets are
+    supersets), and on this data it strictly helps."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_knn(q, emb, k=5, n_tables=1).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_knn(q, emb, k=5, n_tables=2).collect()
+    }
+    assert len(two & exact) >= len(one & exact)
 
 
 def test_simhash_near_dups_are_hamming_close(spark):
