@@ -95,6 +95,169 @@ def gapfill_nation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_event_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT bucket_ts, event_type, n_events,
+             list(n_events) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+      FROM hourly
+    )
+    SELECT bucket_ts, event_type, n_events,
+           list_sum(list_transform(arr,
+               (x, i) -> x * pow(2.0, CAST(i - len(arr) AS DOUBLE))))
+           / list_sum(list_transform(arr,
+               (x, i) -> pow(2.0, CAST(i - len(arr) AS DOUBLE))))
+             AS ewma
+    FROM w
+    ORDER BY event_type, bucket_ts
+    """,
+)
+def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.5) of hourly event counts
+    per event_type over the trailing 32 observed buckets.
+
+    The reference's rollup surface stops at plain windowed means
+    (transform_gold_analytics.py's daily aggregates); EWMA is the smoothing
+    a monitoring/forecasting consumer layers on top. Window input is the
+    hourly ROLLUP (≤ |types|·hours rows), so the smoothing pass is free at
+    any fact-table scale — one shuffle for the rollup, one for the per-type
+    window.
+
+    Cross-engine determinism is by construction, not luck: α=1/2 makes
+    every weight 2^-k (exactly representable), counts are integers ≤ 2^11,
+    so every term n·2^-k and every partial sum is an exact dyadic rational
+    within the 52-bit mantissa — summation ORDER cannot change the result
+    (unlike general double sums), and the final division is a single
+    correctly-rounded IEEE op. DuckDB's lambda index is 1-based while
+    Spark's is 0-based; both sides normalize the newest-element weight to
+    2^0 (older terms halve from there), identical term-for-term."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-31, Window.currentRow)
+    )
+    arr = F.collect_list("n_events").over(win)
+    w = hourly.select("bucket_ts", "event_type", "n_events", arr.alias("arr"))
+    m = F.size("arr")
+    # Spark lambda index is 0-based: element j of m gets weight 2^(j+1-m),
+    # matching DuckDB's 1-based 2^(i-m): newest term always weighs 2^-1.
+    num = F.aggregate(
+        F.transform(
+            "arr",
+            lambda x, i: x * F.pow(F.lit(2.0), (i + 1 - m).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            "arr",
+            lambda x, i: F.pow(F.lit(2.0), (i + 1 - m).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return w.select(
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        (num / den).alias("ewma"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+@query(
+    "ohlc_resample_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 14400) * 14400 AS bucket_s,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            (CAST(floor(epoch(ts)) AS BIGINT) // 14400)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            (CAST(floor(epoch(ts)) AS BIGINT) // 14400)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket_s,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS total_value
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket_s
+    """,
+)
+def ohlc_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: open/high/low/close of `value` per (event_type,
+    4-hour bucket) — the reference's core market-data downsample shape
+    (transform_gold_analytics.py's daily OHLC rollups) generalized to any
+    bucket width.
+
+    First/last within a bucket tiebreak on (ts, event_id) via two
+    row_number windows; both windows and the final groupBy hash on the
+    SAME (event_type, bucket) keys, so Catalyst plans ONE exchange for all
+    three — the rollup costs a single shuffle of the fact table, exactly
+    what a 100-TB resample must be. Bucket is integer epoch-seconds
+    arithmetic (no tz/halfway risk); high/low/open/close are exact value
+    picks; total_value goes through the exact decimal sum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # timestamp→long truncates to whole seconds (floor for post-epoch),
+    # matching the oracle's floor(epoch(ts)); `div` keeps it integer math.
+    bucket = F.expr("(CAST(ts AS BIGINT) div 14400) * 14400")
+    e = ev.select(
+        "event_type",
+        bucket.alias("bucket_s"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bucket_s").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = e.select(
+        "event_type",
+        "bucket_s",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        e.groupBy("event_type", "bucket_s")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+@query(
     "event_rate_anomalies",
     oracle="""
     WITH hourly AS (

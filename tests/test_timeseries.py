@@ -91,3 +91,99 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     top0 = [r for r in out if r["doc_id"] == 0 and r["term_rank"] == 1][0]
     assert top0["token"] == "zebra"  # df=1 beats df=3 at equal-ish tf
     assert top0["df"] == 1
+
+
+def _events_df(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # two 4h buckets for type "t": bucket 0 has a tie on ts (event_id
+        # breaks it), bucket 1 is a singleton.
+        (1, base + dt.timedelta(minutes=5), 7, "t", 10.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 7, "t", 30.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 8, "t", 5.0, "{}"),
+        (4, base + dt.timedelta(hours=5), 8, "t", 99.0, "{}"),
+        (5, base + dt.timedelta(hours=1), 9, "u", 1.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_ohlc_resample_semantics(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.queries_timeseries import (
+        ohlc_resample_events,
+    )
+
+    _events_df(spark).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["event_type"], r["bucket_s"]): r
+        for r in ohlc_resample_events(spark, str(tmp_path)).collect()
+    }
+    b0 = out[("t", 1704067200 // 14400 * 14400)]
+    # tie on ts at +5min: event_id 1 < 2, so open=10.0; close is the last
+    # row of the bucket (+3h, value 5.0).
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (
+        10.0, 30.0, 5.0, 5.0,
+    )
+    assert b0["n_events"] == 3 and b0["total_value"] == 45.0
+    b1 = out[("t", (1704067200 + 5 * 3600) // 14400 * 14400)]
+    assert (b1["open"], b1["close"], b1["n_events"]) == (99.0, 99.0, 1)
+    assert ("u", 1704067200 // 14400 * 14400) in out
+
+
+def test_ohlc_plans_single_exchange(spark, tmp_path):
+    """Both row_number windows and the groupBy hash on the same keys — the
+    whole rollup must cost ONE shuffle of the fact table."""
+    from high_volume_market_data_pipeline_spark.queries_timeseries import (
+        ohlc_resample_events,
+    )
+
+    _events_df(spark).write.parquet(str(tmp_path / "events.parquet"))
+    plan = (
+        ohlc_resample_events(spark, str(tmp_path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hashpartitioning exchange for window+agg, one rangepartitioning
+    # for the final orderBy — no third.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_event_rate_exact_halving(spark, tmp_path):
+    """With two observed buckets of counts a then b, ewma = (a/2 + b)/1.5 —
+    exact dyadic arithmetic, no tolerance needed."""
+    import datetime as dt
+
+    from high_volume_market_data_pipeline_spark.queries_timeseries import (
+        ewma_event_rate,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for k in range(4):  # hour 0: 4 events
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=k), 1, "t", 1.0, "{}"))
+    for k in range(2):  # hour 1: 2 events
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(hours=1, minutes=k), 1, "t", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        ewma_event_rate(spark, str(tmp_path)).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    assert [r["n_events"] for r in out] == [4, 2]
+    assert out[0]["ewma"] == 4.0
+    # weights (oldest->newest) = 1/2, 1: (4*0.5 + 2*1) / 1.5
+    assert out[1]["ewma"] == (4 * 0.5 + 2 * 1.0) / 1.5

@@ -1,0 +1,97 @@
+"""Scaling bench: run a scale-critical query subset at sf0.1 and at the
+10x tier built by tools/make_scale_data.py, and report the wall-clock
+ratio per query.
+
+A data-linear operator on local[32] should show ratio <= ~10 on a 10x
+input (usually much less, because per-job fixed overhead amortizes); a
+super-linear ratio flags a plan that would not survive 100 TB. Results go
+to stdout as one JSON line; BASELINE.md records the table.
+
+Run SOLO (no concurrent pytest/bench) — NOTES.md documents +-45% timing
+drift on a loaded host.
+
+Usage: python tools/bench_scale.py [--out BENCH_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from high_volume_market_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from high_volume_market_data_pipeline_spark.session import build_session  # noqa: E402
+
+# The most expensive bench rows plus every operator family whose 100-TB
+# story rests on a blocking/bucketing design worth measuring.
+SCALE_SET = [
+    "pricing_summary",            # full-scan agg (q1)
+    "revenue_by_nation_q5",       # multi-join + broadcast dims
+    "large_volume_customers_q18", # big-side groupBy + semi join
+    "market_share_q8",            # deep join tree
+    "sessionize_events_batch",    # window over user partitions
+    "user_event_run_features",    # bucketed applyInPandas
+    "minhash_lsh_near_dup",       # banded LSH pair generation
+    "simhash_documents",          # pure column-expr hashing
+    "ngram_jaccard_blocked",      # blocked quadratic (honest exact path)
+    "dedup_clusters",             # iterative connected components
+    "embedding_near_dup",         # sign-LSH bucket equi-join
+    "knn_ivf_cells",              # k-means fit + inverted lists
+    "tfidf_top_terms",            # two-pass corpus stats
+    "curation_funnel",            # 4-stage composite plan
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
+)
+
+
+def _run(spark, name: str, sf_dir: str) -> float:
+    start = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - start, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if not os.path.isdir(SF1):
+        raise SystemExit("run tools/make_scale_data.py first")
+    spark = build_session(app_name="hvmdp-bench-scale")
+    rows: dict[str, dict[str, float]] = {}
+    try:
+        _run(spark, "distinct_order_priorities", SF01)  # warmup
+        for name in SCALE_SET:
+            t_small = _run(spark, name, SF01)
+            t_big = _run(spark, name, SF1)
+            rows[name] = {
+                "sf0.1_sec": t_small,
+                "sf1_sec": t_big,
+                "ratio": round(t_big / t_small, 2),
+            }
+            print(f"# {name}: {t_small}s -> {t_big}s ({rows[name]['ratio']}x)",
+                  file=sys.stderr)
+    finally:
+        spark.stop()
+    doc = {
+        "metric": "scale_ratio_10x",
+        "unit": "sec",
+        "queries": rows,
+        "copies": 10,
+        "worst_ratio": max(r["ratio"] for r in rows.values()),
+    }
+    line = json.dumps(doc)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
