@@ -288,3 +288,82 @@ def stream_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day_start"), "n_name", "n_events"
     ).orderBy("day_start", "n_name")
+
+
+@query(
+    "stream_quality_ledger",
+    oracle="""
+    WITH v AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT COALESCE(
+              event_type IN ('click','view','purchase','signup','error'),
+              FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS event_type_known,
+        CAST(SUM(CASE WHEN NOT COALESCE(ts IS NOT NULL, FALSE)
+              THEN 1 ELSE 0 END) AS BIGINT) AS ts_not_null,
+        CAST(SUM(CASE WHEN NOT COALESCE(user_id > 0, FALSE)
+              THEN 1 ELSE 0 END) AS BIGINT) AS user_id_positive,
+        CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE)
+              THEN 1 ELSE 0 END) AS BIGINT) AS value_nonnegative,
+        COUNT(*) AS n
+      FROM events
+    )
+    SELECT rule, n AS n_rows, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'event_type_known' AS rule, n, event_type_known
+               AS n_violations FROM v
+      UNION ALL
+      SELECT 'ts_not_null', n, ts_not_null FROM v
+      UNION ALL
+      SELECT 'user_id_positive', n, user_id_positive FROM v
+      UNION ALL
+      SELECT 'value_nonnegative', n, value_nonnegative FROM v
+    )
+    ORDER BY rule
+    """,
+)
+def stream_quality_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate, end-state-checked: the events stream
+    runs through streaming/quality.monitor_expectations (foreachBatch →
+    check_expectations per micro-batch → parquet ledger append), then the
+    ledger is folded over batches into one row per rule — which must equal
+    the batch expectation report DuckDB computes over the full table.
+
+    This is the composition the module docstrings promise (batch DQ
+    operator reused verbatim per micro-batch); registering it makes the
+    gate itself an oracle-checked query rather than pytest-only. The
+    per-batch report is rule-count-sized, so the ledger fold costs nothing
+    at any stream rate; violation counts are integers — no float risk."""
+    import tempfile
+
+    rules = {
+        "event_type_known": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "ts_not_null": F.col("ts").isNotNull(),
+        "user_id_positive": F.col("user_id") > 0,
+        "value_nonnegative": F.col("value") >= 0,
+    }
+    from high_volume_market_data_pipeline_spark.streaming.quality import (
+        monitor_expectations,
+    )
+
+    sdf = _events_stream(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="hvmdp_dq_ledger_")
+    ledger_path = os.path.join(scratch, "ledger")
+    q = monitor_expectations(
+        sdf,
+        rules,
+        log_path=ledger_path,
+        checkpoint=os.path.join(scratch, "ckpt"),
+    )
+    q.awaitTermination()
+    ledger = spark.read.parquet(ledger_path)
+    return (
+        ledger.groupBy("rule")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_violations").alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("rule")
+    )

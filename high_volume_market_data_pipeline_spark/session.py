@@ -52,9 +52,20 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = shuffle_partitions_for(cpus)
 
+    # In local mode the driver JVM IS the cluster; Spark's 1g default heap
+    # is sized for a thin cluster driver, not for 32 executor threads plus
+    # 64MB-threshold AQE broadcast builds (a broadcast hash relation costs
+    # several times its on-wire size to build — at 10x data the default
+    # heap dies in BroadcastExchangeExec before any real limit is hit).
+    # Only effective when this process launches the JVM; on a real cluster
+    # spark-submit owns the sizing and this conf is ignored.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         # --- Adaptive execution (spark_manager.py:170-181) ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

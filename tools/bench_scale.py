@@ -57,6 +57,34 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return round(time.perf_counter() - start, 3)
 
 
+def _embedding_near_dup_planes(spark, sf_dir: str, n_planes: int) -> float:
+    """The embedding_near_dup pipeline with a chosen sign-LSH plane count.
+
+    The registered query pins n_planes=2 (its oracle embeds those two
+    hyperplanes as literals); at 10x data that fixed bucket count goes
+    quadratic per bucket. The 100-TB rule is planes ~ log2(n /
+    target_bucket_size): each extra plane halves expected bucket
+    occupancy. This variant measures that rule empirically."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        random_hyperplane_buckets,
+    )
+
+    start = time.perf_counter()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    emb = random_hyperplane_buckets(emb, n_planes=n_planes, dim=64)
+    out = embedding_near_dup_pairs(emb, block_col="bucket", threshold=0.3)
+    out.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -68,8 +96,14 @@ def main() -> None:
     try:
         _run(spark, "distinct_order_priorities", SF01)  # warmup
         for name in SCALE_SET:
-            t_small = _run(spark, name, SF01)
-            t_big = _run(spark, name, SF1)
+            try:
+                t_small = _run(spark, name, SF01)
+                t_big = _run(spark, name, SF1)
+            except Exception as exc:  # keep the sweep going; record it
+                rows[name] = {"error": str(exc).splitlines()[0][:200]}
+                print(f"# {name}: ERROR {rows[name]['error']}",
+                      file=sys.stderr)
+                continue
             rows[name] = {
                 "sf0.1_sec": t_small,
                 "sf1_sec": t_big,
@@ -77,14 +111,35 @@ def main() -> None:
             }
             print(f"# {name}: {t_small}s -> {t_big}s ({rows[name]['ratio']}x)",
                   file=sys.stderr)
+        # Scale-law check: at 10x vectors, +4 planes (4 bucket-halvings
+        # vs 10x growth) should hold per-bucket pair counts near sf0.1
+        # levels — the ratio must collapse vs the fixed-plane row above.
+        try:
+            t_small = _embedding_near_dup_planes(spark, SF01, 2)
+            t_big = _embedding_near_dup_planes(spark, SF1, 6)
+            rows["embedding_near_dup_scaled_planes"] = {
+                "sf0.1_sec": t_small,
+                "sf1_sec": t_big,
+                "ratio": round(t_big / t_small, 2),
+            }
+            print(
+                f"# embedding_near_dup_scaled_planes: {t_small}s -> {t_big}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            rows["embedding_near_dup_scaled_planes"] = {
+                "error": str(exc).splitlines()[0][:200]
+            }
     finally:
         spark.stop()
+    ok = [r for r in rows.values() if "ratio" in r]
     doc = {
         "metric": "scale_ratio_10x",
         "unit": "sec",
         "queries": rows,
         "copies": 10,
-        "worst_ratio": max(r["ratio"] for r in rows.values()),
+        "worst_ratio": max((r["ratio"] for r in ok), default=None),
+        "n_errors": len(rows) - len(ok),
     }
     line = json.dumps(doc)
     print(line)
