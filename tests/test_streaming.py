@@ -457,3 +457,43 @@ def test_monitor_expectations_per_batch_ledger(spark, tmp_path):
     want = batch_report.collect()[0]
     assert want["n_violations"] == 1
     assert sum(r["n_rows"] for r in rows) == want["n_rows"]
+
+
+def test_stream_quality_ledger_flags_seeded_violations(spark, tmp_path):
+    """End-to-end gate: seeded bad rows must surface as failed rules in the
+    folded ledger (the registered query's oracle only sees clean data)."""
+    import datetime as dt
+
+    from high_volume_market_data_pipeline_spark.queries_streaming import (
+        stream_quality_ledger,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 5, "click", 1.0, "{}"),
+        (2, base, -3, "click", 2.0, "{}"),       # user_id_positive fails
+        (3, base, 6, "mystery", 3.0, "{}"),      # event_type_known fails
+        (4, base, 7, "view", -0.5, "{}"),        # value_nonnegative fails
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single parquet FILE (like the testdata layout): the file-stream stage
+    # symlinks sf_dir/events.parquet and does not recurse into a directory.
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r["rule"]: r for r in stream_quality_ledger(spark, str(tmp_path)).collect()}
+    assert out["ts_not_null"]["passed"] is True
+    assert out["user_id_positive"]["n_violations"] == 1
+    assert out["event_type_known"]["n_violations"] == 1
+    assert out["value_nonnegative"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
