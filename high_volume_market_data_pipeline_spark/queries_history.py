@@ -87,3 +87,76 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_near_dedup", report.n_near),
     ]
     return spark.createDataFrame(rows, "stage STRING, n_docs BIGINT")
+
+
+@query(
+    "table_version_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+    v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, _change_type FROM (
+      SELECT v0.o_orderkey, v0.o_custkey, v0.o_totalprice,
+             'delete' AS _change_type
+      FROM v0 LEFT JOIN v1 USING (o_orderkey) WHERE v1.o_orderkey IS NULL
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_custkey, v1.o_totalprice, 'insert'
+      FROM v1 LEFT JOIN v0 USING (o_orderkey) WHERE v0.o_orderkey IS NULL
+      UNION ALL
+      SELECT v0.o_orderkey, v0.o_custkey, v0.o_totalprice,
+             'update_preimage'
+      FROM v0 JOIN v1 USING (o_orderkey)
+      WHERE v0.o_totalprice <> v1.o_totalprice
+         OR v0.o_custkey <> v1.o_custkey
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_custkey, v1.o_totalprice,
+             'update_postimage'
+      FROM v0 JOIN v1 USING (o_orderkey)
+      WHERE v0.o_totalprice <> v1.o_totalprice
+         OR v0.o_custkey <> v1.o_custkey
+    )
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def table_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed readout between two committed versions — the
+    row-level diff Delta's ``table_changes()`` serves, reconstructed from
+    snapshots by ``VersionedParquetTable.changes`` (keyed full-outer diff;
+    see sinks/history.py for the scale argument).
+
+    Unlike table_history_ops (wall-clock metadata ⇒ rows-only), the CHANGE
+    SET is pure SQL state: v0/v1 derive deterministically from orders
+    (drop keys %7=0, re-add them in v1, delete keys %11=0, bump price
+    +1.0 — IEEE-exact — on keys %5=0), so the oracle recomputes the same
+    diff relationally and the driver hash pins insert/delete/update
+    classification AND pre/post images end-to-end through the versioned
+    write→commit→read→diff machinery."""
+    root = os.path.join(tempfile.gettempdir(), "hvmdp_cdf_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table.write(base.filter(F.col("o_orderkey") % 7 != 0), "WRITE")
+    v1 = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    table.write(v1, "MERGE", {"keys": "o_orderkey"})
+
+    return table.changes(spark, 0, 1, key_cols=["o_orderkey"]).orderBy(
+        "o_orderkey", "_change_type"
+    )

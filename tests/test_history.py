@@ -107,3 +107,69 @@ def test_crashed_writer_leaves_current_version_intact(spark, table):
     removed = table.vacuum(keep_last=1)
     assert 42 in removed
     assert not os.path.exists(orphan)
+
+
+def test_changes_classifies_insert_delete_update(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    t.write(v0)
+    t.write(v1)
+    got = {
+        (r["id"], r["_change_type"]): (r["s"], r["v"])
+        for r in t.changes(spark, 0, 1, key_cols=["id"]).collect()
+    }
+    assert got == {
+        (1, "delete"): ("a", 10.0),
+        (3, "update_preimage"): ("c", 30.0),
+        (3, "update_postimage"): ("c", 99.0),
+        (4, "insert"): ("d", 40.0),
+    }  # id=2 unchanged: no row
+
+
+def test_changes_null_safe_and_non_adjacent(spark, tmp_path):
+    """NULL→value counts as a change (eqNullSafe, not =), and the diff
+    works across non-adjacent versions."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf2"))
+    t.write(spark.createDataFrame([(1, None)], "id long, v string"))
+    t.write(spark.createDataFrame([(1, "mid")], "id long, v string"))
+    t.write(spark.createDataFrame([(1, "x")], "id long, v string"))
+    got = sorted(
+        (r["_change_type"], r["v"])
+        for r in t.changes(spark, 0, 2, key_cols=["id"]).collect()
+    )
+    assert got == [("update_postimage", "x"), ("update_preimage", None)]
+
+
+def test_changes_plan_is_single_equi_join(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf3"))
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    t.write(df)
+    t.write(df)
+    plan = (
+        t.changes(spark, 0, 1, key_cols=["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
