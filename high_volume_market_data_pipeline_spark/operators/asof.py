@@ -37,10 +37,23 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join; unmatched left rows keep nulls
-    (left-join semantics). Right value columns arrive as ``prefix+name``;
-    ``prefix+right_ts`` carries the matched timestamp."""
+    """Inclusive as-of join; unmatched left rows keep nulls (left-join
+    semantics). Right value columns arrive as ``prefix+name``;
+    ``prefix+right_ts`` carries the matched timestamp.
+
+    ``direction="backward"`` (default) attaches the most recent right row
+    with right_ts ≤ t; ``"forward"`` the earliest with right_ts ≥ t (the
+    same union+window plan with the per-key sort reversed — still one
+    shuffle, no join). ``tolerance`` (seconds for timestamps, plain units
+    for numerics) nulls out a match farther than that from the left
+    timestamp — pandas ``merge_asof`` semantics: the NEAREST match is
+    found first, then dropped if stale, never replaced by a farther
+    in-tolerance row."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     carried = [right_ts, *right_values]
@@ -64,20 +77,41 @@ def asof_join(
     )
 
     unioned = tagged_left.unionByName(tagged_right)
+    # Backward scans time ascending; forward scans descending. Either way
+    # right rows (_SIDE=0) sort before left rows at equal ts, so an exact
+    # tie is an inclusive match.
+    ts_order = (
+        F.col("_asof_ts") if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_asof_ts", _SIDE)
+        .orderBy(ts_order, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lcols,
         F.col(_SIDE),
+        F.col("_asof_ts"),
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in carried
         ],
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        matched = F.col(f"{prefix}{right_ts}").cast("double")
+        delta = F.abs(F.col("_asof_ts").cast("double") - matched)
+        keep = delta <= F.lit(float(tolerance))
+        out = out.select(
+            *lcols,
+            F.col(_SIDE),
+            F.col("_asof_ts"),
+            *[
+                F.when(keep, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+    return out.drop(_SIDE, "_asof_ts")
 
 
 def range_join(

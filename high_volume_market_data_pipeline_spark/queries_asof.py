@@ -97,3 +97,56 @@ def range_join_events_to_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("window_id", "event_id", "event_type").orderBy(
         "window_id", "event_id"
     )
+
+
+@query(
+    "asof_next_purchase_within_hour",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           c.ts,
+           CASE WHEN p.ts IS NOT NULL
+                 AND abs(epoch(c.ts) - epoch(p.ts)) <= 3600.0
+                THEN p.ts END AS next_ts,
+           CASE WHEN p.ts IS NOT NULL
+                 AND abs(epoch(c.ts) - epoch(p.ts)) <= 3600.0
+                THEN p.value END AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_next_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof parity): for every
+    click, the user's EARLIEST purchase at-or-after the click, nulled when
+    it lags more than an hour — conversion-attribution shape. Same
+    union+window plan as the backward query with the per-key sort
+    reversed; the tolerance is a post-filter on the matched timestamp
+    (nearest-then-drop, never replaced by a farther in-window row), so
+    both engines agree bit-exactly: the epoch delta is the same
+    micros/1e6 double on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_values=["value"],
+        direction="forward",
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_p_ts").alias("next_ts"),
+        F.col("asof_value").alias("next_value"),
+    ).orderBy("event_id")
