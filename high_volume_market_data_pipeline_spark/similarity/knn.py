@@ -214,6 +214,7 @@ def ivf_knn(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
     per-cell inverted lists → queries probe their ``n_probe`` nearest cells.
@@ -226,8 +227,14 @@ def ivf_knn(
     n/n_cells · n_probe; scale n_cells ~ √n as the corpus grows (the
     standard IVF sizing rule) and the per-cell lists stay shuffle-local.
 
-    Training cost is one k-means fit over the corpus (sample it at real
-    scale); at query time the centroid table (n_cells rows) broadcasts.
+    Training cost is one k-means fit over the corpus; ``fit_fraction``
+    fits on a deterministic md5 sample instead (FAISS trains IVF
+    quantizers on ~30-250 vectors/cell — at 100 TB fitting on the full
+    corpus is waste, and an RNG-free sample keeps the centroids, hence
+    the cell assignment, reproducible across runs and appends). Every
+    vector is still ASSIGNED to a cell; only the Lloyd iterations read
+    the sample. At query time the centroid table (n_cells rows)
+    broadcasts.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -254,10 +261,21 @@ def ivf_knn(
     # Coarse quantizer: a handful of Lloyd iterations is enough — cells
     # only need to be roughly balanced, not converged (FAISS uses 10-25 on
     # samples; recall is governed by n_probe, not centroid polish).
+    fit_input = ml
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from high_volume_market_data_pipeline_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        n_buckets = 10_000
+        bound = max(1, int(round(fit_fraction * n_buckets)))
+        fit_input = ml.filter(
+            hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
+        )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="_features", predictionCol="cell",
-    ).fit(ml)
+    ).fit(fit_input)
     inverted = model.transform(ml).select("neighbor_id", "cv", "cell")
     inverted = inverted.localCheckpoint(eager=True)
     ml.unpersist()
