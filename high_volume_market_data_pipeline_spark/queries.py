@@ -515,3 +515,4 @@ from high_volume_market_data_pipeline_spark import queries_history  # noqa: E402
 from high_volume_market_data_pipeline_spark import queries_curation  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_timeseries  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_quality  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_behavior  # noqa: E402,F401
