@@ -83,9 +83,13 @@ def asof_join(
     ts_order = (
         F.col("_asof_ts") if direction == "backward" else F.col("_asof_ts").desc()
     )
+    # Trailing _r_* sort keys: two right rows with the SAME (key, ts) would
+    # otherwise resolve by partition-internal order — nondeterministic in a
+    # distributed engine. With them, the largest carried tuple wins the tie,
+    # every run (left rows carry all-null _r_* and are unaffected).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, _SIDE)
+        .orderBy(ts_order, _SIDE, *[F.col(f"_r_{c}") for c in carried])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

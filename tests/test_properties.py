@@ -265,3 +265,117 @@ def test_interleave_bits_matches_python_reference(spark, pairs):
 
     for i, a, b in rows:
         assert got[i] == ref(a, b), (a, b, got[i], ref(a, b))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=50),   # left ts
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=50),   # right ts (unique per key)
+        ),
+        st.integers(min_value=-9, max_value=9),       # value
+        min_size=0,
+        max_size=15,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 3.0, 10.0]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rmap, direction, tol):
+    """asof_join ≡ pandas merge_asof (the de-facto reference semantics) for
+    both directions and tolerances, on inputs without duplicate right
+    timestamps per key (where pandas breaks ties by input order, which a
+    distributed engine cannot honor)."""
+    import math
+
+    import pandas as pd
+
+    from high_volume_market_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)],
+        "k int, t double, row_id int",
+    )
+    rrows = [(k, float(t), float(v)) for (k, t), v in rmap.items()]
+    right = spark.createDataFrame(
+        rrows or [(99, 0.0, 0.0)], "k int, rt double, val double"
+    )
+    got = {
+        r["row_id"]: (r["asof_rt"], r["asof_val"])
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            right_values=["val"], direction=direction, tolerance=tol,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)],
+        columns=["k", "t", "row_id"],
+    ).sort_values(["t", "row_id"])
+    rpd = pd.DataFrame(
+        rrows or [(99, 0.0, 0.0)], columns=["k", "rt", "val"]
+    ).sort_values(["rt", "k"])
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", by="k",
+        direction=direction, allow_exact_matches=True,
+        tolerance=tol,
+    )
+    for _, row in merged.iterrows():
+        want = (
+            None if math.isnan(row["rt"]) else row["rt"],
+            None if math.isnan(row["val"]) else row["val"],
+        )
+        assert got[row["row_id"]] == want, (
+            direction, tol, lrows, rmap, row["row_id"], got[row["row_id"]], want,
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-3, max_value=3),
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-3, max_value=3),
+        max_size=10,
+    ),
+)
+def test_version_changes_matches_dict_diff(spark, tmp_path_factory, pre, post):
+    """changes() ≡ the obvious dict diff for any pair of keyed states."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    root = tmp_path_factory.mktemp("cdfprop")
+    t = VersionedParquetTable(str(root))
+    t.write(spark.createDataFrame(
+        list(pre.items()) or [(99, 0)], "id int, v int"))
+    t.write(spark.createDataFrame(
+        list(post.items()) or [(99, 0)], "id int, v int"))
+    pre = dict(pre) or {99: 0}
+    post = dict(post) or {99: 0}
+    want = set()
+    for k in pre.keys() - post.keys():
+        want.add((k, pre[k], "delete"))
+    for k in post.keys() - pre.keys():
+        want.add((k, post[k], "insert"))
+    for k in pre.keys() & post.keys():
+        if pre[k] != post[k]:
+            want.add((k, pre[k], "update_preimage"))
+            want.add((k, post[k], "update_postimage"))
+    got = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in t.changes(spark, 0, 1, key_cols=["id"]).collect()
+    }
+    assert got == want
