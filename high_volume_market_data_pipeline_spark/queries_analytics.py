@@ -1944,3 +1944,72 @@ def order_price_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 199 == 0)
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "exact_percentiles_order_price",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = (cnt + 3) // 4 THEN o_totalprice END) AS p25,
+           MAX(CASE WHEN rn = (cnt + 1) // 2 THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN o_totalprice END) AS p75,
+           CAST(MAX(cnt) AS BIGINT) AS n_orders
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def exact_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p25/p50/p75, percentile_disc semantics:
+    the element at rank ceil(q·n), never an interpolated midpoint) of
+    order price per priority — the hash-checked exact twin of
+    approx_value_percentiles (whose sketch is rows-only by contract).
+
+    One window pass ranks within each group and a conditional-aggregate
+    GROUP BY on the same key picks the three rank positions — the window
+    and the aggregate share one Exchange. Picking an ACTUAL element keeps
+    the result bit-exact in both engines (interpolation would average two
+    doubles — safe, but percentile_CONT halfway cases are the kind of
+    cross-engine risk NOTES.md rule 4 bans); ties rank deterministically
+    by (price, orderkey). Exact per-group sort is the honest cost model at
+    scale; the sketch query is the 100 TB path, same as the dedup pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+
+    def pick(expr):
+        return F.max(F.when(F.col("rn") == expr, F.col("o_totalprice")))
+
+    cnt = F.col("cnt")
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            pick(F.floor((cnt + 3) / 4)).alias("_x25"),
+            pick(F.floor((cnt + 1) / 2)).alias("_x50"),
+            pick(F.floor((3 * cnt + 3) / 4)).alias("_x75"),
+            F.max("cnt").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("_x25").alias("p25"),
+            F.col("_x50").alias("p50"),
+            F.col("_x75").alias("p75"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
