@@ -12,7 +12,14 @@ from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
     byte_features,
     decode_image,
     frame_sample,
+    resize_raw,
     to_binary_assets,
 )
 
-__all__ = ["byte_features", "decode_image", "frame_sample", "to_binary_assets"]
+__all__ = [
+    "byte_features",
+    "decode_image",
+    "frame_sample",
+    "resize_raw",
+    "to_binary_assets",
+]

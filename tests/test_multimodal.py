@@ -75,3 +75,40 @@ def test_binary_file_source_feeds_byte_features(spark, tmp_path):
     }
     assert feats == {len(blobs["a.img"]): (0x01, 0x7F),
                      len(blobs["b.img"]): (0x02, 0x7E)}
+
+
+def test_resize_raw_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
+        resize_raw,
+    )
+
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    bad = b"\x00\x01\x02"  # length != w*h
+    df = spark.createDataFrame(
+        [(1, bytes(grid.tobytes()), 4, 4), (2, bad, 4, 4)],
+        "asset_id long, content binary, width int, height int",
+    )
+    out = {r["asset_id"]: r for r in resize_raw(df, 2, 2).collect()}
+    ys = (np.arange(2) * 4) // 2
+    want = grid[np.ix_(ys, ys)].tobytes()
+    assert bytes(out[1]["content"]) == want
+    assert (out[1]["width"], out[1]["height"], out[1]["ok"]) == (2, 2, True)
+    assert out[2]["content"] is None and out[2]["ok"] is False
+
+
+def test_resize_raw_upscale_and_downscale_roundtrip_shape(spark):
+    import numpy as np
+
+    from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
+        resize_raw,
+    )
+
+    grid = np.full((3, 5), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytes(grid.tobytes()), 5, 3)],
+        "asset_id long, content binary, width int, height int",
+    )
+    up = resize_raw(df, 10, 6).collect()[0]
+    assert len(bytes(up["content"])) == 60 and set(bytes(up["content"])) == {7}
