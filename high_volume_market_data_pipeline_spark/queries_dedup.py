@@ -296,3 +296,79 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    strong AS (
+      SELECT id_a, id_b FROM scored_pairs WHERE est_jaccard >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM strong
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM strong
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), best AS (
+      SELECT cluster_id, MAX(n_chars) AS best_chars
+      FROM allc GROUP BY cluster_id
+    ), keeper AS (
+      SELECT a.cluster_id, MIN(a.doc_id) AS keep_id
+      FROM allc a JOIN best b
+        ON a.cluster_id = b.cluster_id AND a.n_chars = b.best_chars
+      GROUP BY a.cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, a.n_chars,
+           a.doc_id = k.keep_id AS is_kept
+    FROM allc a JOIN keeper k USING (cluster_id)
+    ORDER BY a.doc_id
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: LSH pairs → connected components →
+    keep the LONGEST document per cluster (tiebreak min doc_id), not the
+    min-id one — the curation policy that matters in practice (near-dup
+    groups usually contain truncated/boilerplate variants; keeping min-id
+    throws away the best copy half the time). Docs outside every pair are
+    their own singleton cluster and always kept.
+
+    The keeper choice is one row_number window over the clustered frame
+    (cluster-count-sized, not corpus-sized); everything upstream reuses
+    the oracle-checked pair/component machinery of dedup_clusters."""
+    from pyspark.sql import Window
+
+    from high_volume_market_data_pipeline_spark.dedup.clustering import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    cc = connected_components(pairs)
+    allc = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, docs.doc_id == cc.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        allc.withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_chars", "is_kept")
+        .orderBy("doc_id")
+    )
