@@ -497,3 +497,60 @@ def test_stream_quality_ledger_flags_seeded_violations(spark, tmp_path):
     assert out["event_type_known"]["n_violations"] == 1
     assert out["value_nonnegative"]["n_violations"] == 1
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_rate_micro_batch_source_drives_tumbling_windows(spark):
+    """SURVEY §2.10's rate-source demo: Spark's deterministic
+    rate-micro-batch source (fixed rows per batch, fixed event-time
+    advance per batch) feeds the same tumbling-window operator the file
+    stream uses. Every completed 1-minute window must hold exactly one
+    batch's rows."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.streaming import (
+        tumbling_window_agg,
+    )
+
+    sdf = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("numPartitions", 1)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60000)
+        .load()
+    )
+    agg = tumbling_window_agg(
+        sdf, "timestamp", "1 minute", [],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v")],
+    )
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(rows) >= 3
+    # batch k rows are values [10k, 10k+10) stamped at minute k:
+    # each window holds exactly its batch, sum = 10*(100k+...)= arithmetic
+    by_start = {r["window"].start.minute + 60 * r["window"].start.hour: r for r in rows}
+    for k in (0, 1):  # earliest windows are certainly complete
+        assert by_start[k]["n"] == 10
+        assert by_start[k]["sum_v"] == sum(range(10 * k, 10 * k + 10))
