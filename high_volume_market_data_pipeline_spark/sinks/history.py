@@ -156,7 +156,11 @@ class VersionedParquetTable:
         shuffle once on the same key — co-partitioned, no broadcast of a
         data-sized side), null-safe column compares JVM-side, then a
         two-element array explode for updates. Linear in |v_from|+|v_to|
-        at any scale."""
+        at any scale.
+
+        ``key_cols`` must uniquely identify rows within each snapshot
+        (the same precondition Delta MERGE enforces); duplicate keys fan
+        the diff join out and the classification is undefined."""
         pre = self.read(spark, version=v_from)
         post = self.read(spark, version=v_to)
         data_cols = [c for c in pre.columns if c not in key_cols]
