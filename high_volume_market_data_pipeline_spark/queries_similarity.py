@@ -73,7 +73,8 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     ann = lsh_bucketed_knn(q, emb, k=_K)
-    exact = brute_force_knn(q, emb, k=_K)
+    # recall twin: ranking-only, so the Arrow scorer is safe (values not hashed)
+    exact = brute_force_knn(q, emb, k=_K, vectorized=True)
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
 
 
@@ -150,7 +151,8 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     ann = ivf_knn(q, emb, k=_K)
-    exact = brute_force_knn(q, emb, k=_K)
+    # recall twin: ranking-only, so the Arrow scorer is safe (values not hashed)
+    exact = brute_force_knn(q, emb, k=_K, vectorized=True)
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
 
 

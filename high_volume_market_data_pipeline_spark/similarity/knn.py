@@ -30,29 +30,49 @@ from high_volume_market_data_pipeline_spark.functions.vectors import (
 )
 
 
+def _cosine_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
+    a = np.asarray(qv.tolist(), dtype=np.float64)
+    b = np.asarray(cv.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return pd.Series(num / den)
+
+
 def brute_force_knn(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine, knn_rank), excluding
-    self-matches; rank ties broken by neighbor id (deterministic)."""
+    self-matches; rank ties broken by neighbor id (deterministic).
+
+    ``vectorized=True`` scores pairs with an Arrow-batched numpy einsum —
+    much faster (interpreted HOF folds are the cost; NOTES.md rule 6) but
+    its float64 sum order differs from the expression fold in last-ulp
+    digits, so use it ONLY where cosine VALUES are not driver-hashed
+    (the recall twins inside the ANN queries); the default expression
+    scorer stays bit-identical to the SQL oracle."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
+    if vectorized:
+        from pyspark.sql.functions import pandas_udf
+
+        scorer = pandas_udf(_cosine_batch, "double")(
+            F.col("qv"), F.col("cv")
+        )
+    else:
+        scorer = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("_cos"),
-        )
+        .select("query_id", "neighbor_id", scorer.alias("_cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
     return (
@@ -241,13 +261,7 @@ def lsh_bucketed_knn(
     # fold only in last-ulp digits — irrelevant to ranking and to this
     # query's rows-only/recall grading; brute_force_knn keeps the
     # expression scorer because its cosine VALUES are driver-hashed.
-    @pandas_udf("double")
-    def _cos_vec(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        a = np.asarray(qv.tolist(), dtype=np.float64)
-        b = np.asarray(cv.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        return pd.Series(num / den)
+    _cos_vec = pandas_udf(_cosine_batch, "double")
 
     # Score BEFORE deduping: a duplicate candidate costs one extra
     # vectorized dot map-side, but deduping first would push the vectors
