@@ -51,9 +51,21 @@ def asof_join(
     for numerics) nulls out a match farther than that from the left
     timestamp — pandas ``merge_asof`` semantics: the NEAREST match is
     found first, then dropped if stale, never replaced by a farther
-    in-tolerance row."""
+    in-tolerance row.
+
+    ``direction="nearest"`` picks whichever of the backward/forward match
+    is closer in time (ties → backward, like pandas); it chains the two
+    directional passes, so it costs two key-shuffles where each direction
+    alone costs one."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key, left_ts, right_ts, right_values, prefix,
+            tolerance,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     carried = [right_ts, *right_values]
@@ -116,6 +128,59 @@ def asof_join(
             ],
         )
     return out.drop(_SIDE, "_asof_ts")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    prefix: str,
+    tolerance: float | None,
+) -> DataFrame:
+    """Nearest-match as-of: the backward fill's output (left frame +
+    ``_b_*``) feeds the forward pass directly — no re-join on row
+    identity, so left rows need no unique key — then the closer candidate
+    wins per row (exact tie → backward, pandas' rule)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    lcols = left.columns
+    carried = [right_ts, *right_values]
+
+    bwd = asof_join(
+        left, right, key, left_ts, right_ts, right_values,
+        prefix="_b_", direction="backward",
+    )
+    # The backward result IS the left frame plus _b_* columns, so the
+    # forward pass runs on it directly — no re-join on row identity (left
+    # rows need no unique key).
+    both = asof_join(
+        bwd, right, key, left_ts, right_ts, right_values,
+        prefix="_f_", direction="forward",
+    )
+    t = F.col(left_ts).cast("double")
+    b_ts = F.col(f"_b_{right_ts}").cast("double")
+    f_ts = F.col(f"_f_{right_ts}").cast("double")
+    use_f = f_ts.isNotNull() & (b_ts.isNull() | ((f_ts - t) < (t - b_ts)))
+    chosen = [
+        F.when(use_f, F.col(f"_f_{c}"))
+        .otherwise(F.col(f"_b_{c}"))
+        .alias(f"{prefix}{c}")
+        for c in carried
+    ]
+    out = both.select(*lcols, *chosen)
+    if tolerance is not None:
+        matched = F.col(f"{prefix}{right_ts}").cast("double")
+        keep = F.abs(t - matched) <= F.lit(float(tolerance))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(keep, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+    return out
 
 
 def range_join(

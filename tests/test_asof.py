@@ -84,3 +84,25 @@ def test_asof_plan_has_no_join(spark):
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_picks_closer_side_tie_backward(spark):
+    left, right = _frames(spark)
+    # L2 at t=25: backward rt=20 (d=5), forward rt=40 (d=15) -> backward.
+    out = {
+        r["tag"]: r["asof_rt"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            right_values=["val"], direction="nearest",
+        ).collect()
+    }
+    assert out["L1"] == 10.0
+    assert out["L2"] == 20.0
+    assert out["L3"] is None
+    # exact-tie case: candidates equidistant -> backward wins (pandas rule)
+    l2 = spark.createDataFrame([("u", 30.0, "X")], "k string, t double, tag string")
+    out2 = asof_join(
+        l2, right, key="k", left_ts="t", right_ts="rt",
+        right_values=["val"], direction="nearest",
+    ).collect()[0]
+    assert out2["asof_rt"] == 20.0  # 20 and 40 both d=10 -> backward

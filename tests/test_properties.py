@@ -286,7 +286,7 @@ def test_interleave_bits_matches_python_reference(spark, pairs):
         min_size=0,
         max_size=15,
     ),
-    st.sampled_from(["backward", "forward"]),
+    st.sampled_from(["backward", "forward", "nearest"]),
     st.sampled_from([None, 3.0, 10.0]),
 )
 def test_asof_join_matches_pandas_merge_asof(spark, lrows, rmap, direction, tol):
