@@ -341,3 +341,50 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_ts")
     )
+
+
+@query(
+    "vwap_monthly_lineitem",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           l_returnflag,
+           {dsum_sql("l_extendedprice")} AS notional,
+           {dsum_sql("l_quantity")} AS volume,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS vwap,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY ship_month, l_returnflag
+    """,
+)
+def vwap_monthly_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP — THE market-data aggregate (the reference's gold layer
+    computes its daily analogue over trade candles): volume-weighted
+    average price per (ship month, return flag), with the notional and
+    volume legs alongside.
+
+    Determinism: both legs are exact decimal sums cast once to double
+    (summation-order-free), and the VWAP is a single correctly-rounded
+    IEEE division of those two doubles — bit-identical across engines,
+    no quantization needed. One partial+final aggregation, nothing else:
+    the canonical map-side-combine rollup at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    notional = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+        "double"
+    )
+    volume = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    return (
+        li.groupBy(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+            "l_returnflag",
+        )
+        .agg(
+            notional.alias("notional"),
+            volume.alias("volume"),
+            (notional / volume).alias("vwap"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("ship_month", "l_returnflag")
+    )
