@@ -516,3 +516,4 @@ from high_volume_market_data_pipeline_spark import queries_curation  # noqa: E40
 from high_volume_market_data_pipeline_spark import queries_timeseries  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_quality  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_behavior  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_market  # noqa: E402,F401
