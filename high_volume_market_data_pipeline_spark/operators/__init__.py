@@ -58,6 +58,8 @@ from high_volume_market_data_pipeline_spark.operators.quality import (
     check_expectations,
     check_referential,
     column_stats,
+    observed,
+    write_observed,
 )
 from high_volume_market_data_pipeline_spark.operators.layout import (
     compact_output,
@@ -73,6 +75,8 @@ __all__ = [
     "check_expectations",
     "check_referential",
     "column_stats",
+    "observed",
+    "write_observed",
     "except_distinct",
     "group_cap_sample",
     "hash_bucket",

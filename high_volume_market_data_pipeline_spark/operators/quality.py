@@ -114,6 +114,51 @@ def check_expectations(
     return stacked.select("s.*")
 
 
+def observed(
+    df: DataFrame, name: str, metrics: Mapping[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach named one-pass metrics to a DataFrame via ``df.observe`` —
+    Spark evaluates them as a side effect of whatever action next consumes
+    the frame, so instrumentation costs ZERO extra jobs and zero extra
+    scans.
+
+    This is the engine-side replacement for the reference's pattern of
+    running a separate ``count()`` action purely to log row counts
+    (extract_crypto_data.py:173, main_pipeline.py:274 — each a full
+    re-scan of the input): observe piggybacks the counters onto the write
+    itself. At 100 TB a redundant count job is a second pass over the
+    table; an observation is free.
+
+    Returns ``(observed_df, observation)``; read ``observation.get`` after
+    an action has run. Metrics must be aggregate expressions (count/sum/
+    min/max/...), per Spark's observe contract."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    metrics: Mapping[str, Column],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Write ``df`` and return ingest metrics from the SAME pass — the
+    one-job bronze-ingest instrumentation (rows written, null-key counts,
+    value ranges) the reference spends an extra count job on. The returned
+    dict is the observation result after the write action completes."""
+    obs_df, obs = observed(df, f"write:{path}", metrics)
+    w = obs_df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+    return dict(obs.get)
+
+
 def check_referential(
     fact: DataFrame,
     fact_key: str,

@@ -115,12 +115,24 @@ def curate_documents(
     same component. The embedding side never goes all-pairs: the bucket
     join keeps it per-block quadratic, same discipline as the text LSH.
     """
-    report = CurationReport()
-    report.n_input = docs.count()
+    from high_volume_market_data_pipeline_spark.operators.quality import (
+        observed,
+    )
 
-    profiled = profile_documents(docs, text_col)
+    report = CurationReport()
+    # The input count piggybacks on the quality gate's materialization via
+    # df.observe (CollectMetrics sits upstream of the filter, so the SAME
+    # job that builds the gated cache also counts the raw input) — the
+    # standalone docs.count() this replaces was a full extra scan of the
+    # corpus, a second 100-TB pass bought purely for a report line.
+    docs_obs, input_obs = observed(
+        docs, "curation_input", {"n": F.count(F.lit(1))}
+    )
+
+    profiled = profile_documents(docs_obs, text_col)
     gated = quality_gate(profiled, min_tokens, min_quality, langs).persist()
     report.n_quality = gated.count()
+    report.n_input = input_obs.get["n"]
     report.stages.append("quality_gate")
 
     kept_exact = exact_dedup(gated, text_col, id_col).select(

@@ -309,3 +309,35 @@ def test_zvalue_clustering_skips_on_both_columns(spark, tmp_path):
     # Z-value: BOTH columns cluster well below the full range.
     assert s_zed["a"] < 0.7 * full
     assert s_zed["b"] < 0.7 * full
+
+
+def test_write_observed_metrics_match_direct_agg(spark, tmp_path):
+    """df.observe metrics piggyback on the write action: the returned
+    counters must equal a direct aggregation, and the written table must
+    be intact (the observation must not perturb the data path)."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.operators import write_observed
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "observed_events")
+    got = write_observed(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_user": F.sum(F.col("user_id").isNull().cast("int")),
+            "max_value": F.max("value"),
+        },
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("n_null_user"),
+        F.max("value").alias("max_value"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["n_null_user"] == direct["n_null_user"]
+    assert got["max_value"] == direct["max_value"]
+    assert spark.read.parquet(out).count() == got["n_rows"]
