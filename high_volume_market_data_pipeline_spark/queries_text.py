@@ -375,3 +375,108 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+@query(
+    "source_reliability",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, text,
+             {_TOKS_SQL} AS toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), q AS (
+      SELECT source, lang,
+             ROUND(
+               0.5 * (len(list_filter(toks, t -> list_contains({_SW_SQL}, t))) / CAST(len(toks) AS DOUBLE))
+               + 0.4 * least(len(toks) / 64.0, 1.0)
+               + 0.1 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)),
+             6) AS quality,
+             len(toks) AS n_tokens,
+             COUNT(*) OVER (PARTITION BY fp) AS fp_cnt,
+             COUNT(*) OVER (
+               PARTITION BY md5(array_to_string(toks[1:8], ' '))
+             ) AS pfx_cnt
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fp_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           FLOOR((CAST(SUM(CASE WHEN fp_cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*)) * 1e6) / 1e6 AS dup_rate,
+           CAST(SUM(CASE WHEN pfx_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_docs,
+           FLOOR(CAST(SUM(CAST(floor(quality * 1e6) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*)) / 1e6 AS mean_quality,
+           FLOOR((CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) * 1e6) / 1e6
+             AS mean_tokens,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM q
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup: document count, exact-duplicate
+    share (docs whose content fingerprint appears ≥2 times corpus-wide),
+    mean quality, mean token count, and language spread — the dashboard a
+    curation pipeline uses to decide which feeds to keep, throttle, or
+    re-crawl (source-level triage is the step above the per-document
+    gates in plans/curation.py).
+
+    Alongside exact-dup share, ``n_boiler_docs`` counts docs sharing an
+    8-token PREFIX fingerprint with another doc — the boilerplate/template
+    indicator (crawled feeds prepend the same header to distinct bodies,
+    which exact fingerprints never catch).
+
+    Plan: one shuffle per fingerprint window (hash keys only — the text
+    stays in the scan stage), then a rollup on source; all aggregations
+    are partial+final. Determinism: dup flags and token counts are exact
+    integers; the quality double is computed identically in both engines,
+    floor-quantized to integer micro-units BEFORE the sum so the
+    per-source mean is exact integer math followed by single IEEE
+    divisions."""
+    from pyspark.sql import Window
+
+    from high_volume_market_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    pfx_fp = F.md5(
+        F.encode(F.array_join(F.slice(tokens(t), 1, 8), " "), "UTF-8")
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        fingerprint(t).alias("fp"),
+        pfx_fp.alias("pfx"),
+        quality_score(t).alias("quality"),
+        token_count(t).alias("n_tokens"),
+    )
+    q = base.withColumn(
+        "fp_cnt", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).withColumn(
+        "pfx_cnt", F.count(F.lit(1)).over(Window.partitionBy("pfx"))
+    )
+    dup = (F.col("fp_cnt") >= 2).cast("int")
+    boiler = (F.col("pfx_cnt") >= 2).cast("int")
+    n = F.count(F.lit(1))
+    return (
+        q.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            (F.floor((F.sum(dup).cast("double") / n) * F.lit(1e6)) / F.lit(1e6)).alias("dup_rate"),
+            F.sum(boiler).alias("n_boiler_docs"),
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("quality") * F.lit(1e6)).cast("bigint")).cast("double") / n
+                )
+                / F.lit(1e6)
+            ).alias("mean_quality"),
+            (F.floor((F.sum("n_tokens").cast("double") / n) * F.lit(1e6)) / F.lit(1e6)).alias("mean_tokens"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+        )
+        .orderBy("source")
+    )
