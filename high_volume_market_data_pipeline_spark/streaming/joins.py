@@ -28,7 +28,13 @@ def interval_join_streams(
 ) -> DataFrame:
     """Join two streams on ``key`` where the right event lands within
     (left_ts, left_ts + max_gap]. Both sides MUST carry distinct timestamp
-    column names. Watermarks bound both join-state buffers."""
+    column names. Watermarks bound both join-state buffers.
+
+    ``how="leftOuter"`` emits a null-padded row for each unmatched left
+    event once the watermark passes its time bound (state eviction is
+    what makes streaming outer joins well-defined) — exercised in
+    tests/test_streaming.py::
+    test_interval_join_left_outer_emits_unmatched_after_eviction."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

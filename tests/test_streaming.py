@@ -554,3 +554,77 @@ def test_rate_micro_batch_source_drives_tumbling_windows(spark):
     for k in (0, 1):  # earliest windows are certainly complete
         assert by_start[k]["n"] == 10
         assert by_start[k]["sum_v"] == sum(range(10 * k, 10 * k + 10))
+
+
+def test_interval_join_left_outer_emits_unmatched_after_eviction(
+    spark, tmp_path
+):
+    """leftOuter stream-stream join: a left row with no match inside the
+    time bound must emit ONCE, null-padded, after the watermark passes its
+    bound (state eviction) — and matched rows must never also emit a
+    null-padded twin. This is the capability inner joins don't exercise:
+    outer results only exist because bounded state is evicted."""
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from high_volume_market_data_pipeline_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    c_schema = StructType(
+        [
+            StructField("click_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    p_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("purchase_ts", TimestampType()),
+        ]
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    t10 = _ts(spark, "2024-01-01 10:00:00")
+    t1030 = _ts(spark, "2024-01-01 10:30:00")
+    t20 = _ts(spark, "2024-01-01 20:00:00")
+    # wave 1: c1 never matches; c2 matches p2 within the 2 h bound
+    spark.createDataFrame(
+        [(1, 1, t10), (2, 2, t10)], c_schema
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    spark.createDataFrame([(102, 2, t1030)], p_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    # wave 2: far-future rows push BOTH watermarks past c1's eviction bound
+    spark.createDataFrame([(9, 9, t20)], c_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(cdir)
+    spark.createDataFrame([(109, 9, t20)], p_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+
+    clicks = read_parquet_stream(spark, cdir, c_schema, max_files_per_trigger=1)
+    purchases = read_parquet_stream(
+        spark, pdir, p_schema, max_files_per_trigger=1
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_gap="2 hours",
+        watermark="1 hour",
+        how="leftOuter",
+    ).select(
+        "click_id", F.col("l.user_id").alias("user_id"), "purchase_id"
+    )
+    out = run_to_memory_sink(joined, output_mode="append")
+    rows = {(r.click_id, r.purchase_id) for r in out.collect()}
+    # c2 matched; c1 evicted unmatched -> exactly one null-padded row;
+    # c9/p9 are a match too (same user, same instant fails ts> bound -> no
+    # match, but 20:00+2h eviction never passes, so c9 must NOT emit).
+    assert (2, 102) in rows
+    assert (1, None) in rows
+    assert not any(cid == 9 for cid, _ in rows)
+    assert not any(cid == 2 and pid is None for cid, pid in rows)
