@@ -517,3 +517,4 @@ from high_volume_market_data_pipeline_spark import queries_timeseries  # noqa: E
 from high_volume_market_data_pipeline_spark import queries_quality  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_behavior  # noqa: E402,F401
 from high_volume_market_data_pipeline_spark import queries_market  # noqa: E402,F401
+from high_volume_market_data_pipeline_spark import queries_sources  # noqa: E402,F401

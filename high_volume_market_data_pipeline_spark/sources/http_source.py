@@ -5,12 +5,14 @@ sequential paged GET, bounded timeout, shape validation, raise on bad
 payload. The transport is injectable so tests (and air-gapped environments)
 supply a fake; the default uses stdlib urllib — no extra dependency.
 
-Scale note (same stance as the reference): an HTTP poll is inherently a
-driver-side/ingestion-tier concern. The executor fleet never fans out HTTP
-calls; the fetched batch enters the engine via rows_to_df and all downstream
-work is distributed. For continuous feeds, wrap fetch_paged_json in a
-foreachBatch poll loop (streaming/sink.py) rather than pretending HTTP is a
-DataSource.
+Scale note: this module keeps the reference's driver-side sequential shape
+for small control-plane polls (a 250-row snapshot does not need a
+cluster). For BULK paged ingestion — backfilling many thousands of pages —
+use sources/api_datasource.py instead: the same feed expressed as a
+Spark 4 Python DataSource whose InputPartitions are page spans, so the
+fetch fans out across executors (and a streaming reader whose offsets are
+page numbers). For continuous low-rate feeds, a foreachBatch poll loop
+(streaming/sink.py) over this module also works.
 """
 
 from __future__ import annotations

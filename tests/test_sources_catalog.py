@@ -195,3 +195,72 @@ def test_schema_diff_and_align(spark):
     cast_back = align_to_schema(retyped, table.schema)
     assert cast_back.schema["price"].dataType.simpleString() == "double"
     assert cast_back.select(F.col("price").isNull()).collect()[0][0]
+
+
+def test_paged_feed_datasource_batch_parallel_and_deterministic(spark):
+    """Spark-4 Python DataSource for paged feeds: one task per page span
+    (the fetch is executor-parallel, unlike the reference's sequential
+    driver loop), deterministic synthetic pages, full rowcount."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.sources.api_datasource import (
+        register_paged_feed,
+    )
+
+    register_paged_feed(spark)
+    rd = (
+        spark.read.format("paged_feed")
+        .option("pages", 6)
+        .option("page_size", 50)
+    )
+    df = rd.load()
+    assert df.count() == 300
+    # one input partition per page (pages_per_task default 1)
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 6
+    again = rd.load()
+    assert df.exceptAll(again).count() == 0
+    assert again.exceptAll(df).count() == 0
+    # page spans coalesce: 3 tasks of 2 pages each
+    spans = (
+        spark.read.format("paged_feed")
+        .option("pages", 6)
+        .option("page_size", 50)
+        .option("pages_per_task", 2)
+        .load()
+    )
+    assert (
+        spans.select(F.spark_partition_id().alias("p")).distinct().count() == 3
+    )
+    assert spans.count() == 300
+
+
+def test_paged_feed_datasource_stream_advances_page_offsets(spark):
+    """Streaming side: offsets are page numbers; draining the feed yields
+    every page exactly once (replayable micro-batches)."""
+    from high_volume_market_data_pipeline_spark.sources.api_datasource import (
+        register_paged_feed,
+    )
+
+    register_paged_feed(spark)
+    sdf = (
+        spark.readStream.format("paged_feed")
+        .option("pages", 4)
+        .option("page_size", 10)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("paged_feed_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("paged_feed_stream")
+    assert got.count() == 40
+    pages = sorted(r.page for r in got.select("page").distinct().collect())
+    assert pages == [1, 2, 3, 4]
