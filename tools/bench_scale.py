@@ -43,6 +43,13 @@ SCALE_SET = [
     "knn_ivf_cells",              # k-means fit + inverted lists
     "tfidf_top_terms",            # two-pass corpus stats
     "curation_funnel",            # 4-stage composite plan
+    # late-round-3 additions (market microstructure + source triage):
+    # rollup-then-window designs whose scale story is one fact shuffle
+    "twap_user_daily",
+    "max_drawdown_user",
+    "bollinger_breakouts",
+    "rsi_event_types",
+    "source_reliability",
 ]
 
 SF01 = "/root/testdata/sf0.1"
