@@ -64,7 +64,12 @@ def paged_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every field is integer arithmetic on an md5-derived
     uint64 (bit-identical in both engines); the only double, price, is a
     single exact-int-to-double cast and division, re-quantized to integer
-    milli-units before summing."""
+    milli-units before summing.
+
+    Bench note: the first Python-DataSource read in a session pays a
+    ~10 s one-time bootstrap (Python runner + plan-side source pickling);
+    warm runs are ~1.2 s (measured 11.6/1.27/1.12 s back-to-back). The
+    bench records the cold number — a fixed cost, not a per-page one."""
     register_paged_feed(spark)
     feed = (
         spark.read.format("paged_feed")
