@@ -29,6 +29,7 @@ from high_volume_market_data_pipeline_spark.streaming.quality import (
 from high_volume_market_data_pipeline_spark.streaming.custom_state import (
     running_user_totals,
     running_user_totals_tws,
+    timeout_sessions,
 )
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "monitor_expectations",
     "read_parquet_stream",
     "running_user_totals",
+    "timeout_sessions",
     "running_user_totals_tws",
     "run_to_memory_sink",
     "session_window_agg",

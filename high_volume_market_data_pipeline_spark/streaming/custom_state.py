@@ -15,9 +15,10 @@ tuple matching ``state_schema``.
 Scale notes:
 - state is partitioned by the grouping key across the state store (RocksDB
   in production configs); per-batch cost is O(keys touched in that batch);
-- the watermark bounds how late data may arrive, and with a timeout the
-  handler could evict idle keys (NoTimeout here: totals are meant to live
-  for the stream's lifetime);
+- the watermark bounds how late data may arrive; ``timeout_sessions``
+  shows EventTimeTimeout eviction (idle keys close and emit once),
+  ``running_user_totals`` uses NoTimeout (totals live for the stream's
+  lifetime);
 - output mode "append" emits only the per-batch snapshots, so downstream
   sinks see an incremental change log of the running totals.
 """
@@ -76,6 +77,82 @@ def running_user_totals(
             stateStructType="n bigint, total double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def timeout_sessions(
+    sdf: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT eviction: a key's
+    session stays open in state while events keep arriving within
+    ``gap_seconds``; when the watermark passes (last event + gap), Spark
+    invokes the handler with ``state.hasTimedOut`` and the CLOSED session
+    emits exactly once.
+
+    This is the piece the built-in ``session_window`` (streaming/windows.py)
+    hides: here the eviction contract is explicit — emission happens in
+    the timed-out branch, not on data arrival, so a session row can never
+    be emitted early or twice. State per key is three integers; the
+    timeout timestamp re-arms on every batch that touches the key.
+    Built-in session windows remain the right default; this operator is
+    the template for session state that needs custom payloads (e.g.
+    per-session feature vectors) that ``session_window`` cannot carry."""
+
+    def update(
+        key_tuple: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            ts_us = pdf[ts_col].astype("int64") // 1000  # ns → µs
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # re-arm: close when the WATERMARK passes last-event + gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="start_us bigint, end_us bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -628,3 +628,38 @@ def test_interval_join_left_outer_emits_unmatched_after_eviction(
     assert (1, None) in rows
     assert not any(cid == 9 for cid, _ in rows)
     assert not any(cid == 2 and pid is None for cid, pid in rows)
+
+
+def test_timeout_sessions_close_only_after_watermark_eviction(
+    spark, tmp_path
+):
+    """Event-time-timeout sessionization: sessions emit exactly once, only
+    when the watermark passes last-event + gap; still-active keys emit
+    nothing. (The hasTimedOut branch is the ONLY emission path.)"""
+    from high_volume_market_data_pipeline_spark.streaming.custom_state import (
+        timeout_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    t0 = _ts(spark, "2024-01-01 10:00:00")
+    t10 = _ts(spark, "2024-01-01 10:10:00")
+    t05 = _ts(spark, "2024-01-01 10:05:00")
+    t20 = _ts(spark, "2024-01-01 20:00:00")
+    # wave 1: two users' sessions; wave 2: far-future event evicts them
+    _write_batch(spark, src, [(1, 1, t0), (1, 2, t10), (2, 1, t05)])
+    _write_batch(spark, src, [(9, 1, t20)])
+
+    sdf = read_parquet_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    sdf = sdf.withColumnRenamed("k", "user_id")
+    out = run_to_memory_sink(
+        timeout_sessions(sdf, key="user_id", ts_col="ts", gap_seconds=1800),
+        output_mode="append",
+    )
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out.collect()
+    }
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in rows
+    assert (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1) in rows
+    assert not any(u == 9 for u, *_ in rows)
+    assert len(rows) == 2
