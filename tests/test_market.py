@@ -1,0 +1,87 @@
+"""Invariant tests for the market-microstructure family (the exact values
+are pinned by the DuckDB oracles in test_oracle_parity; these pin the
+mathematical contracts that must hold on ANY input)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def test_twap_bounded_by_daily_value_range(spark):
+    twap = QUERIES["twap_user_daily"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    j = twap.join(bounds, ["user_id", "day"])
+    # floor-quantization can pull the TWAP at most 1e-6 under the true
+    # weighted mean, which itself lies inside [lo, hi]
+    bad = j.filter(
+        (F.col("twap_value") < F.col("lo") - 1e-6)
+        | (F.col("twap_value") > F.col("hi"))
+    )
+    assert bad.count() == 0
+    assert twap.count() > 0
+
+
+def test_max_drawdown_in_unit_interval_and_peak_exact(spark):
+    dd = QUERIES["max_drawdown_user"](spark, SF_DIR)
+    rows = dd.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown < 1.0
+    ev = load_table(spark, SF_DIR, "events")
+    raw = ev.groupBy("user_id").agg(
+        F.max("value").alias("true_peak"), F.count(F.lit(1)).alias("true_n")
+    )
+    j = dd.join(raw, "user_id")
+    assert (
+        j.filter(
+            (F.col("peak_value") != F.col("true_peak"))
+            | (F.col("n_events") != F.col("true_n"))
+        ).count()
+        == 0
+    )
+
+
+def test_bollinger_band_ordering_and_breakout_consistency(spark):
+    b = QUERIES["bollinger_breakouts"](spark, SF_DIR)
+    rows = b.collect()
+    assert rows
+    for r in rows:
+        assert r.band_lower <= r.band_mean <= r.band_upper
+        assert r.is_breakout in (0, 1)
+        if r.is_breakout == 1:
+            # flag is computed in the quantized domain; bands are floor-
+            # quantized — allow the 1e-3 quantization granularity
+            assert (
+                r.close > r.band_upper - 2e-3 or r.close < r.band_lower + 2e-3
+            )
+
+
+def test_rsi_range_and_warmup_exclusion(spark):
+    r = QUERIES["rsi_event_types"](spark, SF_DIR)
+    rows = r.collect()
+    assert rows
+    for row in rows:
+        assert 0.0 <= row.rsi_14 <= 100.0
+    # warm-up exclusion: per event_type, the RSI series must start 14
+    # deltas (15 closes) after the close series starts
+    closes = QUERIES["bollinger_breakouts"](spark, SF_DIR)  # same rollup keys
+    n_closes = (
+        closes.groupBy("event_type").count().withColumnRenamed("count", "nb")
+    )
+    n_rsi = r.groupBy("event_type").count().withColumnRenamed("count", "nr")
+    j = {
+        row.event_type: (row.nb, row.nr)
+        for row in n_closes.join(n_rsi, "event_type").collect()
+    }
+    # bollinger rows = closes - 19 warmup; rsi rows = closes - 14 warmup
+    # (deltas start one later) => nr - nb == 5 whenever both series exist
+    for et, (nb, nr) in j.items():
+        assert nr - nb == 5, (et, nb, nr)
