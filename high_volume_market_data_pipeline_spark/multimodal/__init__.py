@@ -10,6 +10,7 @@ batch shape, partition preservation — is real and tested.
 
 from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
     byte_features,
+    byte_features_arrow,
     decode_image,
     frame_sample,
     resize_raw,
@@ -18,6 +19,7 @@ from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
 
 __all__ = [
     "byte_features",
+    "byte_features_arrow",
     "decode_image",
     "frame_sample",
     "resize_raw",

@@ -73,6 +73,65 @@ def byte_features(df: DataFrame) -> DataFrame:
     )
 
 
+def byte_features_arrow(df: DataFrame) -> DataFrame:
+    """The same features as ``byte_features`` via ``mapInArrow`` — one
+    level lower than pandas: the handler receives pyarrow RecordBatches
+    and reads the binary column's offsets/data buffers directly with
+    numpy (zero copies, no per-value Python objects, no pandas boxing).
+
+    For opaque-payload columns this is the honest hot path: a pandas
+    round-trip materializes every blob as a Python ``bytes`` object just
+    to call ``len`` on it, while the Arrow buffers already hold lengths
+    as an int32 offsets array. Equality with the pandas path is pinned in
+    tests/test_multimodal.py; prefer this variant when the per-batch work
+    is buffer math, and the pandas variant when a Python library (codec,
+    model) needs materialized objects anyway."""
+    import numpy as np
+    import pyarrow as pa
+
+    def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index("content"))
+            # binary array layout: buffers = [validity, int32 offsets, data]
+            off = np.frombuffer(content.buffers()[1], dtype=np.int32)[
+                content.offset : content.offset + len(content) + 1
+            ].astype(np.int64)
+            dbuf = content.buffers()[2]
+            data = (
+                np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None
+                else np.empty(0, np.uint8)
+            )
+            lens = off[1:] - off[:-1]
+            nonempty = lens > 0
+            safe_first = np.minimum(off[:-1], max(len(data) - 1, 0))
+            safe_last = np.maximum(off[1:] - 1, 0)
+            first = np.where(
+                nonempty,
+                data[safe_first] if len(data) else -1,
+                -1,
+            ).astype(np.int32)
+            last = np.where(
+                nonempty,
+                data[safe_last] if len(data) else -1,
+                -1,
+            ).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("asset_id")),
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(first, type=pa.int32()),
+                    pa.array(last, type=pa.int32()),
+                ],
+                ["asset_id", "n_bytes", "first_byte", "last_byte"],
+            )
+
+    return df.mapInArrow(
+        extract,
+        schema="asset_id bigint, n_bytes bigint, first_byte int, last_byte int",
+    )
+
+
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     """STUB: image decode (bytes → height/width/pixels). Requires a codec
     library absent from this container; raises until one is installed.

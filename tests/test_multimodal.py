@@ -112,3 +112,32 @@ def test_resize_raw_upscale_and_downscale_roundtrip_shape(spark):
     )
     up = resize_raw(df, 10, 6).collect()[0]
     assert len(bytes(up["content"])) == 60 and set(bytes(up["content"])) == {7}
+
+
+def test_byte_features_arrow_equals_pandas_path(spark):
+    """mapInArrow buffer-math features must match the mapInPandas path
+    byte-for-byte, including empty payloads."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
+        byte_features,
+        byte_features_arrow,
+        to_binary_assets,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assets = to_binary_assets(docs)
+    # union in an empty payload and a 1-byte payload (edge offsets)
+    edge = spark.createDataFrame(
+        [(90001, bytearray(b""), ("text/plain", 0)),
+         (90002, bytearray(b"Z"), ("text/plain", 1))],
+        "asset_id bigint, content binary, meta struct<format:string,n_bytes:int>",
+    )
+    assets = assets.unionByName(edge)
+    a = {r.asset_id: r for r in byte_features_arrow(assets).collect()}
+    b = {r.asset_id: r for r in byte_features(assets).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        assert a[k] == b[k], (a[k], b[k])
+    assert a[90001].n_bytes == 0 and a[90001].first_byte == -1
+    assert a[90002].first_byte == ord("Z") == a[90002].last_byte
