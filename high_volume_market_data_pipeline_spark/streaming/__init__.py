@@ -1,7 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.10 — driver north-star).
 
 The reference is batch-only; this package supplies the mandated streaming
-path: file/rate ingestion → watermark → tumbling/sliding/session windows →
+path: file/rate/socket ingestion → watermark → tumbling/sliding/session windows →
 streaming dedup → foreachBatch upsert sink. Correctness strategy: run with
 ``trigger(availableNow=True)`` over a finite input and compare the end state
 against the batch-equivalent query (SURVEY §7.3: per-microbatch states have
@@ -10,6 +10,7 @@ no batch oracle; end-state equivalence does).
 
 from high_volume_market_data_pipeline_spark.streaming.ingest import (
     read_parquet_stream,
+    read_socket_json_stream,
     run_to_memory_sink,
 )
 from high_volume_market_data_pipeline_spark.streaming.windows import (
@@ -36,6 +37,7 @@ __all__ = [
     "interval_join_streams",
     "monitor_expectations",
     "read_parquet_stream",
+    "read_socket_json_stream",
     "running_user_totals",
     "timeout_sessions",
     "running_user_totals_tws",

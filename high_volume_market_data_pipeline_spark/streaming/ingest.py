@@ -66,3 +66,31 @@ def run_to_memory_sink(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def read_socket_json_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    schema: StructType,
+) -> DataFrame:
+    """Socket source (SURVEY §2.10's third source variant): newline-
+    delimited JSON over TCP, parsed to typed columns with ``from_json``.
+
+    The socket source is a dev/debug tap — it is NOT replayable (a lost
+    connection loses data) and runs single-receiver, so it never appears
+    in a production path; file streams (replayable, parallel) and the
+    custom paged_feed DataSource (offset-tracked) are the real ingestion
+    tiers. It exists because a live tcpdump-style tap into a running
+    query is genuinely useful at a terminal."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value"), schema).alias("j")
+    ).select("j.*")

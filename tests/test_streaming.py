@@ -663,3 +663,65 @@ def test_timeout_sessions_close_only_after_watermark_eviction(
     assert (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1) in rows
     assert not any(u == 9 for u, *_ in rows)
     assert len(rows) == 2
+
+
+def test_socket_json_stream_parses_typed_rows(spark):
+    """Socket source (dev tap): newline-delimited JSON over TCP parses to
+    typed rows end-to-end. Served from a local ephemeral-port thread."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from pyspark.sql.types import DoubleType, StringType
+
+    from high_volume_market_data_pipeline_spark.streaming import (
+        read_socket_json_stream,
+    )
+
+    payload = [
+        {"sym": "btc", "price": 101.5},
+        {"sym": "eth", "price": 7.25},
+        {"sym": "btc", "price": 99.0},
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            data = "".join(json.dumps(p) + "\n" for p in payload)
+            conn.sendall(data.encode())
+            done.wait(timeout=60)  # keep the connection open until read
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    schema = StructType(
+        [StructField("sym", StringType()), StructField("price", DoubleType())]
+    )
+    sdf = read_socket_json_stream(spark, "127.0.0.1", port, schema)
+    name = "socket_json_stream"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(payload):
+                break
+            time.sleep(0.5)
+        rows = {(r.sym, r.price) for r in spark.table(name).collect()}
+    finally:
+        done.set()
+        q.stop()
+        server.close()
+    assert rows == {("btc", 101.5), ("eth", 7.25), ("btc", 99.0)}
