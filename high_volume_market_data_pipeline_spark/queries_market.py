@@ -367,3 +367,88 @@ def rsi_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_ts")
     )
+
+
+@query(
+    "event_type_correlations",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n_events AS x, b.n_events AS y
+      FROM hourly a
+      JOIN hourly b
+        ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+    ), m AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e6) / 1e6
+             AS pearson_r
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of hourly event rates between event
+    types — the cross-instrument correlation matrix every market risk
+    consumer computes, done scale-safely: the fact table rolls up ONCE to
+    (hour, type) counts, and the pair join runs over that tiny rollup
+    (hours × types rows), never over raw events.
+
+    Built-in ``corr`` is NOT cross-engine reproducible (float accumulation
+    order — NOTES.md); here every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    exact integer sum over integer counts, so both engines derive the
+    correlation from identical integers via two correctly-rounded sqrts,
+    one multiply, one divide — bit-identical, then floor-quantized.
+    Co-observation semantics: only hours where BOTH types fired enter a
+    pair's moments (inner join on the rollup); degenerate (zero-variance)
+    pairs are excluded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    a = hourly.select(
+        F.col("bucket_ts").alias("bts"),
+        F.col("event_type").alias("type_a"),
+        F.col("n_events").alias("x"),
+    )
+    b = hourly.select(
+        F.col("bucket_ts").alias("bts"),
+        F.col("event_type").alias("type_b"),
+        F.col("n_events").alias("y"),
+    )
+    pairs = a.join(b, "bts").filter(F.col("type_a") < F.col("type_b"))
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy - sx * sy).cast("double")
+    var_x = (n * sxx - sx * sx).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    r = cov_n / (F.sqrt(var_x) * F.sqrt(var_y))
+    return (
+        m.filter((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0))
+        .select("type_a", "type_b", "n", _floor6(r).alias("pearson_r"))
+        .orderBy("type_a", "type_b")
+    )
