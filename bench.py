@@ -32,6 +32,18 @@ def main() -> None:
         QUERIES["distinct_order_priorities"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+        # The Python DataSource path pays a separate one-time bootstrap
+        # (~10 s: Python runner + plan-side source pickling). Warm it with
+        # a one-page read so paged_feed_rollup reports steady state
+        # (measured 11.6 s cold vs 1.2 s warm, identical plans).
+        from high_volume_market_data_pipeline_spark.sources.api_datasource import (
+            register_paged_feed,
+        )
+
+        register_paged_feed(spark)
+        spark.read.format("paged_feed").option("pages", 1).option(
+            "page_size", 1
+        ).load().write.format("noop").mode("overwrite").save()
         for name in sorted(QUERIES):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
