@@ -243,3 +243,35 @@ def test_ngram_jaccard_blocked_never_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact table is hive-partitioned and joins against
+    filtered dims MUST prune partitions at runtime (DPP), not scan-all.
+    Pin that the engine's write layout + a selective dim join produces a
+    dynamicpruning partition filter in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.sinks.writers import (
+        write_partitioned_overwrite,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned_overwrite(orders, path, "o_orderstatus")
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+    j = fact.join(dim, fact.o_orderstatus == dim.status).groupBy(
+        "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the answer is right: only 'O' rows counted
+    expect = orders.filter(F.col("o_orderstatus") == "O").count()
+    got = {r.label: r.n for r in j.collect()}
+    assert got == {"open": expect}
