@@ -50,6 +50,7 @@ SCALE_SET = [
     "bollinger_breakouts",
     "rsi_event_types",
     "source_reliability",
+    "event_type_correlations",
 ]
 
 SF01 = "/root/testdata/sf0.1"
