@@ -58,12 +58,20 @@ def byte_features(df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            # NULL payloads propagate as NULL features (pandas nullable
+            # dtypes); empty payloads report 0 / -1 / -1.
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "n_bytes": content.map(len).astype("int64"),
-                    "first_byte": content.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                    "last_byte": content.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                    "n_bytes": content.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "first_byte": content.map(
+                        lambda b: None if b is None else (b[0] if len(b) else -1)
+                    ).astype("Int32"),
+                    "last_byte": content.map(
+                        lambda b: None if b is None else (b[-1] if len(b) else -1)
+                    ).astype("Int32"),
                 }
             )
 
@@ -91,17 +99,26 @@ def byte_features_arrow(df: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            content = batch.column(batch.schema.get_field_index("content"))
+            idx = batch.schema.get_field_index("content")
+            if idx < 0:  # get_field_index returns -1, and column(-1)
+                # would silently pick the LAST column — fail loudly instead
+                raise KeyError(
+                    f"byte_features_arrow: no 'content' column in "
+                    f"{batch.schema.names}"
+                )
+            content = batch.column(idx)
             # binary array layout: buffers = [validity, int32 offsets, data]
             off = np.frombuffer(content.buffers()[1], dtype=np.int32)[
                 content.offset : content.offset + len(content) + 1
             ].astype(np.int64)
             dbuf = content.buffers()[2]
             data = (
-                np.frombuffer(dbuf, dtype=np.uint8)
+                np.frombuffer(dbuf, dtype=np.uint8).astype(np.int32)
                 if dbuf is not None
-                else np.empty(0, np.uint8)
-            )
+                else np.empty(0, np.int32)
+            )  # int32 up-cast before np.where: mixing uint8 with -1 breaks
+            # under NumPy 2's NEP-50 promotion (OverflowError)
+            valid = np.asarray(content.is_valid())  # NULL ≠ empty
             lens = off[1:] - off[:-1]
             nonempty = lens > 0
             safe_first = np.minimum(off[:-1], max(len(data) - 1, 0))
@@ -116,12 +133,13 @@ def byte_features_arrow(df: DataFrame) -> DataFrame:
                 data[safe_last] if len(data) else -1,
                 -1,
             ).astype(np.int32)
+            mask = ~valid
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("asset_id")),
-                    pa.array(lens, type=pa.int64()),
-                    pa.array(first, type=pa.int32()),
-                    pa.array(last, type=pa.int32()),
+                    pa.array(lens, type=pa.int64(), mask=mask),
+                    pa.array(first, type=pa.int32(), mask=mask),
+                    pa.array(last, type=pa.int32(), mask=mask),
                 ],
                 ["asset_id", "n_bytes", "first_byte", "last_byte"],
             )

@@ -88,20 +88,50 @@ def timeout_sessions(
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Custom sessionization with EVENT-TIME TIMEOUT eviction: a key's
-    session stays open in state while events keep arriving within
-    ``gap_seconds``; when the watermark passes (last event + gap), Spark
-    invokes the handler with ``state.hasTimedOut`` and the CLOSED session
-    emits exactly once.
+    """Custom sessionization with EVENT-TIME TIMEOUT eviction: per key,
+    events merge into gap-separated session INTERVALS held in state; when
+    the watermark passes (last event + gap) — the key has gone idle — the
+    handler fires with ``state.hasTimedOut`` and every buffered session
+    emits exactly once, finalized (no event still admissible under the
+    watermark can extend or bridge them).
 
-    This is the piece the built-in ``session_window`` (streaming/windows.py)
-    hides: here the eviction contract is explicit — emission happens in
-    the timed-out branch, not on data arrival, so a session row can never
-    be emitted early or twice. State per key is three integers; the
-    timeout timestamp re-arms on every batch that touches the key.
-    Built-in session windows remain the right default; this operator is
-    the template for session state that needs custom payloads (e.g.
-    per-session feature vectors) that ``session_window`` cannot carry."""
+    State is a LIST of disjoint intervals, not one (start, end) pair:
+    events arriving more than ``gap_seconds`` apart — even inside one
+    micro-batch — form separate sessions, and a late-but-valid event can
+    still bridge two buffered intervals before eviction (the same merge
+    semantics as the built-in ``session_window``). Emission happens ONLY
+    in the timed-out branch, so a session can never emit early or twice;
+    the cost is that sessions of a continuously-active key buffer until
+    its first idle gap. Built-in session windows remain the right
+    default; this operator is the template for session state that needs
+    custom payloads (e.g. per-session feature vectors) that
+    ``session_window`` cannot carry.
+
+    ``key`` must be a bigint column (enforced — the output schema is
+    typed); the output key column keeps the input column name."""
+    from pyspark.sql.types import LongType
+
+    if not isinstance(sdf.schema[key].dataType, LongType):
+        raise TypeError(
+            f"timeout_sessions requires a bigint key column; {key!r} is "
+            f"{sdf.schema[key].dataType.simpleString()}"
+        )
+    gap_us = gap_seconds * 1_000_000
+
+    def _merge(
+        intervals: list[tuple[int, int, int]], ts_sorted: list[int]
+    ) -> list[tuple[int, int, int]]:
+        """Merge sorted event times into the sorted interval list,
+        gap-splitting: intervals within gap_us of each other coalesce."""
+        merged = sorted(intervals + [(t, t, 1) for t in ts_sorted])
+        out: list[tuple[int, int, int]] = []
+        for s, e, n in merged:
+            if out and s - out[-1][1] <= gap_us:
+                ps, pe, pn = out[-1]
+                out[-1] = (ps, max(pe, e), pn + n)
+            else:
+                out.append((s, e, n))
+        return out
 
     def update(
         key_tuple: Any,
@@ -109,32 +139,38 @@ def timeout_sessions(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            start_us, end_us, n = state.get
+            starts, ends, ns = state.get
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [key_tuple[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
+                    key: [key_tuple[0]] * len(starts),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s in starts
+                    ],
+                    "session_end": [pd.Timestamp(e, unit="us") for e in ends],
+                    "n_events": list(ns),
                 }
             )
             return
-        start_us, end_us, n = (
-            state.get if state.exists else (None, None, 0)
-        )
+        intervals: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, ends, ns = state.get
+            intervals = list(zip(starts, ends, ns))
         for pdf in pdfs:
-            ts_us = pdf[ts_col].astype("int64") // 1000  # ns → µs
-            lo, hi = int(ts_us.min()), int(ts_us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
-        state.update((start_us, end_us, n))
+            ts_us = sorted(pdf[ts_col].astype("int64") // 1000)  # ns → µs
+            intervals = _merge(intervals, ts_us)
+        state.update(
+            (
+                [s for s, _, _ in intervals],
+                [e for _, e, _ in intervals],
+                [n for _, _, n in intervals],
+            )
+        )
         # re-arm: close when the WATERMARK passes last-event + gap
-        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        state.setTimeoutTimestamp(intervals[-1][1] // 1000 + gap_seconds * 1000)
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([], dtype="int64"),
+                key: pd.Series([], dtype="int64"),
                 "session_start": pd.Series([], dtype="datetime64[us]"),
                 "session_end": pd.Series([], dtype="datetime64[us]"),
                 "n_events": pd.Series([], dtype="int64"),
@@ -147,10 +183,12 @@ def timeout_sessions(
         .applyInPandasWithState(
             update,
             outputStructType=(
-                "user_id bigint, session_start timestamp, "
+                f"{key} bigint, session_start timestamp, "
                 "session_end timestamp, n_events bigint"
             ),
-            stateStructType="start_us bigint, end_us bigint, n bigint",
+            stateStructType=(
+                "starts array<bigint>, ends array<bigint>, ns array<bigint>"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

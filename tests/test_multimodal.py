@@ -127,10 +127,11 @@ def test_byte_features_arrow_equals_pandas_path(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     assets = to_binary_assets(docs)
-    # union in an empty payload and a 1-byte payload (edge offsets)
+    # union in empty, 1-byte, and NULL payloads (edge offsets + validity)
     edge = spark.createDataFrame(
         [(90001, bytearray(b""), ("text/plain", 0)),
-         (90002, bytearray(b"Z"), ("text/plain", 1))],
+         (90002, bytearray(b"Z"), ("text/plain", 1)),
+         (90003, None, ("text/plain", 0))],
         "asset_id bigint, content binary, meta struct<format:string,n_bytes:int>",
     )
     assets = assets.unionByName(edge)
@@ -141,3 +142,4 @@ def test_byte_features_arrow_equals_pandas_path(spark):
         assert a[k] == b[k], (a[k], b[k])
     assert a[90001].n_bytes == 0 and a[90001].first_byte == -1
     assert a[90002].first_byte == ord("Z") == a[90002].last_byte
+    assert a[90003].n_bytes is None and a[90003].first_byte is None

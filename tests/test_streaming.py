@@ -644,9 +644,16 @@ def test_timeout_sessions_close_only_after_watermark_eviction(
     t0 = _ts(spark, "2024-01-01 10:00:00")
     t10 = _ts(spark, "2024-01-01 10:10:00")
     t05 = _ts(spark, "2024-01-01 10:05:00")
+    t45 = _ts(spark, "2024-01-01 10:45:00")
     t20 = _ts(spark, "2024-01-01 20:00:00")
-    # wave 1: two users' sessions; wave 2: far-future event evicts them
-    _write_batch(spark, src, [(1, 1, t0), (1, 2, t10), (2, 1, t05)])
+    # wave 1: users 1/2 in-gap sessions; user 3's two events straddle the
+    # 30-min gap INSIDE one batch -> must split into two sessions.
+    # wave 2: far-future event evicts everything buffered.
+    _write_batch(
+        spark,
+        src,
+        [(1, 1, t0), (1, 2, t10), (2, 1, t05), (3, 1, t0), (3, 2, t45)],
+    )
     _write_batch(spark, src, [(9, 1, t20)])
 
     sdf = read_parquet_stream(spark, src, SCHEMA, max_files_per_trigger=1)
@@ -661,8 +668,11 @@ def test_timeout_sessions_close_only_after_watermark_eviction(
     }
     assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in rows
     assert (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1) in rows
+    # gap split: two single-event sessions, not one merged 45-minute one
+    assert (3, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1) in rows
+    assert (3, "2024-01-01 10:45:00", "2024-01-01 10:45:00", 1) in rows
     assert not any(u == 9 for u, *_ in rows)
-    assert len(rows) == 2
+    assert len(rows) == 4
 
 
 def test_socket_json_stream_parses_typed_rows(spark):
