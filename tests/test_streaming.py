@@ -735,3 +735,68 @@ def test_socket_json_stream_parses_typed_rows(spark):
         q.stop()
         server.close()
     assert rows == {("btc", 101.5), ("eth", 7.25), ("btc", 99.0)}
+
+
+def test_paged_feed_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """The custom Python DataSource's streaming offsets survive a query
+    restart: run one micro-batch, stop, restart against the SAME
+    checkpoint with more pages available — every page lands exactly once
+    (the page-number offset log is the recovery contract)."""
+    import pyspark.sql.functions as F
+
+    from high_volume_market_data_pipeline_spark.sources.api_datasource import (
+        register_paged_feed,
+    )
+
+    register_paged_feed(spark)
+    log = str(tmp_path / "feed_log")
+    ckpt = str(tmp_path / "feed_ckpt")
+
+    def run(pages: int, max_batches: int):
+        sdf = (
+            spark.readStream.format("paged_feed")
+            .option("pages", pages)
+            .option("page_size", 10)
+            .load()
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(log)
+
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 60
+        try:
+            while time.time() < deadline:
+                try:
+                    if (
+                        spark.read.parquet(log)
+                        .select("page")
+                        .distinct()
+                        .count()
+                        >= max_batches
+                    ):
+                        break
+                except Exception:
+                    pass  # log dir not created yet
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run(pages=2, max_batches=2)   # first run drains pages 1-2, then stop
+    run(pages=5, max_batches=5)   # restart: must resume at page 3
+
+    out = spark.read.parquet(log)
+    counts = {
+        r.page: r.n
+        for r in out.groupBy("page").agg(F.count("*").alias("n")).collect()
+    }
+    # exactly once per page: pages 1-5 each with 10 rows, no replays
+    assert counts == {1: 10, 2: 10, 3: 10, 4: 10, 5: 10}, counts
