@@ -17,6 +17,7 @@ DuckDB SQL twin for the oracle (md5 is bit-identical across engines).
 """
 
 from high_volume_market_data_pipeline_spark.dedup.exact import exact_dedup
+from high_volume_market_data_pipeline_spark.dedup.incremental import SignatureStore
 from high_volume_market_data_pipeline_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_signature,
@@ -28,6 +29,7 @@ from high_volume_market_data_pipeline_spark.dedup.embedding import (
 )
 
 __all__ = [
+    "SignatureStore",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "lsh_candidate_pairs",

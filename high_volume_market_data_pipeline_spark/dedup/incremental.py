@@ -1,0 +1,208 @@
+"""Incremental near-dup: dedup NEW batches against a persisted signature
+store — the production shape of corpus dedup.
+
+`lsh_candidate_pairs` (dedup/minhash.py) is the right tool the FIRST time
+a corpus is deduped; but a living corpus ingests daily increments, and
+recomputing shingles+signatures for 100 TB of already-admitted text per
+batch is the canonical accidental-quadratic of data pipelines. The fix is
+the same one every production dedup service uses: signatures are computed
+ONCE per document and persisted banded (id, sig, band_key); an increment
+
+1. computes signatures only for the NEW batch,
+2. resolves within-batch near-dups (standard banded pair path, keep min
+   id), then
+3. equi-joins the survivors' band keys against the STORE (the store side
+   never recomputes text — it is keys + k-component signatures only, a
+   few hundred bytes per document regardless of document size), and
+4. appends the admitted documents' signatures back to the store.
+
+At scale the store is written partitioned by a band_key prefix so the
+increment join prunes to matching partitions; the text of the historical
+corpus is never read again. Determinism: signatures are md5-derived
+(engine-exact), keep-decisions are min-id, and admission is a pure
+function of (store state, batch) — re-running an increment admits the
+same set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_volume_market_data_pipeline_spark.dedup.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    DEFAULT_SHINGLE,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+
+
+def _band_keys(k: int, bands: int) -> F.Column:
+    r = k // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+class SignatureStore:
+    """Persisted banded MinHash signatures: (doc_id, sig, band_key), one
+    row per (doc, band). ``bootstrap`` seeds it from an initial corpus;
+    ``dedup_increment`` admits a new batch against it."""
+
+    def __init__(
+        self,
+        path: str,
+        k: int = DEFAULT_K,
+        bands: int = DEFAULT_BANDS,
+        shingle: int = DEFAULT_SHINGLE,
+    ):
+        if k % bands != 0:
+            raise ValueError("k must be divisible by bands")
+        self.path = path
+        self.k = k
+        self.bands = bands
+        self.shingle = shingle
+
+    def _banded_signatures(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        sig = minhash_signature(docs, text_col, id_col, self.k, self.shingle)
+        return sig.select(
+            F.col(id_col).alias("doc_id"),
+            "sig",
+            F.explode(_band_keys(self.k, self.bands)).alias("band_key"),
+        )
+
+    def exists(self, spark: SparkSession) -> bool:
+        try:
+            spark.read.parquet(self.path).limit(1).collect()
+            return True
+        except Exception:
+            return False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def bootstrap(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Seed the store from an initial (already-deduped) corpus. The
+        one full-corpus signature computation ever run."""
+        self._banded_signatures(docs, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+    def dedup_increment(
+        self,
+        new_docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        max_bucket: int = 1000,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Admit a new batch: returns ``(admitted, rejected)`` where
+        ``admitted`` is the subset of ``new_docs`` that near-duplicates
+        neither the store nor a smaller-id doc of the same batch (the
+        same deterministic pair-loser rule as exact_dedup: a doc is kept
+        iff it has no near-dup partner with a smaller id — for transitive
+        cluster semantics, run dedup/clustering on the batch first), and
+        ``rejected`` is (doc_id, matched_id, est_jaccard, reason) for the
+        rest. Admitted signatures are appended to the store as a side
+        effect.
+
+        Cost model: signature compute is batch-sized; the store join is a
+        band-key equi-join shipping (key, sig) only — historical TEXT is
+        never re-read, which is the whole point at 100 TB."""
+        spark = new_docs.sparkSession
+
+        # 1. within-batch near-dups: keep the min id of each pair
+        batch_pairs = lsh_candidate_pairs(
+            new_docs, text_col, id_col, self.k, self.bands, self.shingle,
+            max_bucket,
+        ).filter(F.col("est_jaccard") >= threshold)
+        batch_loser = batch_pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("matched_id"),
+            "est_jaccard",
+            F.lit("within_batch").alias("reason"),
+        )
+        survivors = new_docs.join(
+            batch_loser.select("doc_id").distinct().withColumnRenamed(
+                "doc_id", id_col
+            ),
+            id_col,
+            "left_anti",
+        ).persist()
+        # Materialization barrier: survivors feeds THREE consumers (the
+        # store probe, the final anti-join, and the signature append), and
+        # its lineage embeds lsh_candidate_pairs' persisted/repartitioned
+        # plan — without the barrier Spark recomputes the batch pair join
+        # per consumer, and the mixed partitionings can trip whole-stage
+        # codegen's zipPartitions on local mode.
+        survivors.count()
+
+        # 2. store probe: band-key equi-join, est_jaccard from signatures
+        new_banded = self._banded_signatures(survivors, text_col, id_col)
+        store = self.read(spark)
+        cand = new_banded.alias("n").join(
+            store.alias("s"), "band_key"
+        ).select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("s.doc_id").alias("matched_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("s.sig").alias("sig_s"),
+        ).dropDuplicates(["doc_id", "matched_id"])
+        eq = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_n"), F.col("sig_s"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        scored = cand.select(
+            "doc_id",
+            "matched_id",
+            F.round(eq / F.lit(float(self.k)), 6).alias("est_jaccard"),
+        ).filter(F.col("est_jaccard") >= threshold)
+        # deterministic report row: best match (max jaccard, min id) wins
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("est_jaccard").desc(), F.col("matched_id")
+        )
+        store_loser = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                "matched_id",
+                "est_jaccard",
+                F.lit("vs_store").alias("reason"),
+            )
+        )
+        # Pin BOTH outputs before the store append: their plans read the
+        # store parquet lazily, and appending first would make every just-
+        # admitted doc "match" its own fresh signature on re-evaluation.
+        # persist() is NOT enough — Spark's CacheManager recaches-by-path
+        # when a write lands on a path a cached plan reads, so the "cached"
+        # pre-append view silently recomputes against the grown store.
+        # localCheckpoint truncates lineage to materialized partitions,
+        # which no path refresh can touch.
+        store_loser = store_loser.localCheckpoint(eager=True)
+        admitted = survivors.join(
+            store_loser.select("doc_id").withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+        # 3. append admitted signatures
+        self._banded_signatures(admitted, text_col, id_col).write.mode(
+            "append"
+        ).parquet(self.path)
+        rejected = batch_loser.unionByName(store_loser)
+        return admitted, rejected

@@ -170,3 +170,49 @@ def test_ivf_sample_fit_preserves_recall_and_determinism(spark):
     ref = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     # sampled-quantizer cells differ, but most true neighbors survive
     assert len(got & ref) / len(ref) >= 0.6
+
+
+def test_signature_store_incremental_dedup(spark, tmp_path):
+    """Incremental near-dup against a persisted signature store: exact
+    re-sends of stored docs are rejected (matched to their source id),
+    genuinely new docs are admitted and their signatures appended, and a
+    replayed increment rejects everything it already admitted."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup import SignatureStore
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 25)
+    fresh = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 40))
+    # re-sends: copies of three stored docs under new ids
+    resends = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(base)
+    n_sig_rows = store.read(spark).count()
+
+    admitted, rejected = store.dedup_increment(
+        fresh.unionByName(resends), threshold=0.9
+    )
+    admitted_ids = {r.doc_id for r in admitted.select("doc_id").collect()}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    # every resend rejected, matched to its original stored doc
+    for src in range(3):
+        rid = src + 10_000
+        assert rid in rej and rej[rid].reason == "vs_store"
+        assert rej[rid].matched_id == src and rej[rid].est_jaccard == 1.0
+    # the synthetic corpus has no cross-doc near-dups below id 40 at 0.9
+    assert admitted_ids == {r.doc_id for r in fresh.collect()}
+    # store grew by exactly the admitted docs' banded signatures
+    grown = store.read(spark).count()
+    assert grown == n_sig_rows + len(admitted_ids) * store.bands
+
+    # replay the same increment: everything is now a duplicate
+    admitted2, rejected2 = store.dedup_increment(
+        fresh.unionByName(resends), threshold=0.9
+    )
+    assert admitted2.count() == 0
+    assert rejected2.count() == fresh.count() + resends.count()
