@@ -372,3 +372,52 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "n_chars", "is_kept")
         .orderBy("doc_id")
     )
+
+
+@query("incremental_dedup_admission")
+def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission (dedup/incremental.SignatureStore):
+    bootstrap a signature store from the first half of the corpus, then
+    admit the second half plus three exact re-sends of stored docs. The
+    returned frame is the deterministic admission report: one row per
+    incoming doc with its decision; re-sends carry their matched source
+    id at est_jaccard 1.0.
+
+    Rows-only by nature: the operator's essence is a stateful
+    read-modify-append cycle on the store (bootstrap → probe →
+    append), which single-statement SQL cannot express; the per-piece
+    math (signatures, band keys, est_jaccard) is oracle-checked via
+    minhash_lsh_near_dup. The store lives in a fresh temp dir per call,
+    so the query is repeatable."""
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.dedup.incremental import (
+        SignatureStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = 250
+    base = docs.filter(F.col("doc_id") < half)
+    fresh = docs.filter(F.col("doc_id") >= half)
+    resends = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    store = SignatureStore(tempfile.mkdtemp(prefix="sigstore_") + "/sigs")
+    store.bootstrap(base)
+    admitted, rejected = store.dedup_increment(
+        fresh.unionByName(resends), threshold=0.9
+    )
+    report = admitted.select(
+        "doc_id",
+        F.lit(None).cast("long").alias("matched_id"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+        F.lit("admitted").alias("decision"),
+    ).unionByName(
+        rejected.select(
+            "doc_id",
+            "matched_id",
+            F.col("est_jaccard").cast("double"),
+            F.col("reason").alias("decision"),
+        )
+    )
+    return report.orderBy("doc_id")
