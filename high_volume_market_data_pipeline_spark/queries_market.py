@@ -452,3 +452,43 @@ def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "n", _floor6(r).alias("pearson_r"))
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           FLOOR(CAST(floor(value / 25.0) AS BIGINT) * 25.0 * 1e6) / 1e6
+             AS bin_low,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_millis
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (25-unit bins) — the
+    distribution profile behind outlier fences, binned features, and the
+    reference gold layer's summary stats. One partial+final aggregation;
+    bins are floor-of-identical-double integers, per-bin mass an exact
+    integer milli-unit sum."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_q(F.col("value"))).alias("value_millis"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            _floor6(F.col("bin") * F.lit(25.0)).alias("bin_low"),
+            "n",
+            "value_millis",
+        )
+        .orderBy("event_type", "bin")
+    )

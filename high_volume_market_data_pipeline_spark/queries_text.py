@@ -480,3 +480,37 @@ def source_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, text, {_TOKS_SQL} AS toks FROM documents
+    ), h AS (
+      SELECT lang, text, toks, {_lang_hits_sql()} FROM t
+    )
+    SELECT lang AS labeled_lang,
+           {_lang_case_sql()} AS detected_lang,
+           COUNT(*) AS n_docs
+    FROM h
+    GROUP BY 1, 2
+    ORDER BY labeled_lang, detected_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus
+    labels — the classifier-evaluation rollup every model-backed curation
+    stage needs at scale (precision/recall per class read straight off
+    the matrix). Pure map-side classification + one count aggregation;
+    exact integer cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "detected_lang")
+    )
