@@ -90,6 +90,74 @@ def _hourly_closes(ev: DataFrame) -> DataFrame:
     )
 
 
+def twap_daily(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Interval-weighted TWAP per (key, day) — the operator behind
+    twap_user_daily, reusable on any (key, ts, id, value) frame and
+    hypothesis-pinned against a pure-Python reference in
+    tests/test_market.py."""
+    w = Window.partitionBy(key_col, "day").orderBy(ts_col, id_col)
+    e = ev.select(
+        key_col,
+        F.to_date(ts_col).alias("day"),
+        ts_col,
+        id_col,
+        F.col(ts_col).cast("bigint").alias("epoch_s"),
+        _q(F.col(value_col)).alias("qv"),
+    ).withColumn("w_s", F.lead("epoch_s").over(w) - F.col("epoch_s"))
+    agg = e.groupBy(key_col, "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("qv") * F.col("w_s")).alias("num"),
+        F.sum("w_s").alias("den"),
+    )
+    twap = (
+        F.col("num").cast("double") / F.col("den").cast("double")
+    ) / F.lit(1000.0)
+    return (
+        agg.filter(F.col("den") > 0)
+        .select(
+            key_col, "day", "n_events", _floor6(twap).alias("twap_value")
+        )
+        .orderBy(key_col, "day")
+    )
+
+
+def max_drawdown(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running-peak max drawdown per key — the operator behind
+    max_drawdown_user, hypothesis-pinned in tests/test_market.py."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = ev.select(key_col, ts_col, id_col, value_col).withColumn(
+        "peak", F.max(value_col).over(w)
+    )
+    dd = (F.col("peak") - F.col(value_col)) / F.col("peak")
+    return (
+        p.select(key_col, value_col, dd.alias("dd"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(value_col).alias("peak_value"),
+            _floor6(F.max("dd")).alias("max_drawdown"),
+        )
+        .orderBy(key_col)
+    )
+
+
+
 @query(
     "twap_user_daily",
     oracle="""
@@ -132,29 +200,7 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     4e10, far under 2^53); the TWAP is one division of two exact doubles.
     Single-observation and same-second days (zero total weight) are
     excluded on both sides."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    e = ev.select(
-        "user_id",
-        F.to_date("ts").alias("day"),
-        "ts",
-        "event_id",
-        F.col("ts").cast("bigint").alias("epoch_s"),
-        _q(F.col("value")).alias("qv"),
-    ).withColumn("w_s", F.lead("epoch_s").over(w) - F.col("epoch_s"))
-    agg = e.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("qv") * F.col("w_s")).alias("num"),
-        F.sum("w_s").alias("den"),
-    )
-    twap = (
-        F.col("num").cast("double") / F.col("den").cast("double")
-    ) / F.lit(1000.0)
-    return (
-        agg.filter(F.col("den") > 0)
-        .select("user_id", "day", "n_events", _floor6(twap).alias("twap_value"))
-        .orderBy("user_id", "day")
-    )
+    return twap_daily(load_table(spark, sf_dir, "events"))
 
 
 @query(
@@ -187,26 +233,7 @@ def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one division of identical doubles, and the per-user max is again
     a selection — every engine sees bit-identical candidates, so the
     argmax cannot diverge. Output floor-quantizes to 1e-6."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    p = ev.select("user_id", "ts", "event_id", "value").withColumn(
-        "peak", F.max("value").over(w)
-    )
-    dd = (F.col("peak") - F.col("value")) / F.col("peak")
-    return (
-        p.select("user_id", "value", dd.alias("dd"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("value").alias("peak_value"),
-            _floor6(F.max("dd")).alias("max_drawdown"),
-        )
-        .orderBy("user_id")
-    )
+    return max_drawdown(load_table(spark, sf_dir, "events"))
 
 
 @query(

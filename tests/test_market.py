@@ -85,3 +85,103 @@ def test_rsi_range_and_warmup_exclusion(spark):
     # (deltas start one later) => nr - nb == 5 whenever both series exist
     for et, (nb, nr) in j.items():
         assert nr - nb == 5, (et, nb, nr)
+
+
+# ---- hypothesis: operators vs pure-Python references on random inputs ----
+
+from datetime import datetime, timedelta
+from math import floor
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = datetime(2024, 1, 1)
+
+# (key, seconds offset within 2 days, price in cents)
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 2 * 86400 - 1),
+        st.integers(1, 50_000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _frame(spark, evs):
+    rows = [
+        (k, i, _BASE + timedelta(seconds=s), cents / 100.0)
+        for i, (k, s, cents) in enumerate(evs)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+
+
+def _py_twap(evs):
+    """Pure-Python replica of twap_daily with the identical float ops."""
+    by_day = {}
+    for i, (k, s, cents) in enumerate(evs):
+        ts = _BASE + timedelta(seconds=s)
+        by_day.setdefault((k, ts.date()), []).append(
+            (ts, i, int(s), floor((cents / 100.0) * 1000))
+        )
+    out = {}
+    for (k, day), rows in by_day.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        num = den = 0
+        for (_, _, e0, q), (_, _, e1, _) in zip(rows, rows[1:]):
+            num += q * (e1 - e0)
+            den += e1 - e0
+        if den > 0:
+            out[(k, day)] = (
+                len(rows),
+                floor(((float(num) / float(den)) / 1000.0) * 1e6) / 1e6,
+            )
+    return out
+
+
+def _py_drawdown(evs):
+    by_key = {}
+    for i, (k, s, cents) in enumerate(evs):
+        by_key.setdefault(k, []).append(
+            (_BASE + timedelta(seconds=s), i, cents / 100.0)
+        )
+    out = {}
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        peak, worst = float("-inf"), 0.0
+        for _, _, v in rows:
+            peak = max(peak, v)
+            worst = max(worst, (peak - v) / peak)
+        out[k] = (len(rows), max(r[2] for r in rows), floor(worst * 1e6) / 1e6)
+    return out
+
+
+@given(_events)
+@settings(max_examples=12, deadline=None)
+def test_twap_daily_matches_python_reference(spark, evs):
+    from high_volume_market_data_pipeline_spark.queries_market import (
+        twap_daily,
+    )
+
+    got = {
+        (r.user_id, r.day): (r.n_events, r.twap_value)
+        for r in twap_daily(_frame(spark, evs)).collect()
+    }
+    assert got == _py_twap(evs)
+
+
+@given(_events)
+@settings(max_examples=12, deadline=None)
+def test_max_drawdown_matches_python_reference(spark, evs):
+    from high_volume_market_data_pipeline_spark.queries_market import (
+        max_drawdown,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.peak_value, r.max_drawdown)
+        for r in max_drawdown(_frame(spark, evs)).collect()
+    }
+    assert got == _py_drawdown(evs)
