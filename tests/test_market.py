@@ -185,3 +185,29 @@ def test_max_drawdown_matches_python_reference(spark, evs):
         for r in max_drawdown(_frame(spark, evs)).collect()
     }
     assert got == _py_drawdown(evs)
+
+
+def test_event_type_correlations_match_numpy_reference(spark):
+    """Independent recomputation: build the hourly (bucket, type) count
+    matrix in pandas and compute Pearson with numpy over co-observed
+    hours — a different formula path than both the Spark moment sums and
+    the DuckDB oracle. Agreement must hold to the 1e-6 quantization."""
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type")
+    pdf = ev.toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    counts = pdf.groupby(["bucket", "event_type"]).size().unstack()
+    got = {
+        (r.type_a, r.type_b): (r.n, r.pearson_r)
+        for r in QUERIES["event_type_correlations"](spark, SF_DIR).collect()
+    }
+    assert got
+    for (ta, tb), (n, r_spark) in got.items():
+        both = counts[[ta, tb]].dropna()
+        assert n == len(both)
+        x, y = both[ta].to_numpy(float), both[tb].to_numpy(float)
+        r_np = np.corrcoef(x, y)[0, 1]
+        # floor-quantized Spark value vs full-precision numpy: within 1 ulp
+        # of the 1e-6 grid
+        assert abs(r_spark - r_np) <= 1.5e-6, (ta, tb, r_spark, r_np)
