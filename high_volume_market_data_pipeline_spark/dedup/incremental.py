@@ -122,32 +122,70 @@ class SignatureStore:
         band-key equi-join shipping (key, sig) only — historical TEXT is
         never re-read, which is the whole point at 100 TB."""
         spark = new_docs.sparkSession
+        caches: list[DataFrame] = []
+        try:
+            return self._dedup_increment(
+                spark, new_docs, text_col, id_col, threshold, max_bucket,
+                caches,
+            )
+        finally:
+            # Every output is localCheckpoint-pinned before we get here, so
+            # dropping the pair-stage caches cannot trigger recompute; a
+            # long-lived ingest driver calling this per batch must not
+            # accumulate cached blocks without bound.
+            for c in caches:
+                c.unpersist()
 
-        # 1. within-batch near-dups: keep the min id of each pair
+    def _dedup_increment(
+        self,
+        spark: SparkSession,
+        new_docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float,
+        max_bucket: int,
+        caches: list[DataFrame],
+    ) -> tuple[DataFrame, DataFrame]:
+        # 1. within-batch near-dups: a doc is a loser iff it near-dups any
+        # smaller-id batch doc. The report keeps ONE row per loser (the
+        # admission contract is one decision row per incoming doc): same
+        # deterministic best-match rule as the store path — max est_jaccard,
+        # then min matched_id. Without this a doc near-duping two smaller-id
+        # partners emitted two rejected rows.
         batch_pairs = lsh_candidate_pairs(
             new_docs, text_col, id_col, self.k, self.bands, self.shingle,
-            max_bucket,
+            max_bucket, cache_registry=caches,
         ).filter(F.col("est_jaccard") >= threshold)
-        batch_loser = batch_pairs.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("matched_id"),
-            "est_jaccard",
-            F.lit("within_batch").alias("reason"),
+        wb = Window.partitionBy("doc_id").orderBy(
+            F.col("est_jaccard").desc(), F.col("matched_id")
         )
-        survivors = new_docs.join(
-            batch_loser.select("doc_id").distinct().withColumnRenamed(
-                "doc_id", id_col
-            ),
-            id_col,
-            "left_anti",
-        ).persist()
+        batch_loser = (
+            batch_pairs.select(
+                F.col("id_b").alias("doc_id"),
+                F.col("id_a").alias("matched_id"),
+                "est_jaccard",
+                F.lit("within_batch").alias("reason"),
+            )
+            .withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            # Pin now: the loser report is tiny, the pair join it embeds is
+            # not — checkpointing here materializes the pair stage exactly
+            # once and frees the caller's `rejected` from the pair caches.
+            .localCheckpoint(eager=True)
+        )
         # Materialization barrier: survivors feeds THREE consumers (the
         # store probe, the final anti-join, and the signature append), and
-        # its lineage embeds lsh_candidate_pairs' persisted/repartitioned
-        # plan — without the barrier Spark recomputes the batch pair join
-        # per consumer, and the mixed partitionings can trip whole-stage
-        # codegen's zipPartitions on local mode.
-        survivors.count()
+        # without a barrier Spark recomputes the anti-join per consumer;
+        # mixed partitionings can also trip whole-stage codegen's
+        # zipPartitions on local mode. localCheckpoint doubles as the cache
+        # (no persist ⇒ nothing to leak) — see the recache-by-path note
+        # below for why persist() would be wrong anyway.
+        survivors = new_docs.join(
+            batch_loser.select("doc_id").withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
 
         # 2. store probe: band-key equi-join, est_jaccard from signatures
         new_banded = self._banded_signatures(survivors, text_col, id_col)

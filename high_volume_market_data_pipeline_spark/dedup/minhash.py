@@ -138,6 +138,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
     max_bucket: int = 1000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with
     ``est_jaccard`` = fraction of equal signature components.
@@ -148,7 +149,12 @@ def lsh_candidate_pairs(
 
     The signature frame is persisted: the bucket-count window and both sides
     of the band self-join consume it, and without a materialization barrier
-    Spark would recompute the md5 pipeline for each consumer.
+    Spark would recompute the md5 pipeline for each consumer. A long-lived
+    driver calling this repeatedly (an ingest service) should pass
+    ``cache_registry`` (a list): the persisted frame is appended to it so
+    the caller can ``unpersist()`` once its downstream results are
+    materialized — otherwise each call leaks one cached block set for the
+    session's lifetime.
     """
     from high_volume_market_data_pipeline_spark.operators.layout import (
         ensure_parallelism,
@@ -158,6 +164,8 @@ def lsh_candidate_pairs(
     sig = minhash_signature(
         ensure_parallelism(df), text_col, id_col, k, shingle
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(sig)
     band_keys = F.array(
         *[
             F.concat_ws(

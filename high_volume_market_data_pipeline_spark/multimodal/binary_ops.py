@@ -107,8 +107,22 @@ def byte_features_arrow(df: DataFrame) -> DataFrame:
                     f"{batch.schema.names}"
                 )
             content = batch.column(idx)
-            # binary array layout: buffers = [validity, int32 offsets, data]
-            off = np.frombuffer(content.buffers()[1], dtype=np.int32)[
+            # binary array layout: buffers = [validity, offsets, data].
+            # Offset width depends on the Arrow type: binary ⇒ int32,
+            # large_binary ⇒ int64 (Spark ships the latter when
+            # spark.sql.execution.arrow.useLargeVarTypes=true) — reading
+            # int64 offsets as int32 silently yields garbage lengths, so
+            # select the dtype from the type and reject anything else.
+            if pa.types.is_binary(content.type):
+                off_dtype = np.int32
+            elif pa.types.is_large_binary(content.type):
+                off_dtype = np.int64
+            else:
+                raise TypeError(
+                    f"byte_features_arrow: 'content' must be binary/"
+                    f"large_binary, got {content.type}"
+                )
+            off = np.frombuffer(content.buffers()[1], dtype=off_dtype)[
                 content.offset : content.offset + len(content) + 1
             ].astype(np.int64)
             dbuf = content.buffers()[2]
@@ -134,9 +148,15 @@ def byte_features_arrow(df: DataFrame) -> DataFrame:
                 -1,
             ).astype(np.int32)
             mask = ~valid
+            aid_idx = batch.schema.get_field_index("asset_id")
+            if aid_idx < 0:  # same loud-failure rule as 'content' above
+                raise KeyError(
+                    f"byte_features_arrow: no 'asset_id' column in "
+                    f"{batch.schema.names}"
+                )
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column(batch.schema.get_field_index("asset_id")),
+                    batch.column(aid_idx),
                     pa.array(lens, type=pa.int64(), mask=mask),
                     pa.array(first, type=pa.int32(), mask=mask),
                     pa.array(last, type=pa.int32(), mask=mask),

@@ -784,7 +784,8 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -793,14 +794,20 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: per-user DISTINCT set of event types as a
-    sorted array (sort pins the cross-engine comparison — set order is
-    undefined in both engines)."""
+    sorted, comma-joined string (sort pins the cross-engine comparison —
+    set order is undefined in both engines; the join-to-string is the
+    driver-hash boundary rule: the driver's canonicalizer pandas-sorts raw
+    cells and crashes on array values, so hashed outputs must be scalar.
+    Library users wanting the array form use ``F.sort_array(
+    F.collect_set(...))`` directly via operators.aggregates.grouped_agg)."""
     ev = load_table(spark, sf_dir, "events")
     out = grouped_agg(
         ev,
         ["user_id"],
         [
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("event_type"))
+            ).alias("event_types"),
             F.countDistinct("event_type").alias("n_types"),
         ],
     )

@@ -387,8 +387,13 @@ def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-modify-append cycle on the store (bootstrap → probe →
     append), which single-statement SQL cannot express; the per-piece
     math (signatures, band keys, est_jaccard) is oracle-checked via
-    minhash_lsh_near_dup. The store lives in a fresh temp dir per call,
-    so the query is repeatable."""
+    minhash_lsh_near_dup. The store lives in a fresh temp dir per call
+    (so the query is repeatable) and is removed before returning — the
+    report frames are localCheckpoint-materialized inside
+    dedup_increment, so nothing re-reads the store files afterwards;
+    without the cleanup every correctness/bench invocation leaked a
+    populated parquet store on disk."""
+    import shutil
     import tempfile
 
     from high_volume_market_data_pipeline_spark.dedup.incremental import (
@@ -402,11 +407,15 @@ def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     resends = base.filter(F.col("doc_id") < 3).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    store = SignatureStore(tempfile.mkdtemp(prefix="sigstore_") + "/sigs")
-    store.bootstrap(base)
-    admitted, rejected = store.dedup_increment(
-        fresh.unionByName(resends), threshold=0.9
-    )
+    store_dir = tempfile.mkdtemp(prefix="sigstore_")
+    try:
+        store = SignatureStore(store_dir + "/sigs")
+        store.bootstrap(base)
+        admitted, rejected = store.dedup_increment(
+            fresh.unionByName(resends), threshold=0.9
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
     report = admitted.select(
         "doc_id",
         F.lit(None).cast("long").alias("matched_id"),

@@ -135,7 +135,13 @@ def max_drawdown(
     value_col: str = "value",
 ) -> DataFrame:
     """Running-peak max drawdown per key — the operator behind
-    max_drawdown_user, hypothesis-pinned in tests/test_market.py."""
+    max_drawdown_user, hypothesis-pinned in tests/test_market.py.
+
+    Total over any (key, ts, id, value) input: the relative-drawdown term
+    is only defined while the running peak is positive (a peak of 0 would
+    divide by zero, a negative peak flips the ratio's sign) — rows before
+    the first positive peak contribute no term, and a key whose values
+    never go positive reports NULL max_drawdown."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, id_col)
@@ -144,7 +150,10 @@ def max_drawdown(
     p = ev.select(key_col, ts_col, id_col, value_col).withColumn(
         "peak", F.max(value_col).over(w)
     )
-    dd = (F.col("peak") - F.col(value_col)) / F.col("peak")
+    dd = F.when(
+        F.col("peak") > 0,
+        (F.col("peak") - F.col(value_col)) / F.col("peak"),
+    )
     return (
         p.select(key_col, value_col, dd.alias("dd"))
         .groupBy(key_col)
@@ -215,7 +224,8 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, COUNT(*) AS n_events,
            MAX(value) AS peak_value,
-           FLOOR(MAX((peak - value) / peak) * 1e6) / 1e6 AS max_drawdown
+           FLOOR(MAX(CASE WHEN peak > 0 THEN (peak - value) / peak END)
+                 * 1e6) / 1e6 AS max_drawdown
     FROM p
     GROUP BY user_id
     ORDER BY user_id

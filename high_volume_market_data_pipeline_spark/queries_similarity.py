@@ -224,31 +224,11 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "label_centroid_embeddings",
-    oracle="""
-    WITH e AS (
-      SELECT label,
-             unnest(embedding::DOUBLE[]) AS v,
-             generate_subscripts(embedding, 1) AS pos
-      FROM embeddings
-    ), p AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(floor(v * 10000000.0) AS BIGINT)) AS DOUBLE)
-               / COUNT(*) / 10000000.0 AS m,
-             COUNT(*) AS cnt
-      FROM e GROUP BY label, pos
-    )
-    SELECT label,
-           MAX(cnt) AS n_vecs,
-           list(m ORDER BY pos) AS centroid
-    FROM p GROUP BY label ORDER BY label
-    """,
-)
-def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise vector centroid: element-wise mean embedding per label —
     the class-prototype reduce behind nearest-centroid classification,
-    IVF seeding, and per-domain drift monitoring.
+    IVF seeding, and per-domain drift monitoring. Library operator: emits
+    the centroid as ``array<double>`` (columns label, n_vecs, centroid).
 
     posexplode → (label, pos) partial+final aggregation → one re-group to
     reassemble the array. Shuffle volume is |labels|·dim per map partition
@@ -281,6 +261,72 @@ def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s.m,
             ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "label_centroid_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), p AS (
+      SELECT label, pos,
+             CAST(floor(
+               CAST(SUM(CAST(floor(v * 10000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)
+             ) AS BIGINT) AS mq,
+             COUNT(*) AS cnt
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           MAX(cnt) AS n_vecs,
+           string_agg(CAST(mq AS VARCHAR), ',' ORDER BY pos) AS centroid_q7
+    FROM p GROUP BY label ORDER BY label
+    """,
+)
+def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed twin of :func:`label_centroids`.
+
+    The driver's correctness canonicalizer pandas-sorts raw output cells and
+    crashes on list values (``TypeError: unhashable type: 'list'`` —
+    CORRECTNESS_r03.json), so hashed outputs must not contain array/map
+    cells. This registration stringifies the centroid at the output
+    boundary: each element is the per-position mean in integer 1e-7
+    micro-units (``floor(sum_q / cnt)`` — a single IEEE divide of two
+    exactly-representable integers, then floor: bit-identical in both
+    engines, and BIGINT→string rendering is trivially cross-engine stable,
+    unlike double→string shortest-round-trip formatting). Library users who
+    want the ``array<double>`` form call :func:`label_centroids`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    per = e.groupBy("label", "pos").agg(
+        F.floor(
+            F.sum(F.floor(F.col("v") * 10000000.0)).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("mq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mq"))),
+                    lambda s: s.mq.cast("string"),
+                ),
+            ).alias("centroid_q7"),
         )
         .orderBy("label")
     )

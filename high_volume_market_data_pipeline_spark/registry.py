@@ -35,6 +35,33 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def assert_driver_safe_schema(df: DataFrame, name: str) -> None:
+    """Reject array/map/struct-typed output columns on a driver-hashed query.
+
+    Learned rule (round 3, CORRECTNESS_r03.json): the driver's correctness
+    canonicalizer pandas-``sort_values`` the raw result frame and crashes
+    with ``TypeError: unhashable type: 'list'`` on any array cell — so the
+    driver contract de facto forbids complex-typed cells in hashed outputs.
+    Oracle-backed queries must stringify collections at the output boundary
+    (``concat_ws`` / integer-quantized element strings; DuckDB twin via
+    ``array_to_string`` / ``string_agg``); array-typed operators stay
+    available as library functions.
+    """
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"query {name!r} emits complex-typed columns {bad}; the driver "
+            "hash crashes on array/map/struct cells — stringify them at the "
+            "output boundary (see registry.assert_driver_safe_schema)"
+        )
+
+
 _DEC = "decimal(18,4)"
 
 

@@ -132,6 +132,7 @@ def test_label_centroid_exact_mean(spark):
 
     from high_volume_market_data_pipeline_spark.queries_similarity import (
         label_centroid_embeddings,
+        label_centroids,
     )
 
     emb = spark.createDataFrame(
@@ -144,11 +145,16 @@ def test_label_centroid_exact_mean(spark):
     )
     with tempfile.TemporaryDirectory() as tmp:
         emb.write.parquet(os.path.join(tmp, "embeddings.parquet"))
-        rows = label_centroid_embeddings(spark, tmp).collect()
+        rows = label_centroids(spark, tmp).collect()
+        hashed = label_centroid_embeddings(spark, tmp).collect()
     by_label = {r["label"]: r for r in rows}
     assert by_label[0]["n_vecs"] == 2 and by_label[1]["n_vecs"] == 1
     assert by_label[0]["centroid"] == [2.0, 3.0, 4.0]
     assert by_label[1]["centroid"] == [10.0, 0.0, -2.0]
+    # the driver-hashed twin stringifies integer 1e-7 micro-units
+    by_label_q = {r["label"]: r for r in hashed}
+    assert by_label_q[0]["centroid_q7"] == "20000000,30000000,40000000"
+    assert by_label_q[1]["centroid_q7"] == "100000000,0,-20000000"
 
 
 def test_ivf_sample_fit_preserves_recall_and_determinism(spark):
@@ -216,3 +222,47 @@ def test_signature_store_incremental_dedup(spark, tmp_path):
     )
     assert admitted2.count() == 0
     assert rejected2.count() == fresh.count() + resends.count()
+
+
+def test_incremental_batch_loser_single_report_row(spark, tmp_path):
+    """The admission report's contract is ONE decision row per incoming
+    doc. A batch doc that near-dups TWO smaller-id batch docs must still
+    produce a single rejected row, matched to its best partner (max
+    est_jaccard, then min matched_id) — the same deterministic rule as
+    the store path. Regression: batch_loser used to emit one row per
+    (loser, smaller-id partner) pair."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup import SignatureStore
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 5)
+    # batch: one novel doc + three copies of the same novel text, so ids
+    # 101 and 102 each near-dup every smaller copy (102 has partners 100
+    # AND 101)
+    novel = docs.filter(F.col("doc_id") == 200).select(
+        F.lit(100).cast("long").alias("doc_id"), "text"
+    )
+    copies = (
+        docs.filter(F.col("doc_id") == 200)
+        .select(
+            F.explode(F.array(F.lit(101), F.lit(102))).alias("new_id"),
+            "text",
+        )
+        .select(F.col("new_id").cast("long").alias("doc_id"), "text")
+    )
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(base)
+    admitted, rejected = store.dedup_increment(
+        novel.unionByName(copies), threshold=0.9
+    )
+    assert {r.doc_id for r in admitted.collect()} == {100}
+    rej = rejected.collect()
+    assert len(rej) == 2  # one row per loser, not one per pair
+    by_id = {r.doc_id: r for r in rej}
+    assert set(by_id) == {101, 102}
+    assert by_id[101].matched_id == 100 and by_id[101].reason == "within_batch"
+    # 102's partners 100 and 101 tie at est_jaccard 1.0 → min id wins
+    assert by_id[102].matched_id == 100 and by_id[102].est_jaccard == 1.0

@@ -19,10 +19,12 @@ def test_twap_bounded_by_daily_value_range(spark):
         "user_id", F.to_date("ts").alias("day")
     ).agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     j = twap.join(bounds, ["user_id", "day"])
-    # floor-quantization can pull the TWAP at most 1e-6 under the true
-    # weighted mean, which itself lies inside [lo, hi]
+    # the true weighted mean lies inside [lo, hi]; the operator floor-
+    # quantizes each value to thousandths BEFORE weighting (< 1e-3 loss,
+    # downward only) and floor-quantizes the output to 1e-6, so the TWAP
+    # can sit up to 1e-3 + 1e-6 below lo but never above hi
     bad = j.filter(
-        (F.col("twap_value") < F.col("lo") - 1e-6)
+        (F.col("twap_value") < F.col("lo") - (1e-3 + 1e-6))
         | (F.col("twap_value") > F.col("hi"))
     )
     assert bad.count() == 0
@@ -97,12 +99,15 @@ from hypothesis import strategies as st
 
 _BASE = datetime(2024, 1, 1)
 
-# (key, seconds offset within 2 days, price in cents)
+# (key, seconds offset within 2 days, price in cents). Cents range dips
+# below zero on purpose: the drawdown operator's contract is total over
+# any value column (zero/negative running peaks yield NULL terms, not
+# inf/NaN) and the reference must exercise that branch.
 _events = st.lists(
     st.tuples(
         st.integers(0, 2),
         st.integers(0, 2 * 86400 - 1),
-        st.integers(1, 50_000),
+        st.integers(-10_000, 50_000),
     ),
     min_size=1,
     max_size=30,
@@ -151,11 +156,17 @@ def _py_drawdown(evs):
     out = {}
     for k, rows in by_key.items():
         rows.sort(key=lambda r: (r[0], r[1]))
-        peak, worst = float("-inf"), 0.0
+        peak, worst = float("-inf"), None
         for _, _, v in rows:
             peak = max(peak, v)
-            worst = max(worst, (peak - v) / peak)
-        out[k] = (len(rows), max(r[2] for r in rows), floor(worst * 1e6) / 1e6)
+            if peak > 0:  # drawdown term undefined for peak <= 0
+                d = (peak - v) / peak
+                worst = d if worst is None else max(worst, d)
+        out[k] = (
+            len(rows),
+            max(r[2] for r in rows),
+            None if worst is None else floor(worst * 1e6) / 1e6,
+        )
     return out
 
 

@@ -54,7 +54,18 @@ def _cell(v) -> str:
 
 
 def canon(df) -> tuple[int, list[str], list[tuple[str, ...]]]:
+    """Replicates the driver's canonicalization failure mode: the driver
+    pandas-``sort_values`` the RAW frame over all columns before hashing
+    (CORRECTNESS_r03.json traceback), which raises ``TypeError: unhashable
+    type: 'list'`` on array cells — so we sort the raw frame first (to
+    crash exactly where the driver crashes), then compare an
+    order-insensitive stringified multiset (robust to cross-engine dtype
+    ordering differences among equal values)."""
     cols = sorted(df.columns)
+    if len(df):
+        # Driver-parity probe: must raise on list/dict cells like the
+        # driver's Categorical-based lexsort does.
+        df[cols].sort_values(by=cols)
     rows = sorted(
         tuple(_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()
     )
@@ -96,7 +107,13 @@ def main() -> int:
             no_oracle.append(name)
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            from high_volume_market_data_pipeline_spark.registry import (
+                assert_driver_safe_schema,
+            )
+
+            out = fn(spark, sf_dir)
+            assert_driver_safe_schema(out, name)
+            sdf = out.toPandas()
             odf = con.execute(oracles[name]).df()
             sn, sc, sr = canon(sdf)
             on, oc, orows = canon(odf)
