@@ -187,8 +187,24 @@ class SignatureStore:
             "left_anti",
         ).localCheckpoint(eager=True)
 
-        # 2. store probe: band-key equi-join, est_jaccard from signatures
-        new_banded = self._banded_signatures(survivors, text_col, id_col)
+        # 2. store probe: band-key equi-join, est_jaccard from signatures.
+        # The batch's minhash signatures were already computed (and
+        # persisted) inside lsh_candidate_pairs — re-deriving them from
+        # text for the probe and again for the append would triple the
+        # most expensive step (measured ~3 s each at the 10× tier), so
+        # both consumers semi-join the cached signature frame instead.
+        batch_sig = caches[0] if caches else None
+        if batch_sig is not None:
+            surv_sig = batch_sig.join(
+                survivors.select(id_col), id_col, "leftsemi"
+            )
+            new_banded = surv_sig.select(
+                F.col(id_col).alias("doc_id"),
+                "sig",
+                F.explode(_band_keys(self.k, self.bands)).alias("band_key"),
+            )
+        else:
+            new_banded = self._banded_signatures(survivors, text_col, id_col)
         store = self.read(spark)
         cand = new_banded.alias("n").join(
             store.alias("s"), "band_key"
@@ -238,9 +254,12 @@ class SignatureStore:
             "left_anti",
         ).localCheckpoint(eager=True)
 
-        # 3. append admitted signatures
-        self._banded_signatures(admitted, text_col, id_col).write.mode(
-            "append"
-        ).parquet(self.path)
+        # 3. append admitted signatures (reusing the cached batch
+        # signatures — admitted ⊆ survivors ⊆ batch; the write must
+        # complete before the finally-block unpersists the cache)
+        new_banded.join(
+            admitted.select(F.col(id_col).alias("doc_id")), "doc_id",
+            "leftsemi",
+        ).write.mode("append").parquet(self.path)
         rejected = batch_loser.unionByName(store_loser)
         return admitted, rejected

@@ -21,6 +21,74 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
 )
 
 
+def token_block_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    block_tokens: int = 8,
+    target_block_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic candidate pairs (id_a < id_b) from a cheap
+    (language, token-count bucket) block — the standalone exact-Jaccard
+    front end (near-dups rarely differ by ``block_tokens``+ tokens).
+
+    Scale knob: a FIXED bucket width is quadratic in corpus size (each
+    block's occupancy grows ∝ n, so pair volume grows ∝ n² — measured 84×
+    on 10× data at width 8, BASELINE.md). Pass ``target_block_rows`` to
+    make the width shrink with corpus size instead: expected rows per
+    block ≈ n·width/spread (spread = #langs · token-count range, one tiny
+    agg job), so width = clamp(target·spread/n, 1, block_tokens) holds
+    block occupancy ≈ target as n grows and pair volume collapses toward
+    ∝ n·target (linear). The floor is width 1 — past that point the next
+    lever is an additional block key (e.g. a content-prefix hash), and
+    narrower blocks trade recall: near-dups whose token counts differ by
+    ≥ width fall out of the candidate set. The registered query pins
+    width 8 (its DuckDB oracle embeds the literal); the adaptive path is
+    measured in tools/bench_scale.py like embedding_near_dup's planes
+    rule."""
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    width = block_tokens
+    if target_block_rows is not None:
+        stats = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(lang_col).alias("langs"),
+            (
+                F.max(token_count(F.col(text_col)))
+                - F.min(token_count(F.col(text_col)))
+                + 1
+            ).alias("nt_range"),
+        ).first()
+        if stats and stats["n"]:
+            spread = max(1, stats["langs"] * stats["nt_range"])
+            width = max(
+                1,
+                min(
+                    block_tokens,
+                    int(target_block_rows * spread // stats["n"]),
+                ),
+            )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(
+            "|",
+            lang_col,
+            F.floor(token_count(F.col(text_col)) / width)
+            .cast("long")
+            .cast("string"),
+        ).alias("blk"),
+    )
+    return (
+        d.select(F.col("doc_id").alias("id_a"), "blk")
+        .join(d.select(F.col("doc_id").alias("id_b"), "blk"), "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

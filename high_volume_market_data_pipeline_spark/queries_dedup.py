@@ -270,26 +270,16 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intersect — the string form shipped ~2 GB at sf0.1). The blocked
     quadratic is the honest cost model when candidate volume is small;
     minhash_lsh_near_dup is the scale path, sharing the same verify
-    arithmetic."""
-    from high_volume_market_data_pipeline_spark.functions.text import (
-        token_count,
+    arithmetic. Width is pinned at 8 here (the oracle embeds the
+    literal); dedup.ngram.token_block_pairs' ``target_block_rows`` knob
+    is the measured scale path (width ∝ 1/n keeps block occupancy
+    constant — BASELINE.md scale table)."""
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        token_block_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.concat_ws(
-            "|",
-            "lang",
-            F.floor(token_count(F.col("text")) / 8).cast("long").cast("string"),
-        ).alias("blk"),
-    )
-    pairs = (
-        d.select(F.col("doc_id").alias("id_a"), "blk")
-        .join(d.select(F.col("doc_id").alias("id_b"), "blk"), "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    pairs = token_block_pairs(docs, block_tokens=8)
     return (
         ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
         .filter(F.col("jaccard") >= 0.3)

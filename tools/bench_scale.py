@@ -93,6 +93,34 @@ def _embedding_near_dup_planes(spark, sf_dir: str, n_planes: int) -> float:
     return round(time.perf_counter() - start, 3)
 
 
+def _ngram_jaccard_adaptive(spark, sf_dir: str, target_block_rows: int) -> float:
+    """The ngram_jaccard_blocked pipeline with the adaptive block-width
+    knob (dedup/ngram.token_block_pairs): width = clamp(target·spread/n,
+    1, 8), so block occupancy stays ≈ target as the corpus grows and the
+    fixed-width 84× quadratic collapses toward linear. Width floors at 1
+    token — past that the lever is an extra block key."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        ngram_jaccard,
+        token_block_pairs,
+    )
+
+    start = time.perf_counter()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = token_block_pairs(
+        docs, block_tokens=8, target_block_rows=target_block_rows
+    )
+    out = (
+        ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -136,6 +164,24 @@ def main() -> None:
             )
         except Exception as exc:
             rows["embedding_near_dup_scaled_planes"] = {
+                "error": str(exc).splitlines()[0][:200]
+            }
+        # Scale-law check: adaptive block width (∝ 1/n) must collapse the
+        # fixed-width 84× quadratic toward linear at 10x docs.
+        try:
+            t_small = _ngram_jaccard_adaptive(spark, SF01, 32)
+            t_big = _ngram_jaccard_adaptive(spark, SF1, 32)
+            rows["ngram_jaccard_adaptive_width"] = {
+                "sf0.1_sec": t_small,
+                "sf1_sec": t_big,
+                "ratio": round(t_big / t_small, 2),
+            }
+            print(
+                f"# ngram_jaccard_adaptive_width: {t_small}s -> {t_big}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            rows["ngram_jaccard_adaptive_width"] = {
                 "error": str(exc).splitlines()[0][:200]
             }
     finally:
