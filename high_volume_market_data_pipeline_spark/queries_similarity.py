@@ -78,6 +78,51 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
 
 
+def _rp_component_sql(j: int, dim: int = 64, seed: int = 101) -> str:
+    """DuckDB twin of one random-projection component: literal md5 plane,
+    sequential fold, floor-quantize 1e-6 (pure IEEE — bit-identical)."""
+    from high_volume_market_data_pipeline_spark.similarity.knn import _hyperplane
+
+    lit = "[" + ",".join(repr(x) for x in _hyperplane(dim, j, seed)) + "]"
+    return (
+        f"floor(list_sum(list_transform(range(1, {dim}+1),"
+        f" i -> v[i] * ({lit}::DOUBLE[])[i])) * 1000000.0) / 1000000.0"
+    )
+
+
+_RP_DIM = 8
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT vec_id, label,
+           {", ".join(f"{_rp_component_sql(j)} AS p{j}" for j in range(_RP_DIM))}
+    FROM e ORDER BY vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection 64-d → 8-d (similarity.random_projection): the
+    standard cheap dimensionality reduction before ANN indexing or
+    clustering — one deterministic md5-plane dot per output component,
+    scalar columns (driver-safe), floor-quantized 1e-6. Fully
+    oracle-backed: the sequential expression fold matches the SQL twin
+    term by term, like the sign-LSH bucket dots."""
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        random_projection(emb, out_dim=_RP_DIM)
+        .select("vec_id", "label", *[f"p{j}" for j in range(_RP_DIM)])
+        .orderBy("vec_id")
+    )
+
+
 def _nd_plane_dot_sql(plane: int, n_planes: int = 2, dim: int = 64) -> str:
     """DuckDB twin of the sign-LSH hyperplane dot product: the hyperplane is
     a deterministic md5-derived constant (similarity/knn._hyperplane), so it

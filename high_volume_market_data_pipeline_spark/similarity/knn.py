@@ -148,6 +148,45 @@ def random_hyperplane_buckets(
     return df.withColumn(out_col, guarded)
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 101,
+    prefix: str = "p",
+    quantize: float = 1e6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection: append ``out_dim``
+    scalar columns ``p0..p{out_dim-1}``, component j = v · plane_j over
+    md5-derived deterministic planes (the dense cousin of the sign-LSH
+    bucketing above — keep the magnitudes instead of the sign bits). The
+    standard cheap dimensionality reduction before ANN indexing or
+    clustering: distances are preserved within (1±ε) w.h.p., and an 8-d
+    float row is ~8× less shuffle than the 64-d original.
+
+    Components are emitted as SCALAR columns, not an array — the driver
+    hash forbids array cells (registry.assert_driver_safe_schema) — and
+    floor-quantized at ``quantize`` (pure IEEE ops, bit-identical across
+    engines). The dot product is the sequential expression fold, NOT a
+    numpy batch: its summation order matches the SQL oracle term by term
+    (the vectorized path's pairwise sums differ in last-ulp digits; see
+    the scorer note in lsh_bucketed_knn)."""
+    v = as_double(F.col(vec_col))
+    out = df
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)])
+        d = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(
+            f"{prefix}{j}", F.floor(d * quantize) / quantize
+        )
+    return out
+
+
 def lsh_bucketed_knn(
     queries: DataFrame,
     corpus: DataFrame,

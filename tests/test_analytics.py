@@ -163,3 +163,100 @@ def test_repetition_stats_flag_boilerplate(spark):
     uniq = out[1]
     assert uniq["distinct_ratio"] == 1.0
     assert uniq["bigram_rep_ratio"] == 0.0
+
+
+def test_hll_sketch_union_exactness_and_accuracy(spark):
+    """The mergeable-sketch contract: (a) union of daily sketches has
+    IDENTICAL register state to one direct sketch over all days — the
+    estimates are exactly equal, not just close (HLL registers keep the
+    max rank per bucket; max is associative); (b) the estimate lands
+    within 5% of the exact distinct count at lgK=12."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_rollup,
+    )
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        hll_incremental_distinct,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_incremental_distinct(spark, SF_DIR).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_rollup(ev, ["event_type"], "user_id")
+        .select("event_type", hll_estimate(F.col("sketch")).alias("approx_users"))
+        .collect()
+    }
+    assert merged == direct  # union-exactness: same register state
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+    # re-slicing without the fact table: monthly from the daily sketches
+    daily = hll_rollup(ev, ["event_type", "day"], "user_id")
+    monthly = hll_merge(
+        daily.withColumn("month", F.trunc("day", "month")),
+        ["event_type", "month"],
+    )
+    assert monthly.count() > 0
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity on the testdata embeddings: for a sample of vector
+    triples where d(a,b) << d(a,c) in 64-d, the 8-d projection keeps the
+    order most of the time (loose: >= 70% of clearly-separated triples),
+    and the projection is deterministic across runs."""
+    import itertools
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        random_projection,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 30
+    )
+    proj = random_projection(emb, out_dim=8)
+    rows = proj.select("vec_id", "embedding", *[f"p{j}" for j in range(8)]).collect()
+    rows2 = proj.select("vec_id", *[f"p{j}" for j in range(8)]).collect()
+    assert {tuple(r) for r in rows2} == {
+        (r["vec_id"], *[r[f"p{j}"] for j in range(8)]) for r in rows
+    }  # deterministic re-run
+
+    import math
+
+    def d_full(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a["embedding"], b["embedding"])))
+
+    def d_proj(a, b):
+        return math.sqrt(
+            sum((a[f"p{j}"] - b[f"p{j}"]) ** 2 for j in range(8))
+        )
+
+    ok = total = 0
+    # random 64-d vectors concentrate: pairwise distances are all close,
+    # so "clearly separated" means ratio >= 1.15 here (calibrated on the
+    # testdata — ratio 1.5 simply never occurs among random vectors)
+    for a, b, c in itertools.islice(itertools.combinations(rows, 3), 2000):
+        full_ab, full_ac = d_full(a, b), d_full(a, c)
+        if full_ab == 0 or full_ac == 0:
+            continue
+        lo, hi = sorted([full_ab, full_ac])
+        if hi / lo < 1.15:
+            continue
+        total += 1
+        if (d_proj(a, b) < d_proj(a, c)) == (full_ab < full_ac):
+            ok += 1
+    assert total > 0
+    assert ok / total >= 0.7, f"{ok}/{total}"
