@@ -420,3 +420,143 @@ def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("doc_id")
+
+
+_SDS_W = 8  # tokens per gram: long enough that only real shared passages
+# collide on the synthetic vocab (same reasoning as benchmark_contamination)
+
+
+def _sds_shingle_sql(w: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{off}]" for off in range(w))
+    return (
+        f"CASE WHEN len(t) < {w} THEN [norm] "
+        f"ELSE list_transform(range(1, len(t) - {w} + 2), i -> {gram}) END"
+    )
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ), toks AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS t FROM base
+    ), sh AS (
+      SELECT doc_id, {_sds_shingle_sql(_SDS_W)} AS shingles FROM toks
+    ), g AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(shingles, 1) AS BIGINT) - 1 AS pos,
+             unnest(shingles) AS gram
+      FROM sh
+    ), h AS (
+      SELECT doc_id, pos, {_hex_to_int_sql("md5(gram)")} AS hh FROM g
+    ), dup AS (
+      SELECT hh FROM h GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT h.doc_id, h.pos, (d.hh IS NOT NULL) AS is_dup
+      FROM h LEFT JOIN dup d USING (hh)
+    ), r AS (
+      SELECT doc_id, pos, is_dup,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, is_dup ORDER BY pos
+             ) AS grp
+      FROM m
+    ), runs AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len
+      FROM r WHERE is_dup GROUP BY doc_id, grp
+    ), mr AS (
+      SELECT doc_id, MAX(run_len) AS max_dup_run FROM runs GROUP BY doc_id
+    ), st AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+      FROM m GROUP BY doc_id
+    )
+    SELECT st.doc_id, st.n_grams, st.n_dup_grams,
+           floor(st.n_dup_grams * 1000000.0 / st.n_grams) / 1000000.0
+             AS dup_share,
+           COALESCE(mr.max_dup_run, 0) AS max_dup_run
+    FROM st LEFT JOIN mr USING (doc_id)
+    ORDER BY st.doc_id
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level duplication analysis — the span-dedup shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): document-level dedup misses the boilerplate passages
+    (headers, licenses, templates) duplicated INSIDE otherwise-unique
+    documents. Per doc: total word 8-grams, grams shared verbatim with at
+    least one OTHER doc, their share, and the longest consecutive
+    duplicated run (≈ longest duplicated substring, in grams — a
+    gaps-and-islands window over gram positions).
+
+    Plan shape: posexplode grams once per consumer (two passes, like
+    tfidf), hash to 32-bit longs BEFORE the self-join (NOTES rule: never
+    ship gram strings through a shuffle), one groupBy(h) for the
+    cross-doc gram set, one join back, windows partitioned by doc. At
+    100 TB the dup-gram table is the only wide shuffle and it carries
+    (hash, count) pairs only. Collision risk of the 32-bit slice is the
+    documented ngram_jaccard tradeoff (~1e-5 per 300-gram doc pair).
+    Remediation (dropping flagged spans) is a trivial filter on the
+    marked frame; the analysis is the expensive, oracle-checkable part.
+    """
+    from pyspark.sql import Window
+
+    from high_volume_market_data_pipeline_spark.dedup.minhash import (
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), _SDS_W)).alias(
+            "pos", "gram"
+        ),
+    )
+    hashed = grams.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hh"),
+    )
+    dup = (
+        hashed.groupBy("hh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("hh", F.lit(True).alias("_dup"))
+    )
+    marked = hashed.join(dup, "hh", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+    )
+    w_run = Window.partitionBy("doc_id", "is_dup").orderBy("pos")
+    r = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_run)
+    )
+    runs = (
+        r.filter(F.col("is_dup"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_dup_run"))
+    )
+    st = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup_grams"),
+    )
+    return (
+        st.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.floor(F.col("n_dup_grams") * 1000000.0 / F.col("n_grams"))
+                / 1000000.0
+            ).alias("dup_share"),
+            F.coalesce(F.col("max_dup_run"), F.lit(0).cast("long")).alias(
+                "max_dup_run"
+            ),
+        )
+        .orderBy("doc_id")
+    )

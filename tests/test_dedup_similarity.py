@@ -266,3 +266,83 @@ def test_incremental_batch_loser_single_report_row(spark, tmp_path):
     assert by_id[101].matched_id == 100 and by_id[101].reason == "within_batch"
     # 102's partners 100 and 101 tie at est_jaccard 1.0 → min id wins
     assert by_id[102].matched_id == 100 and by_id[102].est_jaccard == 1.0
+
+
+def test_substring_dup_spans_planted_passage(spark):
+    """Two documents sharing a verbatim 12-token passage (inside otherwise
+    unique text) must show exactly the 5 covering 8-grams as duplicated,
+    in one consecutive run; a fully unique doc shows zero duplication."""
+    import os
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        substring_dup_spans,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"alpha{i}" for i in range(5)) + " " + passage
+             + " " + " ".join(f"beta{i}" for i in range(5)), "en", "s", 1),
+            (1, " ".join(f"gamma{i}" for i in range(5)) + " " + passage
+             + " " + " ".join(f"delta{i}" for i in range(5)), "en", "s", 1),
+            (2, " ".join(f"unique{i}" for i in range(22)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r for r in substring_dup_spans(spark, tmp).collect()}
+    # 22 tokens -> 15 grams per doc; passage covers 12-8+1 = 5 of them
+    for d in (0, 1):
+        assert out[d]["n_grams"] == 15
+        assert out[d]["n_dup_grams"] == 5, out[d]
+        assert out[d]["max_dup_run"] == 5
+        assert abs(out[d]["dup_share"] - 5 / 15) < 1e-6
+    assert out[2]["n_dup_grams"] == 0 and out[2]["max_dup_run"] == 0
+
+
+def test_drop_duplicated_spans_keeps_one_copy(spark):
+    """Span removal: the min-id doc keeps its text verbatim; later docs
+    lose exactly the shared passage tokens; unique docs untouched; and
+    re-running on the cleaned corpus drops nothing further."""
+    from high_volume_market_data_pipeline_spark.dedup.spans import (
+        drop_duplicated_spans,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    a_pre = " ".join(f"alpha{i}" for i in range(5))
+    a_post = " ".join(f"beta{i}" for i in range(5))
+    b_pre = " ".join(f"gamma{i}" for i in range(5))
+    b_post = " ".join(f"delta{i}" for i in range(5))
+    uniq = " ".join(f"unique{i}" for i in range(22))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{a_pre} {passage} {a_post}"),
+            (1, f"{b_pre} {passage} {b_post}"),
+            (2, uniq),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in drop_duplicated_spans(docs).collect()}
+    assert out[0]["clean_text"] == f"{a_pre} {passage} {a_post}"
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["clean_text"] == f"{b_pre} {b_post}"
+    assert out[1]["n_dropped"] == 12
+    assert out[2]["n_dropped"] == 0 and out[2]["clean_text"] == uniq
+
+    cleaned = spark.createDataFrame(
+        [(k, r["clean_text"]) for k, r in out.items()],
+        "doc_id long, text string",
+    )
+    again = {r["doc_id"]: r for r in drop_duplicated_spans(cleaned).collect()}
+    assert all(r["n_dropped"] == 0 for r in again.values())
+
+    # exact short-doc copies: non-owner is scrubbed to empty
+    shorts = spark.createDataFrame(
+        [(10, "tiny text here"), (11, "tiny text here")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in drop_duplicated_spans(shorts).collect()}
+    assert s[10]["clean_text"] == "tiny text here"
+    assert s[11]["clean_text"] == "" and s[11]["n_dropped"] == 3
