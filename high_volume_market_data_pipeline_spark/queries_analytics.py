@@ -2052,3 +2052,98 @@ def exact_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), th AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (cnt + 99) // 100 THEN value END) AS p01,
+             MAX(CASE WHEN rn = (99 * cnt + 99) // 100 THEN value END)
+               AS p99
+      FROM r GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, e.value, t.p01, t.p99,
+             least(greatest(e.value, t.p01), t.p99) AS w
+      FROM events e JOIN th t USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           MAX(p01) AS p01,
+           MAX(p99) AS p99,
+           floor(CAST(SUM(CAST(floor(w * 1000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000.0 * 1000000.0) / 1000000.0
+             AS winsorized_mean
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) robust mean per event type: exact
+    p01/p99 thresholds by rank-pick (percentile_disc semantics — actual
+    elements, the cross-engine-safe exact percentile; same pattern as
+    exact_percentiles_order_price), values clipped into [p01, p99], and
+    the clipped mean computed on 1e-3-quantized integers (summation-order
+    independent). Robust preprocessing is what a feature pipeline does
+    before normalizing heavy-tailed metrics; the clip counts are the
+    audit trail. One rank window + a broadcast threshold join-back (the
+    per-group threshold table is |event_type| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    th = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("cnt") + 99) / 100),
+                F.col("value"),
+            )
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((99 * F.col("cnt") + 99) / 100),
+                F.col("value"),
+            )
+        ).alias("p99"),
+    )
+    c = ev.select("event_type", "value").join(F.broadcast(th), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") < F.col("p01")).cast("int"))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("p99")).cast("int"))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.max("p01").alias("p01"),
+            F.max("p99").alias("p99"),
+            (
+                F.floor(
+                    F.sum(F.floor(wv * 1000.0)).cast("double")
+                    / F.count(F.lit(1))
+                    / 1000.0
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

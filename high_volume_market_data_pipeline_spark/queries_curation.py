@@ -334,3 +334,75 @@ def token_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chunk_id")
     )
+
+
+from high_volume_market_data_pipeline_spark.queries_text import (  # noqa: E402
+    _SW_SQL as _SW_FOR_QWS,
+)
+
+_QUALITY_SQL = """ROUND(
+  0.5 * (len(list_filter(toks, t -> list_contains(_SW_, t)))
+         / CAST(len(toks) AS DOUBLE))
+  + 0.4 * least(len(toks) / 64.0, 1.0)
+  + 0.1 * (1.0 - (length(text)
+                  - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE)),
+6)""".replace("_SW_", _SW_FOR_QWS)
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, source, {_QUALITY_SQL} AS quality FROM t
+    ), d AS (
+      SELECT doc_id, lang, source, quality,
+             {_hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 1000000
+               AS draw,
+             CAST(floor(least(1.0, greatest(0.05, quality)) * 1000000.0)
+                  AS BIGINT) AS keep_below
+      FROM q
+    )
+    SELECT doc_id, lang, source, quality, draw, keep_below
+    FROM d WHERE draw < keep_below
+    ORDER BY doc_id
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling ∝ quality score — the curation op that
+    up-weights high-quality text without hard thresholds: each document
+    keeps with probability clamp(quality, 0.05, 1) via a deterministic
+    md5 draw (u = md5(doc_id) mod 1e6, keep iff u < floor(p·1e6)). No
+    RNG: membership is a pure function of doc_id, stable under appends,
+    repartitioning, and re-runs (the property randomSplit lacks), and the
+    integer threshold compare is engine-exact. Expected corpus share ≈
+    mean clamped quality; the low clamp keeps a floor of low-quality text
+    (total-filter bias is itself a known curation failure mode)."""
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        quality_score,
+    )
+    from high_volume_market_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    p_keep = F.least(F.lit(1.0), F.greatest(F.lit(0.05), q))
+    thresh = F.floor(p_keep * 1000000.0).cast("long")
+    u = hash_bucket(F.col("doc_id"), 1_000_000)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            q.alias("quality"),
+            u.alias("draw"),
+            thresh.alias("keep_below"),
+        )
+        .filter(F.col("draw") < F.col("keep_below"))
+        .orderBy("doc_id")
+    )

@@ -529,34 +529,33 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = hashed.join(dup, "hh", "left").select(
         "doc_id", "pos", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
     )
+    # Single tail pass: the island id (grp) and the island length (count
+    # over the finer partition) both run on ONE (doc_id, is_dup) exchange
+    # — HashPartitioning(doc_id, is_dup) satisfies the run_len window's
+    # ClusteredDistribution(doc_id, is_dup, grp), so no second shuffle —
+    # and one groupBy(doc_id) then folds counts, dup counts, and max run
+    # together (a separate runs/stats pair of aggregations re-read the
+    # marked frame, i.e. re-ran the gram explode + join, twice).
     w_run = Window.partitionBy("doc_id", "is_dup").orderBy("pos")
+    w_len = Window.partitionBy("doc_id", "is_dup", "grp")
     r = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w_run)
-    )
-    runs = (
-        r.filter(F.col("is_dup"))
-        .groupBy("doc_id", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_dup_run"))
-    )
-    st = marked.groupBy("doc_id").agg(
+    ).withColumn("run_len", F.count(F.lit(1)).over(w_len))
+    out = r.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup_grams"),
+        F.coalesce(
+            F.max(F.when(F.col("is_dup"), F.col("run_len"))),
+            F.lit(0).cast("long"),
+        ).alias("max_dup_run"),
     )
-    return (
-        st.join(runs, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_dup_grams",
-            (
-                F.floor(F.col("n_dup_grams") * 1000000.0 / F.col("n_grams"))
-                / 1000000.0
-            ).alias("dup_share"),
-            F.coalesce(F.col("max_dup_run"), F.lit(0).cast("long")).alias(
-                "max_dup_run"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        (
+            F.floor(F.col("n_dup_grams") * 1000000.0 / F.col("n_grams"))
+            / 1000000.0
+        ).alias("dup_share"),
+        "max_dup_run",
+    ).orderBy("doc_id")

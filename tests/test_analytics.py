@@ -260,3 +260,48 @@ def test_random_projection_preserves_relative_distances(spark):
             ok += 1
     assert total > 0
     assert ok / total >= 0.7, f"{ok}/{total}"
+
+
+def test_winsorized_stats_invariants(spark):
+    """Clipped mean must lie inside [p01, p99]; clip counts are bounded by
+    the 1% tails (rank-pick thresholds: strictly-below-p01 rows number at
+    most ceil(0.01 n) - 1, same above p99)."""
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        winsorized_value_stats,
+    )
+
+    rows = winsorized_value_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p01"] <= r["winsorized_mean"] <= r["p99"]
+        bound = -(-r["n_events"] // 100)  # ceil(n/100)
+        assert r["n_clipped_low"] <= bound
+        assert r["n_clipped_high"] <= bound
+
+
+def test_quality_weighted_sample_rate_tracks_quality(spark):
+    """Deterministic importance sampling: the realized keep rate must be
+    within a few points of the mean clamped quality (md5 draws are
+    uniform), and membership is identical across runs."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        quality_score,
+    )
+    from high_volume_market_data_pipeline_spark.queries_curation import (
+        quality_weighted_sample,
+    )
+
+    kept = quality_weighted_sample(spark, SF_DIR)
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in quality_weighted_sample(spark, SF_DIR).collect()}
+    assert ids1 == ids2  # pure function of doc_id
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = docs.select(
+        F.avg(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.05), quality_score(F.col("text"))))
+        ).alias("p")
+    ).first()["p"]
+    n = docs.count()
+    rate = len(ids1) / n
+    assert abs(rate - expected) < 0.08, (rate, expected)
