@@ -201,6 +201,26 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
 
 
+@query("knn_pq_adc")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity/knn.pq_knn): per-subspace
+    k-means codebooks → 8-byte code words → asymmetric-distance shortlist
+    → exact re-rank of the top ``refine`` per query. The compressed-domain
+    third ANN family (sign-LSH = data-oblivious buckets, IVF = learned
+    cells, PQ = learned compression): at 100 TB the candidate scan reads
+    32× fewer bytes than the float vectors. Approximate ⇒ rows-only gate;
+    the self-grading recall column + the ≥0.8 assertion in
+    tests/test_dedup_similarity.py are the quality contract."""
+    from high_volume_market_data_pipeline_spark.similarity import pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = pq_knn(q, emb, k=_K)
+    # recall twin: ranking-only, so the Arrow scorer is safe (values not hashed)
+    exact = brute_force_knn(q, emb, k=_K, vectorized=True)
+    return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
+
+
 @query(
     "embedding_quantize_stats",
     oracle="""

@@ -2,10 +2,22 @@
 
 from high_volume_market_data_pipeline_spark.similarity.knn import (
     brute_force_knn,
+    fit_pq_codebooks,
     ivf_knn,
     lsh_bucketed_knn,
-    with_recall_at_k,
+    pq_encode,
+    pq_knn,
     random_hyperplane_buckets,
+    with_recall_at_k,
 )
 
-__all__ = ["brute_force_knn", "ivf_knn", "lsh_bucketed_knn", "random_hyperplane_buckets", "with_recall_at_k"]
+__all__ = [
+    "brute_force_knn",
+    "fit_pq_codebooks",
+    "ivf_knn",
+    "lsh_bucketed_knn",
+    "pq_encode",
+    "pq_knn",
+    "random_hyperplane_buckets",
+    "with_recall_at_k",
+]

@@ -450,6 +450,238 @@ def ivf_knn(
     )
 
 
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    iters: int = 10,
+    fit_fraction: float | None = None,
+) -> np.ndarray:
+    """Fit product-quantization codebooks: split each (L2-normalized)
+    vector into ``m_subspaces`` contiguous subvectors and k-means each
+    subspace independently to ``n_codes`` centroids.
+
+    Returns a ``(m_subspaces, n_codes, dim // m_subspaces)`` numpy array —
+    model-scale metadata (m·k rows), the one thing an ANN index build DOES
+    collect to the driver (ivf_knn collects its k-means centers the same
+    way). The fit itself is distributed: one posexplode fans every sampled
+    vector into its m subvectors, and ``applyInPandas`` over the subspace
+    key runs the m independent Lloyd loops in parallel — one shuffle of
+    the (sampled) training set, no per-iteration Spark round trips.
+
+    Determinism: the per-group frame is sorted by vector id before a
+    seeded ``RandomState`` picks the initial centers, because Spark gives
+    no row-order guarantee inside a group; empty clusters reseed to the
+    farthest point (deterministic argmax). ``fit_fraction`` trains on an
+    md5-bucket sample (FAISS-style ~thousands of vectors per subspace
+    suffice) while encoding still covers every vector."""
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dsub = dim // m_subspaces
+    from high_volume_market_data_pipeline_spark.functions.expr import bind_once
+    from high_volume_market_data_pipeline_spark.functions.vectors import norm
+
+    raw = as_double(F.col(vec_col))
+    unit = bind_once(  # bind the norm scalar once (see ivf_knn's norm())
+        norm(raw), lambda n: F.transform(raw, lambda x: x / n)
+    )
+    c = corpus.select(F.col(id_col).alias("_id"), unit.alias("v"))
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from high_volume_market_data_pipeline_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        n_buckets = 10_000
+        bound = max(1, int(round(fit_fraction * n_buckets)))
+        c = c.filter(hash_bucket(F.col("_id").cast("string"), n_buckets) < bound)
+    subs = c.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.slice("v", j * dsub + 1, dsub) for j in range(m_subspaces)])
+        ).alias("sub_id", "subvec"),
+    )
+
+    def _fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub_id = int(pdf["sub_id"].iloc[0])
+        X = np.asarray(
+            pdf.sort_values("_id")["subvec"].tolist(), dtype=np.float64
+        )
+        rng = np.random.RandomState(seed + sub_id)
+        k = min(n_codes, len(X))
+        cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                members = X[assign == ci]
+                if len(members):
+                    cent[ci] = members.mean(axis=0)
+                else:  # reseed an empty cluster to the farthest point
+                    cent[ci] = X[d2.min(axis=1).argmax()]
+        return pd.DataFrame(
+            {
+                "sub_id": sub_id,
+                "code": np.arange(k, dtype=np.int32),
+                "centroid": list(cent),
+            }
+        )
+
+    fitted = subs.groupBy("sub_id").applyInPandas(
+        _fit_one, "sub_id int, code int, centroid array<double>"
+    )
+    cb = np.zeros((m_subspaces, n_codes, dsub), dtype=np.float64)
+    for row in fitted.collect():  # m·k rows: the model, not data
+        cb[row["sub_id"], row["code"]] = row["centroid"]
+    return cb
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return X / n
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append the PQ code word: ``array<int>`` of ``m`` centroid indices
+    (one byte each in a real store — 64 float32 → 8 codes is the 32×
+    compression that lets a 100 TB corpus's search structure fit a
+    cluster's RAM; parquet dictionary-encodes the int column to ~1 B).
+
+    Arrow-batched numpy (one einsum per batch): dist²(x, c) = ‖c‖² − 2x·c
+    up to the per-row constant ‖x‖², so argmin over codes needs only the
+    cross term. Vectors are L2-normalized first when ``normalize`` (PQ for
+    cosine quantizes the unit sphere)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = codebooks.shape
+    c2 = (codebooks**2).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        if normalize:
+            X = _normalize_rows(X)
+        Xs = X.reshape(len(X), m, dsub)
+        dots = np.einsum("bjd,jkd->bjk", Xs, codebooks)
+        codes = (c2[None, :, :] - 2.0 * dots).argmin(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    return df.withColumn(out_col, _enc(as_double(F.col(vec_col))))
+
+
+def pq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    refine: int = 128,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the compressed-domain
+    third family next to sign-LSH (data-oblivious buckets) and IVF
+    (learned cells): candidates are scored against the 8-byte PQ codes,
+    and only the top ``refine`` per query touch full vectors again.
+
+    Scale story: the scan that scores 100 TB of embeddings reads the code
+    column (m ints, dictionary-encoded) instead of the float array — 32×
+    less I/O and shuffle — and the exact re-rank reads full vectors for
+    ``refine`` rows per query via an id equi-join. The asymmetric score
+    Σⱼ qⱼ·c[j,codeⱼ] equals cos(q, decode(code)) for unit vectors, which
+    the Arrow scorer computes as one gather + einsum per batch (a
+    production kernel amortizes a per-query LUT across a partition; same
+    arithmetic, constant-factor faster). Approximate ⇒ register rows-only,
+    with recall asserted in tests like the other ANN families."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = fit_pq_codebooks(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        dim=dim,
+        seed=seed,
+        fit_fraction=fit_fraction,
+    )
+    m, _, dsub = cb.shape
+    coded = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        cb,
+        vec_col="cv",
+    ).select("neighbor_id", "pq_codes")
+    # One materialization barrier: the codes feed both the ADC scan and —
+    # conceptually — a persisted index; recomputing the encode per probe
+    # would re-pay the einsum for every query batch.
+    coded = coded.localCheckpoint(eager=True)
+
+    @pandas_udf("double")
+    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        Q = _normalize_rows(np.asarray(qvs.tolist(), dtype=np.float64))
+        C = np.asarray(codes.tolist(), dtype=np.int64)  # (B, m)
+        decoded = cb[np.arange(m)[None, :], C]  # (B, m, dsub)
+        scores = np.einsum(
+            "bjd,bjd->b", Q.reshape(len(Q), m, dsub), decoded
+        )
+        return pd.Series(scores)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            _adc(F.col("qv"), F.col("pq_codes")).alias("_adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"), "neighbor_id")
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= refine)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    # exact re-rank: full vectors only for refine·|queries| rows
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact_cos = pandas_udf(_cosine_batch, "double")(F.col("qv"), F.col("cv"))
+    rescored = shortlist.join(full, "neighbor_id").select(
+        "query_id", "neighbor_id", exact_cos.alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        rescored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
 def with_recall_at_k(ann: DataFrame, exact: DataFrame) -> DataFrame:
     """Append per-query ``recall_at_k`` to an ANN result: |ann ∩ exact| /
     |exact| over neighbor sets (both inputs shaped (query_id, neighbor_id,

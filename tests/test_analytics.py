@@ -305,3 +305,46 @@ def test_quality_weighted_sample_rate_tracks_quality(spark):
     n = docs.count()
     rate = len(ids1) / n
     assert abs(rate - expected) < 0.08, (rate, expected)
+
+
+def test_heavy_hitter_sketch_exact_under_budget(spark):
+    """heavy_hitter_users' oracle-exactness contract: the approx_top_k
+    sketch is exact while per-group cardinality ≤ maxItemsTracked. Pin
+    (a) the testdata honors the bound and (b) the sketch path equals the
+    exact groupBy-count + deterministic-rank twin row for row."""
+    from pyspark.sql import Window
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        _HH_K,
+        _HH_TRACKED,
+        heavy_hitter_users,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    worst = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert worst <= _HH_TRACKED, f"cardinality {worst} breaks exactness bound"
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), "user_id"
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hh_rank", F.row_number().over(w))
+        .filter(F.col("hh_rank") <= _HH_K)
+    )
+    got = {
+        (r.event_type, r.user_id, r.cnt, r.hh_rank)
+        for r in heavy_hitter_users(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.event_type, r.user_id, r.cnt, r.hh_rank)
+        for r in exact.collect()
+    }
+    assert got == want

@@ -275,3 +275,54 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     expect = orders.filter(F.col("o_orderstatus") == "O").count()
     got = {r.label: r.n for r in j.collect()}
     assert got == {"open": expect}
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """Spark's runtime bloom-filter injection is the engine-native
+    semi-join reduction for fact⋈filtered-dim SHUFFLE joins (the case
+    broadcast + DPP don't cover): the fact side is pre-filtered by
+    might_contain(bloom_filter_agg(dim keys)) BEFORE its exchange, so at
+    100 TB the shuffle carries only rows that can match. Results stay
+    EXACT — a bloom only prunes. Toy inputs sit below the production
+    thresholds, so the test lowers the application-side floor and
+    disables auto-broadcast to expose the shuffle-join shape, and pins
+    that the injection actually fires."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cust = load_table(spark, SF_DIR, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, SF_DIR, "orders")
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        pruned_count = j.count()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    # exactness: the bloom-pruned join returns exactly the plain join rows
+    cust = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    assert pruned_count == orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()

@@ -121,12 +121,45 @@ def _ngram_jaccard_adaptive(spark, sf_dir: str, target_block_rows: int) -> float
     return round(time.perf_counter() - start, 3)
 
 
+# The 100× tier's headline subset (BASELINE.md "second decade" table):
+# one representative per scale-critical family — full-scan agg, join
+# tree, event resample/window, text hashing, banded LSH, the market
+# rollup-then-window family, source triage, pair moments.
+SF10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf10"
+)
+SF10_SET = [
+    "pricing_summary",
+    "revenue_by_nation_q5",
+    "ohlc_resample_events",
+    "sessionize_events_batch",
+    "simhash_documents",
+    "minhash_lsh_near_dup",
+    "twap_user_daily",
+    "max_drawdown_user",
+    "bollinger_breakouts",
+    "rsi_event_types",
+    "source_reliability",
+    "event_type_correlations",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="also run the headline subset at the 100x tier "
+        "(make_scale_data.py --copies 100 --out .scale/sf10 first)",
+    )
     args = ap.parse_args()
     if not os.path.isdir(SF1):
         raise SystemExit("run tools/make_scale_data.py first")
+    if args.sf10 and not os.path.isdir(SF10):
+        raise SystemExit(
+            "run tools/make_scale_data.py --copies 100 --out .scale/sf10 first"
+        )
     spark = build_session(app_name="hvmdp-bench-scale")
     rows: dict[str, dict[str, float]] = {}
     try:
@@ -184,6 +217,14 @@ def main() -> None:
             rows["ngram_jaccard_adaptive_width"] = {
                 "error": str(exc).splitlines()[0][:200]
             }
+        sf10_rows: dict[str, float | str] = {}
+        if args.sf10:
+            for name in SF10_SET:
+                try:
+                    sf10_rows[name] = _run(spark, name, SF10)
+                except Exception as exc:
+                    sf10_rows[name] = "ERR " + str(exc).splitlines()[0][:160]
+                print(f"# sf10 {name}: {sf10_rows[name]}", file=sys.stderr)
     finally:
         spark.stop()
     ok = [r for r in rows.values() if "ratio" in r]
@@ -195,6 +236,8 @@ def main() -> None:
         "worst_ratio": max((r["ratio"] for r in ok), default=None),
         "n_errors": len(rows) - len(ok),
     }
+    if args.sf10:
+        doc["sf10_seconds"] = sf10_rows
     line = json.dumps(doc)
     print(line)
     if args.out:
