@@ -4,6 +4,7 @@ from high_volume_market_data_pipeline_spark.similarity.knn import (
     brute_force_knn,
     fit_pq_codebooks,
     ivf_knn,
+    ivf_pq_knn,
     lsh_bucketed_knn,
     pq_encode,
     pq_knn,
@@ -15,6 +16,7 @@ __all__ = [
     "brute_force_knn",
     "fit_pq_codebooks",
     "ivf_knn",
+    "ivf_pq_knn",
     "lsh_bucketed_knn",
     "pq_encode",
     "pq_knn",

@@ -460,10 +460,12 @@ def fit_pq_codebooks(
     seed: int = 42,
     iters: int = 10,
     fit_fraction: float | None = None,
+    normalize: bool = True,
 ) -> np.ndarray:
-    """Fit product-quantization codebooks: split each (L2-normalized)
-    vector into ``m_subspaces`` contiguous subvectors and k-means each
-    subspace independently to ``n_codes`` centroids.
+    """Fit product-quantization codebooks: split each (L2-normalized when
+    ``normalize``; residual inputs pass ``normalize=False``) vector into
+    ``m_subspaces`` contiguous subvectors and k-means each subspace
+    independently to ``n_codes`` centroids.
 
     Returns a ``(m_subspaces, n_codes, dim // m_subspaces)`` numpy array —
     model-scale metadata (m·k rows), the one thing an ANN index build DOES
@@ -486,10 +488,13 @@ def fit_pq_codebooks(
     from high_volume_market_data_pipeline_spark.functions.vectors import norm
 
     raw = as_double(F.col(vec_col))
-    unit = bind_once(  # bind the norm scalar once (see ivf_knn's norm())
-        norm(raw), lambda n: F.transform(raw, lambda x: x / n)
-    )
-    c = corpus.select(F.col(id_col).alias("_id"), unit.alias("v"))
+    if normalize:
+        v = bind_once(  # bind the norm scalar once (see ivf_knn's norm())
+            norm(raw), lambda n: F.transform(raw, lambda x: x / n)
+        )
+    else:
+        v = raw
+    c = corpus.select(F.col(id_col).alias("_id"), v.alias("v"))
     if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
         from high_volume_market_data_pipeline_spark.operators.sampling import (
             hash_bucket,
@@ -589,7 +594,7 @@ def pq_knn(
     n_codes: int = 32,
     dim: int = 64,
     seed: int = 42,
-    refine: int = 128,
+    refine: int = 256,
     fit_fraction: float | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the compressed-domain
@@ -666,6 +671,171 @@ def pq_knn(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     exact_cos = pandas_udf(_cosine_batch, "double")(F.col("qv"), F.col("cv"))
+    rescored = shortlist.join(full, "neighbor_id").select(
+        "query_id", "neighbor_id", exact_cos.alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        rescored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
+def ivf_pq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    refine: int = 256,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means cells + product quantization of the CELL
+    RESIDUALS — the composition both pieces exist for, and the standard
+    production ANN layout (FAISS IVFPQ): the cell prunes which candidates
+    are scored, the residual codes shrink what scoring reads.
+
+    Residuals (x − cell_centroid) concentrate near the origin, so the same
+    PQ code budget quantizes them with far less error than raw vectors —
+    that's why the residual step exists. The asymmetric score against a
+    candidate reconstructs cos(q, centroid + decode(codes)) for unit
+    corpus vectors: one gather + einsum per Arrow batch.
+
+    At 100 TB: candidate I/O = (probed cells' share of the corpus) ×
+    (m code-ints per row) — both factors independently tunable
+    (n_cells ~ √n, code budget m·log2(n_codes) bits) — then ``refine``
+    full-vector reads per query for the exact re-rank. Everything stays
+    an equi-join on the cell key; no shuffle grows with corpus × queries.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    from high_volume_market_data_pipeline_spark.functions.expr import bind_once
+    from high_volume_market_data_pipeline_spark.functions.vectors import norm
+
+    spark = corpus.sparkSession
+
+    def unit(col: F.Column) -> F.Column:
+        return bind_once(
+            norm(col), lambda n: F.transform(col, lambda x: x / n)
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("_nv", unit(F.col("cv")))
+    ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+    fit_input = ml
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from high_volume_market_data_pipeline_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        n_buckets = 10_000
+        bound = max(1, int(round(fit_fraction * n_buckets)))
+        fit_input = ml.filter(
+            hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
+        )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=5,
+        featuresCol="_features", predictionCol="cell",
+    ).fit(fit_input)
+    inverted = model.transform(ml).select("neighbor_id", "_nv", "cell")
+
+    centroids = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    # residual encode: PQ codebooks fitted on (x − centroid), not raw x
+    resid = inverted.join(F.broadcast(cent_df), "cell").select(
+        "neighbor_id",
+        "cell",
+        F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
+    )
+    cb = fit_pq_codebooks(
+        resid,
+        vec_col="resid",
+        id_col="neighbor_id",
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        dim=dim,
+        seed=seed,
+        fit_fraction=fit_fraction,
+        normalize=False,
+    )
+    m = m_subspaces
+    dsub = dim // m
+    coded = pq_encode(resid, cb, vec_col="resid", normalize=False).select(
+        "neighbor_id", "cell", "pq_codes"
+    )
+    coded = coded.localCheckpoint(eager=True)  # the persisted index
+    ml.unpersist()
+
+    # query side: probe the n_probe nearest cells (same rule as ivf_knn)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("_nq", unit(F.col("qv")))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_nq"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", dist2)
+        .withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= n_probe)
+        .select("query_id", "_nq", "cell", "centroid")
+    )
+
+    @pandas_udf("double")
+    def _adc(qns: pd.Series, cents: pd.Series, codes: pd.Series) -> pd.Series:
+        Q = np.asarray(qns.tolist(), dtype=np.float64)
+        Cent = np.asarray(cents.tolist(), dtype=np.float64)
+        C = np.asarray(codes.tolist(), dtype=np.int64)
+        decoded = cb[np.arange(m)[None, :], C].reshape(len(C), dim)
+        return pd.Series(np.einsum("bd,bd->b", Q, Cent + decoded))
+
+    cand = (
+        coded.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "_nq",
+            "neighbor_id",
+            _adc(F.col("_nq"), F.col("centroid"), F.col("pq_codes")).alias(
+                "_adc"
+            ),
+        )
+        # no dropDuplicates: a vector lives in exactly ONE cell, so the
+        # (query, neighbor) pairs from the probed-cell join are unique
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"), "neighbor_id")
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= refine)
+        .select("query_id", "_nq", "neighbor_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact_cos = pandas_udf(_cosine_batch, "double")(F.col("_nq"), F.col("cv"))
     rescored = shortlist.join(full, "neighbor_id").select(
         "query_id", "neighbor_id", exact_cos.alias("_cos")
     )
