@@ -57,3 +57,69 @@ def hll_merge(
 def hll_estimate(sketch: Column) -> Column:
     """Distinct-count estimate of a sketch column (long)."""
     return F.hll_sketch_estimate(sketch)
+
+
+DEFAULT_TOPK_TRACKED = 10_000  # counter budget; exact while distinct ≤ this
+
+
+def topk_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    max_tracked: int = DEFAULT_TOPK_TRACKED,
+    sketch_col: str = "topk_state",
+) -> DataFrame:
+    """Fine-grained frequency-sketch table: one ``approx_top_k`` state per
+    group (Spark 4's accumulate/combine/estimate trio — the heavy-hitters
+    twin of :func:`hll_rollup`). The state you persist at ingest; any
+    coarser "top items" question becomes a combine over sketch-sized rows
+    instead of a fact rescan. Counts are EXACT while a group's distinct
+    items stay ≤ ``max_tracked`` (counters only shed under overflow), and
+    combine SUMS per-item counts, so merged state stays exact under the
+    same bound — which is what lets the rollup query keep a full SQL
+    oracle."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({item_col}, {int(max_tracked)})"
+        ).alias(sketch_col)
+    )
+
+
+def topk_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    max_tracked: int = DEFAULT_TOPK_TRACKED,
+    sketch_col: str = "topk_state",
+) -> DataFrame:
+    """Coarsen a frequency-sketch table: combine states per (coarser)
+    group. ``max_tracked`` must match the accumulate side — the combined
+    state's capacity is a parameter of the merge, not inherited."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(
+            f"approx_top_k_combine({sketch_col}, {int(max_tracked)})"
+        ).alias(sketch_col)
+    )
+
+
+def topk_estimate_rows(
+    df: DataFrame,
+    k: int,
+    sketch_col: str = "topk_state",
+    item_alias: str = "item",
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Explode a sketch column into (item, cnt) rows — the top ``k`` BY
+    THE SKETCH'S OWN ORDER, which breaks count ties arbitrarily; callers
+    wanting deterministic output should request k ≥ the tracked item
+    count and rank themselves (see heavy_hitter_users)."""
+    other = [c for c in df.columns if c != sketch_col]
+    return df.select(
+        *other,
+        F.explode(
+            F.expr(f"approx_top_k_estimate({sketch_col}, {int(k)})")
+        ).alias("_e"),
+    ).select(
+        *other,
+        F.col("_e.item").alias(item_alias),
+        F.col("_e.count").alias(count_alias),
+    )

@@ -511,6 +511,58 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_daily_rollup",
+    oracle=f"""
+    WITH counted AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id
+             ) AS hh_rank
+      FROM counted
+    )
+    SELECT event_type, user_id, cnt, hh_rank
+    FROM ranked WHERE hh_rank <= {_HH_K}
+    ORDER BY event_type, hh_rank
+    """,
+)
+def heavy_hitter_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters FROM MERGEABLE STATE: per-(event_type, day)
+    ``approx_top_k`` sketches (operators/sketches.topk_rollup — the state
+    an ingest job persists daily) are COMBINED up to per-event_type and
+    ranked — the fact table is read once at the daily grain, the monthly
+    question is answered from sketch-sized rows, the frequency twin of
+    hll_incremental_distinct. Same oracle as heavy_hitter_users: combine
+    SUMS exact per-item counters, so under the tracked budget the state
+    path must reproduce the direct answer BIT-EXACTLY, which upgrades
+    this from a rows-only sketch demo to a full hash-oracle query —
+    merge-then-query ≡ query-direct is checked by the driver itself."""
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        topk_estimate_rows,
+        topk_merge,
+        topk_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = topk_rollup(ev, ["event_type", "day"], "user_id",
+                        max_tracked=_HH_TRACKED)
+    merged = topk_merge(daily, ["event_type"], max_tracked=_HH_TRACKED)
+    exploded = topk_estimate_rows(
+        merged, k=_HH_TRACKED, item_alias="user_id", count_alias="cnt"
+    ).select("event_type", "user_id", "cnt")
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    return (
+        exploded.withColumn("hh_rank", F.row_number().over(w))
+        .filter(F.col("hh_rank") <= _HH_K)
+        .orderBy("event_type", "hh_rank")
+    )
+
+
+@query(
     "user_peak_event",
     oracle="""
     WITH ranked AS (

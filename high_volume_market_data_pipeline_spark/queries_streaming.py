@@ -367,3 +367,59 @@ def stream_quality_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("passed", F.col("n_violations") == 0)
         .orderBy("rule")
     )
+
+
+@query("stream_distinct_sketch_state")
+def stream_distinct_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch state, end-state-checked: the events
+    stream folds into a persisted (event_type, day) HLL sketch table via
+    streaming/sketch_state.stream_hll_state (foreachBatch → per-batch
+    rollup → union with state → versioned commit), then the DAILY state is
+    re-sliced to per-event_type distinct-user estimates by sketch union
+    alone — the stream is never replayed, which is the whole point of
+    keeping sketch state instead of a number.
+
+    Estimates are DataSketches-impl-specific ⇒ rows-only gate; pytest pins
+    the strong properties: end-state estimate ≡ the direct batch sketch
+    over the same rows (union exactness) and replay idempotence (HLL union
+    is a join-semilattice — at-least-once delivery converges)."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
+        stream_hll_state,
+    )
+
+    sdf = _events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    scratch = tempfile.mkdtemp(prefix="hvmdp_sketch_state_")
+    try:
+        q = stream_hll_state(
+            sdf,
+            ["event_type", "day"],
+            "user_id",
+            table_root=os.path.join(scratch, "state"),
+            checkpoint=os.path.join(scratch, "ckpt"),
+        )
+        q.awaitTermination()
+        from high_volume_market_data_pipeline_spark.sinks.history import (
+            VersionedParquetTable,
+        )
+
+        state = VersionedParquetTable(os.path.join(scratch, "state")).read(
+            spark
+        )
+        out = (
+            hll_merge(state, ["event_type"])
+            .select(
+                "event_type", hll_estimate(F.col("sketch")).alias("approx_users")
+            )
+            .orderBy("event_type")
+        )
+        # materialize before the scratch dir (state files) disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

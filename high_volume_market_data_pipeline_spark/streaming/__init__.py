@@ -27,6 +27,9 @@ from high_volume_market_data_pipeline_spark.streaming.joins import (
 from high_volume_market_data_pipeline_spark.streaming.quality import (
     monitor_expectations,
 )
+from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
+    stream_hll_state,
+)
 from high_volume_market_data_pipeline_spark.streaming.custom_state import (
     running_user_totals,
     running_user_totals_tws,
@@ -44,6 +47,7 @@ __all__ = [
     "run_to_memory_sink",
     "session_window_agg",
     "sliding_window_agg",
+    "stream_hll_state",
     "streaming_dedup",
     "tumbling_window_agg",
 ]

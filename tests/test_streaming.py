@@ -800,3 +800,82 @@ def test_paged_feed_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     }
     # exactly once per page: pages 1-5 each with 10 rows, no replays
     assert counts == {1: 10, 2: 10, 3: 10, 4: 10, 5: 10}, counts
+
+
+def test_stream_hll_state_matches_direct_sketch_and_replay_converges(
+    spark, tmp_path
+):
+    """The streamed sketch state must have IDENTICAL estimates to a direct
+    batch sketch over the same rows (HLL union exactness: max-per-register
+    is associative), one table version per micro-batch; and replaying the
+    whole input with a fresh checkpoint against the SAME state table must
+    change nothing (union idempotence — at-least-once delivery converges)."""
+    import datetime
+
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_rollup,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
+        stream_hll_state,
+    )
+
+    src = str(tmp_path / "src")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); overlapping
+    # users across batches so the union actually merges registers
+    _write_batch(
+        spark,
+        src,
+        [(u, s, base + datetime.timedelta(hours=s)) for u in (1, 2, 3) for s in (0, 1)],
+    )
+    _write_batch(
+        spark,
+        src,
+        [(u, s, base + datetime.timedelta(hours=s)) for u in (2, 3, 4, 5) for s in (2, 3)],
+    )
+
+    def run(checkpoint: str) -> None:
+        sdf = read_parquet_stream(
+            spark, src, SCHEMA, max_files_per_trigger=1
+        ).withColumn("day", F.to_date("ts"))
+        q = stream_hll_state(
+            sdf,
+            ["day"],
+            "k",
+            table_root=str(tmp_path / "state"),
+            checkpoint=checkpoint,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    table = VersionedParquetTable(str(tmp_path / "state"))
+    assert table.latest_version() == 1  # one committed version per batch
+
+    def estimates() -> dict:
+        return {
+            str(r["day"]): r["est"]
+            for r in table.read(spark)
+            .select("day", hll_estimate(F.col("sketch")).alias("est"))
+            .collect()
+        }
+
+    got = estimates()
+    batch = spark.read.parquet(src).withColumn("day", F.to_date("ts"))
+    want = {
+        str(r["day"]): r["est"]
+        for r in hll_rollup(batch, ["day"], "k")
+        .select("day", hll_estimate(F.col("sketch")).alias("est"))
+        .collect()
+    }
+    assert got == want  # union exactness, not approximate agreement
+    # exact small-cardinality sanity: 5 distinct users on day one
+    assert got[str(datetime.date(2024, 1, 1))] == 5
+
+    # replay the same input against the same table, fresh checkpoint
+    run(str(tmp_path / "ckpt2"))
+    assert table.latest_version() == 3  # two more commits...
+    assert estimates() == want  # ...but the state did not move
