@@ -539,8 +539,18 @@ def fit_pq_codebooks(
         _fit_one, "sub_id int, code int, centroid array<double>"
     )
     cb = np.zeros((m_subspaces, n_codes, dsub), dtype=np.float64)
+    filled = np.zeros(m_subspaces, dtype=np.int64)
     for row in fitted.collect():  # m·k rows: the model, not data
         cb[row["sub_id"], row["code"]] = row["centroid"]
+        filled[row["sub_id"]] = max(filled[row["sub_id"]], row["code"] + 1)
+    # A corpus smaller than n_codes leaves trailing codebook rows at
+    # zero, and the encoder's argmin could pick such a phantom "origin"
+    # centroid. Pad with the FIRST real centroid instead: a duplicate
+    # ties with its original and argmin resolves to the lower index, so
+    # padded rows are never emitted as codes.
+    for j in range(m_subspaces):
+        if 0 < filled[j] < n_codes:
+            cb[j, filled[j]:] = cb[j, 0]
     return cb
 
 

@@ -426,3 +426,22 @@ def test_drop_duplicated_spans_keeps_one_copy(spark):
     s = {r["doc_id"]: r for r in drop_duplicated_spans(shorts).collect()}
     assert s[10]["clean_text"] == "tiny text here"
     assert s[11]["clean_text"] == "" and s[11]["n_dropped"] == 3
+
+
+def test_pq_codebooks_tiny_corpus_no_phantom_codes(spark):
+    """A corpus smaller than n_codes must not emit codes pointing at
+    unfilled (zero) codebook rows: padding duplicates the first centroid
+    and argmin's lowest-index tiebreak keeps codes within the fitted
+    range."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(6)
+    cb = fit_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    rows = pq_encode(emb, cb).select("pq_codes").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert all(0 <= c < 6 for c in r["pq_codes"]), r["pq_codes"]
