@@ -269,6 +269,96 @@ def event_type_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_CHAIN_GAP_US = 7_200_000_000  # same 2 h session-gap rule as sessionize
+
+
+@query(
+    "session_chains_recursive",
+    oracle=f"""
+    WITH RECURSIVE marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       >= {_CHAIN_GAP_US}
+                  THEN 1 ELSE 0 END AS is_root,
+             LEAD(event_id) OVER w AS next_id,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), edges AS (
+      SELECT event_id AS src, next_id AS dst FROM marked
+      WHERE next_id IS NOT NULL AND gap_next < {_CHAIN_GAP_US}
+    ), chain(user_id, root_id, event_id, depth) AS (
+      SELECT user_id, event_id, event_id, 1 FROM marked WHERE is_root = 1
+      UNION ALL
+      SELECT c.user_id, c.root_id, e.dst, c.depth + 1
+      FROM chain c JOIN edges e ON e.src = c.event_id
+    )
+    SELECT user_id, root_id AS session_start_event_id, event_id,
+           CAST(depth AS BIGINT) AS chain_pos
+    FROM chain ORDER BY user_id, session_start_event_id, chain_pos
+    """,
+)
+def session_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session lineage via a RECURSIVE CTE (Spark 4's
+    ``WITH RECURSIVE``): session roots (gap ≥ 2 h, same rule as
+    sessionize_events_batch) anchor the recursion, and each step follows
+    the event's UNIQUE next-event edge inside the gap — assigning every
+    event its session-start event id and chain position. The declarative
+    fixpoint twin of the gaps-and-islands running sum: same session
+    boundaries, but the output is the event→root LINEAGE (which
+    gaps-and-islands can also derive via min-over-partition — the point
+    here is exercising Catalyst's recursion operator on a shape where it
+    terminates BY CONSTRUCTION: edges advance strictly in (ts, event_id)
+    order and each node has at most one successor, so the recursion is
+    linear — total rows ≡ |events|, depth ≡ longest session).
+
+    Spark's recursive CTEs support only UNION ALL (probed:
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so CYCLIC closures like the
+    near-dup component walk stay on the iterative min-label operator
+    (dedup/clustering.py) — that recursion would need set semantics to
+    terminate. This query is the acyclic case the feature handles today;
+    both engines run the same recursion, so it is fully oracle-backed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_prev = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    gap_next = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(
+        F.col("ts")
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        (gap_prev.isNull() | (gap_prev >= _CHAIN_GAP_US)).alias("is_root"),
+        F.lead("event_id").over(w).alias("next_id"),
+        gap_next.alias("gap_next"),
+    )
+    roots = marked.filter("is_root").select("user_id", "event_id")
+    edges = marked.filter(
+        F.col("next_id").isNotNull() & (F.col("gap_next") < _CHAIN_GAP_US)
+    ).select(F.col("event_id").alias("src"), F.col("next_id").alias("dst"))
+    # DataFrame templating instead of temp views: no session-global name
+    # to collide with, the frames stay plan-scoped to this query
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(user_id, root_id, event_id, depth) AS (
+          SELECT user_id, event_id, event_id, 1 FROM {roots}
+          UNION ALL
+          SELECT c.user_id, c.root_id, e.dst, c.depth + 1
+          FROM chain c JOIN {edges} e ON e.src = c.event_id
+        )
+        SELECT user_id, root_id AS session_start_event_id, event_id,
+               CAST(depth AS BIGINT) AS chain_pos
+        FROM chain ORDER BY user_id, session_start_event_id, chain_pos
+        """,
+        roots=roots,
+        edges=edges,
+    )
+
+
 @query(
     "sessionize_events_batch",
     oracle="""

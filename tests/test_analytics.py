@@ -348,3 +348,38 @@ def test_heavy_hitter_sketch_exact_under_budget(spark):
         for r in exact.collect()
     }
     assert got == want
+
+
+def test_session_chains_agree_with_gaps_and_islands(spark):
+    """The recursive-CTE chain walk and the gaps-and-islands running sum
+    implement the same 2 h session rule two ways — per-session event
+    counts and start timestamps must agree exactly, and the chain output
+    must cover every event exactly once."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        session_chains_recursive,
+        sessionize_events_batch,
+    )
+
+    chains = session_chains_recursive(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert chains.count() == n_events  # linear recursion: one row per event
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_id").alias("session_start_event_id"),
+        F.col("ts").alias("root_ts"),
+    )
+    per_session = (
+        chains.groupBy("user_id", "session_start_event_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(ev, "session_start_event_id")
+    )
+    got = {
+        (r["user_id"], r["root_ts"], r["n_events"])
+        for r in per_session.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize_events_batch(spark, SF_DIR).collect()
+    }
+    assert got == want
