@@ -89,6 +89,14 @@ def build_session(
         # Parquet scans: allow pruning+pushdown to do their job at scale.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", _ADVISORY_PARTITION_BYTES)
+        # Recursive CTEs: the default 1M-row guard trips on any recursion
+        # whose row volume is input-proportional (session_chains_recursive
+        # emits exactly one row per event, so ≥1M events kills it —
+        # observed RECURSION_ROW_LIMIT_EXCEEDED at the sf1 tier). The
+        # engine's recursive queries are linear by construction (unique
+        # successor per row), so the guard is raised; the LEVEL limit
+        # (default 100 iterations) stays as the runaway backstop.
+        .config("spark.sql.cteRecursionRowLimit", str(200_000_000))
         # Quieter driver
         .config("spark.ui.enabled", "false")
     )
