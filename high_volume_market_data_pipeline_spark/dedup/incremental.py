@@ -193,7 +193,13 @@ class SignatureStore:
         # text for the probe and again for the append would triple the
         # most expensive step (measured ~3 s each at the 10× tier), so
         # both consumers semi-join the cached signature frame instead.
-        batch_sig = caches[0] if caches else None
+        # select the signature frame by SCHEMA, not list position — the
+        # registry is append-ordered by lsh_candidate_pairs internals, and
+        # a future frame appended ahead of the signatures would otherwise
+        # silently substitute the wrong DataFrame into the store probe
+        batch_sig = next(
+            (c for c in caches if {id_col, "sig"} <= set(c.columns)), None
+        )
         if batch_sig is not None:
             surv_sig = batch_sig.join(
                 survivors.select(id_col), id_col, "leftsemi"

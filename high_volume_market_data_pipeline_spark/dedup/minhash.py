@@ -50,7 +50,9 @@ DEFAULT_SHINGLE = 3  # word trigrams
 _SLICES_PER_MD5 = 4  # 32 hex chars / 8 per component
 
 
-def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
+def word_shingles(
+    text: Column, w: int = DEFAULT_SHINGLE, normalized: bool = False
+) -> Column:
     """Array of word w-grams of the normalized text; documents shorter than
     w words contribute their whole normalized text as one shingle.
 
@@ -58,7 +60,12 @@ def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
     references it w times per gram, and an unbound reference would
     re-evaluate split(regexp_replace(...)) for every element_at — w × n
     regex passes per document (the CollapseProject/no-CSE trap; measured
-    8× on the w=8 contamination screen)."""
+    8× on the w=8 contamination screen).
+
+    Pass ``normalized=True`` when ``text`` is ALREADY the output of
+    normalize_text: normalization is idempotent, so re-applying it only
+    wastes a full lower+regex pass per document (it was the hot stage in
+    dedup/spans before this flag existed)."""
 
     def build(toks: Column) -> Column:
         n = F.size(toks)
@@ -72,7 +79,8 @@ def word_shingles(text: Column, w: int = DEFAULT_SHINGLE) -> Column:
         # (split/join share the single-space delimiter).
         return F.when(n < w, F.array(F.array_join(toks, " "))).otherwise(grams)
 
-    return _bind(F.split(normalize_text(text), " "), build)
+    toks = text if normalized else normalize_text(text)
+    return _bind(F.split(toks, " "), build)
 
 
 def signature_column(

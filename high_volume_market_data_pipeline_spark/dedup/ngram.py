@@ -62,7 +62,10 @@ def token_block_pairs(
                 + 1
             ).alias("nt_range"),
         ).first()
-        if stats and stats["n"]:
+        # nt_range aggregates to NULL when every text is NULL (token_count
+        # of NULL is NULL) — degrade to the fixed width instead of None
+        # arithmetic on the driver
+        if stats and stats["n"] and stats["nt_range"] is not None:
             spread = max(1, stats["langs"] * stats["nt_range"])
             width = max(
                 1,

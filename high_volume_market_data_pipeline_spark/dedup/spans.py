@@ -55,7 +55,9 @@ def drop_duplicated_spans(
     )
     grams = norm.select(
         "doc_id",
-        F.posexplode(word_shingles(F.col("_norm"), w)).alias("pos", "gram"),
+        F.posexplode(
+            word_shingles(F.col("_norm"), w, normalized=True)
+        ).alias("pos", "gram"),
     ).select(
         "doc_id",
         "pos",

@@ -319,6 +319,15 @@ def session_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup/clustering.py) — that recursion would need set semantics to
     terminate. This query is the acyclic case the feature handles today;
     both engines run the same recursion, so it is fully oracle-backed."""
+    # The recursion emits one row per event, so Spark's default TOTAL-row
+    # guard (1M) kills it at ≥1M events even though it is linear.
+    # build_session raises this engine-wide, but the query must not
+    # depend on who built the session (the driver's own plain session
+    # would reintroduce the failure at scale) — raise it here too, only
+    # upward so a caller's larger setting is never shrunk.
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if 0 < current < 200_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )

@@ -24,7 +24,10 @@ from high_volume_market_data_pipeline_spark.operators import (
     hash_rate_sample,
     hash_split,
 )
-from high_volume_market_data_pipeline_spark.queries_dedup import _hex_to_int_sql
+from high_volume_market_data_pipeline_spark.queries_dedup import (
+    _hex_to_int_sql,
+    shingle_twin_sql,
+)
 from high_volume_market_data_pipeline_spark.registry import query
 
 # Word 8-grams for contamination: long enough that the synthetic vocab only
@@ -33,16 +36,6 @@ from high_volume_market_data_pipeline_spark.registry import query
 _CONTAM_W = 8
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _shingle_sql(w: int) -> str:
-    """DuckDB twin of dedup.minhash.word_shingles(text, w) given ``t`` =
-    token array and ``norm`` = normalized text columns in scope."""
-    gram = " || ' ' || ".join(f"t[i+{off}]" for off in range(w))
-    return (
-        f"CASE WHEN len(t) < {w} THEN [norm] "
-        f"ELSE list_transform(range(1, len(t) - {w} + 2), i -> {gram}) END"
-    )
 
 
 _TOKC_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -61,7 +54,7 @@ _SPLIT_BUCKET_SQL = (
              string_split(norm, ' ') AS t FROM base
     ), sh AS (
       SELECT doc_id, source,
-             {_shingle_sql(_CONTAM_W)} AS shingles
+             {shingle_twin_sql(_CONTAM_W)} AS shingles
       FROM toks
     ), bench AS (
       SELECT DISTINCT unnest(list_distinct(shingles)) AS s

@@ -426,7 +426,12 @@ _SDS_W = 8  # tokens per gram: long enough that only real shared passages
 # collide on the synthetic vocab (same reasoning as benchmark_contamination)
 
 
-def _sds_shingle_sql(w: int) -> str:
+def shingle_twin_sql(w: int) -> str:
+    """DuckDB twin of dedup.minhash.word_shingles(text, w), given ``t`` =
+    token array and ``norm`` = normalized text columns in scope. The ONE
+    place the shingle rule is spelled in SQL — queries_curation imports it
+    too, so a change to the Spark-side rule de-syncs every oracle at once
+    (loudly) instead of one copy silently drifting."""
     gram = " || ' ' || ".join(f"t[i+{off}]" for off in range(w))
     return (
         f"CASE WHEN len(t) < {w} THEN [norm] "
@@ -442,7 +447,7 @@ def _sds_shingle_sql(w: int) -> str:
     ), toks AS (
       SELECT doc_id, norm, string_split(norm, ' ') AS t FROM base
     ), sh AS (
-      SELECT doc_id, {_sds_shingle_sql(_SDS_W)} AS shingles FROM toks
+      SELECT doc_id, {shingle_twin_sql(_SDS_W)} AS shingles FROM toks
     ), g AS (
       SELECT doc_id,
              CAST(generate_subscripts(shingles, 1) AS BIGINT) - 1 AS pos,

@@ -396,6 +396,10 @@ def ivf_knn(
         fit_input = ml.filter(
             hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
         )
+        # empty-sample fallback (see fit_pq_codebooks): KMeans.fit throws
+        # on an empty dataset when no id hashes under the threshold
+        if fit_input.limit(1).count() == 0:
+            fit_input = ml
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="_features", predictionCol="cell",
@@ -502,7 +506,17 @@ def fit_pq_codebooks(
 
         n_buckets = 10_000
         bound = max(1, int(round(fit_fraction * n_buckets)))
-        c = c.filter(hash_bucket(F.col("_id").cast("string"), n_buckets) < bound)
+        sampled = c.filter(
+            hash_bucket(F.col("_id").cast("string"), n_buckets) < bound
+        )
+        # max(1, ...) bounds the THRESHOLD, not the sample: on a small
+        # corpus no id may hash under it, and an empty training set would
+        # silently yield an all-zero codebook (every vector coded 0, ADC
+        # scores all tie). Fall back to the full corpus — if the corpus
+        # is small enough to miss the sample, it is small enough to fit.
+        if sampled.limit(1).count() == 0:
+            sampled = c
+        c = sampled
     subs = c.select(
         "_id",
         F.posexplode(
@@ -759,6 +773,10 @@ def ivf_pq_knn(
         fit_input = ml.filter(
             hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
         )
+        # empty-sample fallback (see fit_pq_codebooks): KMeans.fit throws
+        # on an empty dataset when no id hashes under the threshold
+        if fit_input.limit(1).count() == 0:
+            fit_input = ml
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="_features", predictionCol="cell",
