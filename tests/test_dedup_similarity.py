@@ -128,7 +128,7 @@ def test_pq_knn_recall_vs_bruteforce(spark):
     """PQ+ADC+re-rank recall@5 ≥ 0.8 (defaults: m=8 subspaces, 32 codes,
     refine=256 exact re-rank). Random vectors are PQ's worst case too —
     measured min-per-query 0.8 / mean 0.975 on this data (sf0.01); at
-    sf0.1 (20k vectors) the same config measures mean 0.925."""
+    sf0.1 (2k vectors) the same config measures mean 0.925."""
     from high_volume_market_data_pipeline_spark.similarity import pq_knn
 
     emb = load_table(spark, SF_DIR, "embeddings")
