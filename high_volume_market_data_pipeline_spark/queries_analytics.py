@@ -269,6 +269,61 @@ def event_type_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "segment_mode_median",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS pri,
+             CAST(o.o_totalprice AS DOUBLE) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), counted AS (
+      SELECT segment, pri, COUNT(*) AS cnt FROM j GROUP BY segment, pri
+    ), md AS (
+      SELECT segment, pri AS mode_priority,
+             ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY cnt DESC, pri
+             ) AS rn
+      FROM counted
+    )
+    SELECT j.segment, md.mode_priority,
+           MEDIAN(j.price) AS median_price,
+           COUNT(*) AS n_orders
+    FROM j JOIN md ON md.segment = j.segment AND md.rn = 1
+    GROUP BY j.segment, md.mode_priority
+    ORDER BY j.segment
+    """,
+)
+def segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment modal order priority + exact median order value — the
+    two order-statistics aggregates the surface lacked. ``mode`` runs with
+    ``deterministic=True`` (lowest value on count ties — the oracle
+    replicates that rule as count-desc-then-value rank, because an
+    arbitrary-tie mode can never be hash-checked); ``median`` is Spark's
+    exact percentile (even counts interpolate (a+b)/2 — one IEEE op on
+    identical doubles in both engines, so no quantization is needed,
+    unlike ROUND; NOTES.md rule 4). Money is cast to double BEFORE the
+    aggregate on both sides (NOTES.md rule 1). One broadcast dim join +
+    one grouped agg: the fact table never shuffles for the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.mode("pri", True).alias("mode_priority"),
+            F.median("price").alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("segment")
+    )
+
+
 _CHAIN_GAP_US = 7_200_000_000  # same 2 h session-gap rule as sessionize
 
 
