@@ -284,13 +284,24 @@ def event_type_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY segment ORDER BY cnt DESC, pri
              ) AS rn
       FROM counted
+    ), ranked AS (
+      SELECT segment, price,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY price) AS prn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM j
+    ), med AS (
+      SELECT segment, (MIN(price) + MAX(price)) / 2.0 AS median_price
+      FROM ranked
+      WHERE prn = (n + 1) // 2 OR prn = (n + 2) // 2
+      GROUP BY segment
+    ), base AS (
+      SELECT j.segment, md.mode_priority, COUNT(*) AS n_orders
+      FROM j JOIN md ON md.segment = j.segment AND md.rn = 1
+      GROUP BY j.segment, md.mode_priority
     )
-    SELECT j.segment, md.mode_priority,
-           MEDIAN(j.price) AS median_price,
-           COUNT(*) AS n_orders
-    FROM j JOIN md ON md.segment = j.segment AND md.rn = 1
-    GROUP BY j.segment, md.mode_priority
-    ORDER BY j.segment
+    SELECT base.segment, base.mode_priority, med.median_price, base.n_orders
+    FROM base JOIN med ON med.segment = base.segment
+    ORDER BY base.segment
     """,
 )
 def segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,12 +309,19 @@ def segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     two order-statistics aggregates the surface lacked. ``mode`` runs with
     ``deterministic=True`` (lowest value on count ties — the oracle
     replicates that rule as count-desc-then-value rank, because an
-    arbitrary-tie mode can never be hash-checked); ``median`` is Spark's
-    exact percentile (even counts interpolate (a+b)/2 — one IEEE op on
-    identical doubles in both engines, so no quantization is needed,
-    unlike ROUND; NOTES.md rule 4). Money is cast to double BEFORE the
-    aggregate on both sides (NOTES.md rule 1). One broadcast dim join +
-    one grouped agg: the fact table never shuffles for the join."""
+    arbitrary-tie mode can never be hash-checked). The median does NOT
+    use the engines' built-in MEDIAN: even-count interpolation is an
+    implementation choice ((a+b)/2 vs a+(b-a)*0.5) that can differ in the
+    last ULP across engines — a latent cross-engine hash hazard even
+    while green on today's data. Instead BOTH engines pick the two middle
+    order statistics by row_number (pure selection, zero arithmetic, so
+    the doubles are bit-identical from parquet) and combine them with the
+    SAME spelled-out expression (lo+hi)/2.0 — one IEEE add plus an exact
+    power-of-two scale, deterministic by IEEE semantics. Money is cast to
+    double BEFORE any arithmetic on both sides (NOTES.md rule 1). Plan:
+    one broadcast dim join (fact never shuffles for it), one per-segment
+    sort for the rank — the same materialize-the-group cost class any
+    exact median pays — and a 5-row median frame joined back broadcast."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(
@@ -313,13 +331,30 @@ def segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    return (
-        j.groupBy("segment")
+    ranked = j.select(
+        "segment",
+        "price",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("price"))
+        .alias("prn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    med = (
+        ranked.filter("prn = (n + 1) div 2 OR prn = (n + 2) div 2")
+        .groupBy("segment")
         .agg(
-            F.mode("pri", True).alias("mode_priority"),
-            F.median("price").alias("median_price"),
-            F.count(F.lit(1)).alias("n_orders"),
+            ((F.min("price") + F.max("price")) / F.lit(2.0)).alias(
+                "median_price"
+            )
         )
+    )
+    base = j.groupBy("segment").agg(
+        F.mode("pri", True).alias("mode_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        base.join(F.broadcast(med), "segment")
+        .select("segment", "mode_priority", "median_price", "n_orders")
         .orderBy("segment")
     )
 
@@ -374,18 +409,37 @@ def session_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup/clustering.py) — that recursion would need set semantics to
     terminate. This query is the acyclic case the feature handles today;
     both engines run the same recursion, so it is fully oracle-backed."""
-    # The recursion emits one row per event, so Spark's default TOTAL-row
-    # guard (1M) kills it at ≥1M events even though it is linear.
-    # build_session raises this engine-wide, but the query must not
-    # depend on who built the session (the driver's own plain session
-    # would reintroduce the failure at scale) — raise it here too, only
-    # upward so a caller's larger setting is never shrunk.
-    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if 0 < current < 200_000_000:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    # Both recursion guards are data-reachable for this shape, so both are
+    # sized FROM THE INPUT (only upward — a caller's larger setting is
+    # never shrunk), not from a blanket constant:
+    #   - cteRecursionRowLimit counts TOTAL rows across the recursion;
+    #     this recursion emits exactly one row per event, so the need is
+    #     |events| (default 1M dies at ≥1M events — observed at sf1).
+    #   - cteRecursionLevelLimit (default 100) bounds iteration count;
+    #     depth here equals the LONGEST session's event count, and a user
+    #     with >100 events spaced <2h apart is plausible event data — the
+    #     limit must track max-events-per-user, not stay at 100.
+    # Sizing from the input keeps the defaults armed for any OTHER
+    # recursion in the session (a non-linear runaway still trips its own
+    # guards); the one count job below is a cheap keyed agg. The confs
+    # must outlive this function (the returned DataFrame executes later),
+    # so they are set, not scoped-and-restored.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
+    sizes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("total"), F.max("n").alias("longest"))
+        .first()
+    )
+    total, longest = int(sizes["total"] or 0), int(sizes["longest"] or 0)
+    row_need = max(1_000_000, 2 * total)
+    level_need = max(100, longest + 8)
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < row_need:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(row_need))
+    if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < level_need:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(level_need))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_prev = F.unix_micros(F.col("ts")) - F.unix_micros(
         F.lag("ts").over(w)

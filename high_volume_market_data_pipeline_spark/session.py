@@ -89,14 +89,12 @@ def build_session(
         # Parquet scans: allow pruning+pushdown to do their job at scale.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", _ADVISORY_PARTITION_BYTES)
-        # Recursive CTEs: the default 1M-row guard trips on any recursion
-        # whose row volume is input-proportional (session_chains_recursive
-        # emits exactly one row per event, so ≥1M events kills it —
-        # observed RECURSION_ROW_LIMIT_EXCEEDED at the sf1 tier). The
-        # engine's recursive queries are linear by construction (unique
-        # successor per row), so the guard is raised; the LEVEL limit
-        # (default 100 iterations) stays as the runaway backstop.
-        .config("spark.sql.cteRecursionRowLimit", str(200_000_000))
+        # Recursive-CTE guards (cteRecursionRowLimit / cteRecursionLevelLimit)
+        # stay at engine defaults here: a blanket raise would disarm the
+        # runaway backstop for EVERY recursion in the session. Queries whose
+        # recursion volume is input-proportional size the guards from their
+        # own input instead (session_chains_recursive raises both limits
+        # proportional to its event/session counts, only upward).
         # Quieter driver
         .config("spark.ui.enabled", "false")
     )

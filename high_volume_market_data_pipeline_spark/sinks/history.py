@@ -7,14 +7,18 @@ environment, so the same observable API is provided over plain parquet with
 a JSON manifest log — the layout Delta itself uses (data files + ordered
 commit log), minus transactions we cannot express without a JVM extension:
 
-    <root>/_log/<version>.json   one manifest per committed version
-    <root>/_v<version>/          immutable parquet snapshot for that version
+    <root>/_log/<version>.json      one manifest per committed version
+    <root>/_v<version>_<attempt>/   immutable parquet snapshot (unique per
+                                    write attempt; the manifest points at it)
 
-Commit protocol: write the snapshot dir first, then create the manifest via
-atomic rename of a temp file. A crashed writer leaves an orphan ``_v*`` dir
-(cleaned by ``vacuum``) but can never corrupt the current version — readers
-only follow manifests. This also makes MERGE/OPTIMIZE through the table
-crash-safe: the previous snapshot is untouched until vacuum retires it.
+Commit protocol: write the snapshot dir first, then CREATE the manifest via
+a create-if-absent hard link of a temp file (os.link fails with EEXIST — a
+rename would silently replace a concurrent winner's manifest). A crashed or
+commit-losing writer leaves an orphan ``_v*`` dir (cleaned by ``vacuum``)
+but can never corrupt the current version — readers only follow manifests,
+and snapshot dirs are per-attempt so racers never overwrite each other's
+data. This also makes MERGE/OPTIMIZE through the table crash-safe: the
+previous snapshot is untouched until vacuum retires it.
 
 At cluster scale the manifest write is a single small driver-side file per
 commit (same as a Delta commit json); snapshots are whatever Spark wrote —
@@ -32,6 +36,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "_log"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (manifest already
+    exists). The losing writer's snapshot dir is orphaned (vacuum cleans
+    it); the table head is whatever the winner wrote. Callers that can
+    re-derive their write from the new head should retry (see
+    streaming/sketch_state.py — HLL merge is the canonical retryable
+    case)."""
 
 
 class VersionedParquetTable:
@@ -72,7 +85,14 @@ class VersionedParquetTable:
     ) -> int:
         """Commit ``df`` as the next version; returns the version number."""
         version = (self.latest_version() or 0) + 1 if self.exists() else 0
-        data_dir = os.path.join(self.root, f"_v{version:08d}")
+        # The snapshot dir carries a per-attempt suffix: two writers racing
+        # for the same version must not overwrite each other's DATA either —
+        # the commit-losing attempt leaves an orphan dir (vacuum reclaims
+        # it), never clobbers the winner's snapshot. Readers follow the
+        # manifest's data_dir, so the name is free to be unique.
+        data_dir = os.path.join(
+            self.root, f"_v{version:08d}_{uuid.uuid4().hex[:8]}"
+        )
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -89,7 +109,24 @@ class VersionedParquetTable:
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        # Version allocation is read-then-increment, so two concurrent
+        # writers can both pick N+1. The commit must therefore be
+        # create-if-absent, not rename: os.link fails with EEXIST when the
+        # manifest is already there (rename would silently replace it and
+        # drop the winner's commit). The loser gets ConcurrentCommitError
+        # and can re-derive against the new head; its snapshot dir is an
+        # orphan until vacuum.
+        final = os.path.join(self.log_dir, f"{version:08d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} at {self.root} was committed by another "
+                "writer; re-read the head and retry"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return version
 
     # -- read path ----------------------------------------------------------
@@ -226,24 +263,27 @@ class VersionedParquetTable:
         import shutil
 
         ms = self._manifests()
-        keep = {m["version"] for m in ms[-keep_last:]} if ms else set()
+        kept = ms[-keep_last:] if ms else []
+        keep_dirs = {os.path.basename(m["data_dir"]) for m in kept}
+        keep_versions = {m["version"] for m in kept}
         removed: list[int] = []
         if not os.path.isdir(self.root):
             return removed
-        known = {m["version"]: m for m in ms}
+        # Keyed on the dirs the kept manifests actually reference, not on
+        # parsed version numbers: a commit-losing writer's orphan dir can
+        # share a version number with the winner's kept snapshot.
         for d in os.listdir(self.root):
-            if not d.startswith("_v"):
+            if not d.startswith("_v") or d in keep_dirs:
                 continue
             try:
-                v = int(d[2:])
+                v = int(d[2:].split("_")[0])
             except ValueError:
-                continue
-            if v in keep:
                 continue
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
             removed.append(v)
-            if v in known:
-                mf = os.path.join(self.log_dir, f"{v:08d}.json")
+        for m in ms:
+            if m["version"] not in keep_versions:
+                mf = os.path.join(self.log_dir, f"{m['version']:08d}.json")
                 if os.path.exists(mf):
                     os.remove(mf)
         return removed

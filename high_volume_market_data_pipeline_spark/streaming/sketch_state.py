@@ -38,8 +38,47 @@ from high_volume_market_data_pipeline_spark.operators.sketches import (
     hll_rollup,
 )
 from high_volume_market_data_pipeline_spark.sinks.history import (
+    ConcurrentCommitError,
     VersionedParquetTable,
 )
+
+
+def merge_commit_sketches(
+    table: VersionedParquetTable,
+    batch_sketches: DataFrame,
+    group_cols: list[str],
+    operation: str = "SKETCH_MERGE",
+    parameters: dict | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Commit ``state ∪ batch_sketches`` as the table's next version,
+    retrying on commit collision.
+
+    The manifest commit is create-if-absent (history.py), so two writers
+    sharing a table_root cannot silently drop each other's merge — the
+    loser raises ConcurrentCommitError. HLL union makes that retryable
+    with no coordination: re-read the NEW head (which already contains
+    the winner's registers), re-union this batch, commit again. Because
+    union is idempotent and commutative, any interleaving converges to
+    the same registers — the retry loop turns the single-writer
+    assumption into a liveness concern only (bounded by ``max_retries``),
+    never a correctness one."""
+    for attempt in range(max_retries + 1):
+        spark = batch_sketches.sparkSession
+        if table.exists():
+            merged = hll_merge(
+                table.read(spark).unionByName(batch_sketches), group_cols
+            )
+        else:
+            merged = batch_sketches
+        try:
+            return table.write(
+                merged, operation=operation, parameters=parameters
+            )
+        except ConcurrentCommitError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def stream_hll_state(
@@ -58,8 +97,13 @@ def stream_hll_state(
 
     The union reads the PREVIOUS version's files and writes a NEW version
     directory (manifest-log commit), so there is no read-modify-overwrite
-    hazard on the path; a crash between write and manifest rename leaves
+    hazard on the path; a crash between write and manifest link leaves
     the previous version current — the classic log-then-data ordering.
+    Two streams (or a stream plus maintenance) sharing a table_root are
+    ALSO safe: the manifest commit is create-if-absent, so racing writers
+    cannot silently drop each other's merge — the loser re-reads the new
+    head and re-unions (merge_commit_sketches retry loop; sound because
+    HLL union is idempotent/commutative).
     Shuffle per batch is sketch-sized: batch rows shuffle once for the
     rollup, the state side contributes |groups| rows.
 
@@ -73,17 +117,11 @@ def stream_hll_state(
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         batch_sketches = hll_rollup(batch_df, group_cols, item_col, lgk=lgk)
-        if table.exists():
-            merged = hll_merge(
-                table.read(spark).unionByName(batch_sketches), group_cols
-            )
-        else:
-            merged = batch_sketches
-        table.write(
-            merged,
-            operation="SKETCH_MERGE",
+        merge_commit_sketches(
+            table,
+            batch_sketches,
+            group_cols,
             parameters={"batch_id": batch_id, "item_col": item_col},
         )
         if vacuum_keep is not None:

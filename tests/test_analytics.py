@@ -383,3 +383,43 @@ def test_session_chains_agree_with_gaps_and_islands(spark):
         for r in sessionize_events_batch(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_session_chains_survive_sessions_longer_than_level_limit(
+    spark, tmp_path
+):
+    """A user with >100 consecutive events spaced <2h apart is plausible
+    high-volume event data; Spark's cteRecursionLevelLimit default (100)
+    would abort the whole query on it. The query must size the level
+    guard from max-events-per-user (and the row guard from |events|), so
+    a 150-event session walks to depth 150."""
+    import datetime
+
+    from high_volume_market_data_pipeline_spark.queries_analytics import (
+        session_chains_recursive,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        # one 150-event session (1-min gaps), then a fresh session after 3h
+        *[
+            (7, i, t0 + datetime.timedelta(minutes=i))
+            for i in range(150)
+        ],
+        (7, 900, t0 + datetime.timedelta(hours=6)),
+        (8, 901, t0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = session_chains_recursive(spark, str(tmp_path))
+    got = out.groupBy("user_id", "session_start_event_id").agg(
+        F.max("chain_pos").alias("depth")
+    )
+    depths = {
+        (r["user_id"], r["session_start_event_id"]): r["depth"]
+        for r in got.collect()
+    }
+    assert depths == {(7, 0): 150, (7, 900): 1, (8, 901): 1}
+    assert out.count() == 152  # one row per event, nothing truncated

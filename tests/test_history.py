@@ -173,3 +173,110 @@ def test_changes_plan_is_single_equi_join(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_concurrent_commit_is_create_if_absent(spark, table):
+    """Version allocation is read-then-increment, so two writers can both
+    pick the same next version; the manifest commit must then FAIL for the
+    loser (create-if-absent), never silently replace the winner's manifest
+    (which would drop its commit and leave readers on the loser's data)."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    import json as _json
+
+    table.write(_df(spark, 3, "a"), "WRITE")
+    winner_df = _df(spark, 4, "winner")
+    table.write(winner_df, "WRITE")  # v1 — the racer that committed first
+    winner = os.path.join(table.log_dir, "00000001.json")
+
+    # Simulate the loser's stale read: it chose its version BEFORE the
+    # winner's manifest appeared, so it also picks v1.
+    real_latest = table.latest_version
+    table.latest_version = lambda: 0
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            table.write(_df(spark, 9, "loser"), "WRITE")
+    finally:
+        table.latest_version = real_latest
+
+    # The winner's manifest is untouched and no temp litter remains.
+    with open(winner) as fh:
+        assert _json.load(fh)["version"] == 1
+    assert table.read(spark, version=1).select("tag").distinct().collect()[
+        0
+    ][0] == "winner"
+    assert not [f for f in os.listdir(table.log_dir) if f.startswith(".tmp")]
+
+
+def test_sketch_merge_commit_retries_on_collision(spark, tmp_path):
+    """merge_commit_sketches must survive a commit collision by re-reading
+    the new head and re-unioning (sound because HLL union is idempotent):
+    after a forced collision, the final state must still include BOTH
+    writers' items."""
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_estimate, hll_rollup,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
+        merge_commit_sketches,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "sk"))
+    mk = lambda lo, hi: hll_rollup(  # noqa: E731
+        spark.range(lo, hi).select(
+            F.lit("g").alias("grp"), F.col("id").alias("item")
+        ),
+        ["grp"],
+        "item",
+    )
+    merge_commit_sketches(t, mk(0, 100), ["grp"])
+
+    # Interpose: the first write attempt collides (another writer grabbed
+    # the version between our read and our commit), forcing the retry
+    # path to re-read the NEW head — racer included — and re-merge.
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    real_write = t.write
+    state = {"failed": False}
+
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_merge,
+    )
+
+    def racing_write(df, operation="WRITE", parameters=None, partition_by=None):
+        if not state["failed"]:
+            state["failed"] = True
+            racer = hll_merge(
+                t.read(spark).unionByName(mk(100, 200)), ["grp"]
+            )
+            real_write(racer, operation="RACER")
+            raise ConcurrentCommitError("simulated race")
+        return real_write(df, operation, parameters, partition_by)
+
+    t.write = racing_write
+    merge_commit_sketches(t, mk(200, 300), ["grp"])
+    t.write = real_write
+
+    est = (
+        t.read(spark)
+        .select(hll_estimate(F.col("sketch")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        hll_rollup(
+            spark.range(0, 300).select(
+                F.lit("g").alias("grp"), F.col("id").alias("item")
+            ),
+            ["grp"],
+            "item",
+        )
+        .select(hll_estimate(F.col("sketch")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert est == direct  # union exactness: nobody's items were dropped
