@@ -21,6 +21,9 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
 )
 
 
+PREFIX_CHARS = 32
+
+
 def token_block_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -40,18 +43,29 @@ def token_block_pairs(
     block ≈ n·width/spread (spread = #langs · token-count range, one tiny
     agg job), so width = clamp(target·spread/n, 1, block_tokens) holds
     block occupancy ≈ target as n grows and pair volume collapses toward
-    ∝ n·target (linear). The floor is width 1 — past that point the next
-    lever is an additional block key (e.g. a content-prefix hash), and
-    narrower blocks trade recall: near-dups whose token counts differ by
-    ≥ width fall out of the candidate set. The registered query pins
-    width 8 (its DuckDB oracle embeds the literal); the adaptive path is
-    measured in tools/bench_scale.py like embedding_near_dup's planes
-    rule."""
+    ∝ n·target (linear).
+
+    Past the width-1 floor a SECOND block key takes over: a content-prefix
+    md5 bucket (first ``PREFIX_CHARS`` chars of the trimmed text, hashed,
+    mod ``n_prefix_buckets``). The bucket count n_prefix_buckets =
+    max(1, n // (spread·target)) is 1 exactly while width > 1 (n ≤
+    spread·target / 2 there), so the key is constant until it is needed
+    and splits residual occupancy back to ≈ target once width floors —
+    integer arithmetic only, so a SQL oracle reproduces both knobs
+    exactly. Recall trade of each key is explicit: width buckets drop
+    near-dups whose token counts differ by ≥ width; prefix buckets drop
+    near-dups that diverge inside the first ``PREFIX_CHARS`` characters
+    (boilerplate-prefixed corpora keep recall; edits at the very start
+    lose it — measured in BASELINE.md's scale table). The registered
+    width-8 query pins the fixed config (its DuckDB oracle embeds the
+    literal); ``ngram_jaccard_adaptive`` registers this adaptive path
+    with a full oracle."""
     from high_volume_market_data_pipeline_spark.functions.text import (
         token_count,
     )
 
     width = block_tokens
+    n_prefix_buckets = 1
     if target_block_rows is not None:
         stats = docs.select(
             F.count(F.lit(1)).alias("n"),
@@ -74,15 +88,31 @@ def token_block_pairs(
                     int(target_block_rows * spread // stats["n"]),
                 ),
             )
+            n_prefix_buckets = max(
+                1, int(stats["n"] // (spread * target_block_rows))
+            )
+    blk_parts = [
+        F.col(lang_col).cast("string"),
+        F.floor(token_count(F.col(text_col)) / width)
+        .cast("long")
+        .cast("string"),
+    ]
+    if n_prefix_buckets > 1:
+        prefix_hash = F.conv(
+            F.substring(
+                F.md5(F.substring(F.trim(F.col(text_col)), 1, PREFIX_CHARS)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        blk_parts.append(
+            (prefix_hash % F.lit(n_prefix_buckets)).cast("string")
+        )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.concat_ws(
-            "|",
-            lang_col,
-            F.floor(token_count(F.col(text_col)) / width)
-            .cast("long")
-            .cast("string"),
-        ).alias("blk"),
+        F.concat_ws("|", *blk_parts).alias("blk"),
     )
     return (
         d.select(F.col("doc_id").alias("id_a"), "blk")

@@ -288,6 +288,92 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NJ_TARGET = 32  # adaptive blocking: expected rows per block
+
+
+def _nj_adaptive_oracle() -> str:
+    """DuckDB twin of token_block_pairs' adaptive knobs. Both knobs are
+    pure integer arithmetic over (n, #langs, token-count range), so the
+    oracle computes width and prefix-bucket count from the data exactly
+    as the Spark driver does — no embedded literals to go stale."""
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        PREFIX_CHARS,
+    )
+
+    ph = _hex_to_int_sql(f"md5(substr(trim(tc.text), 1, {PREFIX_CHARS}))")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    tc AS (
+      SELECT doc_id, lang, text, {_TOKC_SQL} AS nt FROM documents
+    ), knobs AS (
+      SELECT GREATEST(1, LEAST(8,
+               ({_NJ_TARGET} * GREATEST(1, COUNT(DISTINCT lang)
+                  * (MAX(nt) - MIN(nt) + 1))) // COUNT(*))) AS w,
+             GREATEST(1, COUNT(*) //
+               (GREATEST(1, COUNT(DISTINCT lang)
+                  * (MAX(nt) - MIN(nt) + 1)) * {_NJ_TARGET})) AS b
+      FROM tc
+    ), d AS (
+      SELECT s.doc_id,
+             tc.lang || '|' || CAST(tc.nt // k.w AS VARCHAR)
+               || CASE WHEN k.b > 1
+                       THEN '|' || CAST(({ph}) % k.b AS VARCHAR)
+                       ELSE '' END AS blk,
+             list_distinct(
+               list_transform(list_distinct(s.shingles), x -> {_NJ_HASH_SQL})
+             ) AS shd
+      FROM sh s JOIN tc USING (doc_id) CROSS JOIN knobs k
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_filter(a.shd, x -> list_contains(b.shd, x)))
+                   / CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE), 6)
+               AS jaccard
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("ngram_jaccard_adaptive", oracle=_nj_adaptive_oracle())
+def ngram_jaccard_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE config of standalone exact n-gram Jaccard: same
+    verify arithmetic as ngram_jaccard_blocked, but the block key adapts
+    to corpus size instead of pinning width 8 (fixed width measured 86×
+    on 10× data — BASELINE.md). Two integer knobs, both recomputed from
+    the data by BOTH engines (so the oracle can't go stale):
+
+      width = clamp(target·spread/n, 1, 8)  — holds expected block
+        occupancy ≈ target (spread = #langs · token-count range), pair
+        volume ∝ n·target instead of n²;
+      prefix buckets b = max(1, n // (spread·target)) — the second block
+        key (content-prefix md5 of the first 32 trimmed chars, mod b)
+        that takes over once width floors at 1; b = 1 (constant key)
+        until that point by construction.
+
+    At sf0.01 (500 docs, spread 450) width resolves to 8 and b to 1 — the
+    adaptive config degrades to the exact fixed-width result on small
+    corpora, diverging only when the data demands it. One count-job on
+    the driver (metadata, not data), one equi-join shuffle on the block
+    key; recall trade of each knob is documented in
+    dedup/ngram.token_block_pairs."""
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        token_block_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = token_block_pairs(
+        docs, block_tokens=8, target_block_rows=_NJ_TARGET
+    )
+    return (
+        ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "dedup_keep_best_quality",
     oracle=f"""

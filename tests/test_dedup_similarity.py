@@ -445,3 +445,64 @@ def test_pq_codebooks_tiny_corpus_no_phantom_codes(spark):
     assert len(rows) == 6
     for r in rows:
         assert all(0 <= c < 6 for c in r["pq_codes"]), r["pq_codes"]
+
+
+def test_adaptive_blocking_prefix_buckets_cross_engine(spark, tmp_path):
+    """The adaptive block's SECOND key (content-prefix md5 mod b) only
+    activates past the width-1 floor (n > spread*target), a regime the
+    shipped testdata never reaches — so pin it here on a synthetic corpus:
+    1 lang + constant token count forces spread=1, so n=202 gives width 1
+    and b=202//32=6. The Spark query and its DuckDB oracle must agree on
+    the full (id_a, id_b, jaccard) set, the planted prefix-sharing
+    near-dup must survive, and the pair volume must be far below the
+    single-block quadratic."""
+    import duckdb
+    import pandas as pd
+
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        ngram_jaccard_adaptive,
+    )
+    from high_volume_market_data_pipeline_spark.registry import ORACLE_SQL
+
+    # the varying token leads so every doc has a DISTINCT 32-char prefix —
+    # the key's splitting power is exactly the corpus's prefix entropy
+    rows = [
+        (
+            i,
+            "en",
+            f"doc{i:04d} alpha bravo charlie delta echo{i % 7} fox{i} golf{i * 3 % 11}",
+        )
+        for i in range(200)
+    ]
+    # planted near-dup: identical first 7 tokens (shared 32-char prefix),
+    # last token differs -> trigram jaccard 5/7 >= 0.3, same token count
+    rows.append((900, "en", "padder alpha bravo charlie delta echo0 fox0 golf0"))
+    rows.append((901, "en", "padder alpha bravo charlie delta echo0 fox0 india9"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_adaptive(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (a, b, j)
+        for a, b, j in con.execute(
+            ORACLE_SQL["ngram_jaccard_adaptive"]
+        ).fetchall()
+    }
+    assert got == want
+    assert any(a == 900 and b == 901 for a, b, _ in got)
+
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        token_block_pairs,
+    )
+
+    docs = spark.createDataFrame(pdf)
+    n = len(pdf)
+    n_pairs = token_block_pairs(docs, target_block_rows=32).count()
+    assert n_pairs < (n * (n - 1) // 2) / 3  # the prefix key really splits
