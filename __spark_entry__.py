@@ -30,75 +30,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness run records only the FIRST 50 registered entries,
 # so the 50-slot window rotates per round. Round 2 recorded the 50
-# operator-distinct head queries (50/50 green); round 3 recorded the next 50
-# (48 sane; 2 array-output queries crashed the driver canonicalizer — fixed
-# this round by stringifying collections at the output boundary, see
-# registry.assert_driver_safe_schema). Round 4's head = the 21 oracle-backed
-# queries with no driver row from any prior round (late-r3 additions) + the
-# 2 re-registered array fixes + 3 rows-only queries never driver-run + 26
-# per-operator-family representatives that are only r2-green, so no family's
-# most recent hard row goes stale. With this rotation the union
-# r2 ∪ r3 ∪ r4 covers every oracle-backed query at least once; every query,
-# head and tail, is also verified locally by tools/verify_correctness.py at
-# sf0.01 AND sf0.1 each round.
+# operator-distinct head queries; round 3 the next 50 (2 array-output
+# crashes, fixed in r4 via registry.assert_driver_safe_schema); round 4 the
+# late-r3 additions + 26 r2-green family representatives. Round 5's head =
+# the 12 late-r4 tail queries with no driver row from ANY round (8
+# oracle-backed + 4 rows-only — the NOTES.md promotion set) + the 2
+# queries whose code CHANGED this round (ngram_jaccard_adaptive is new;
+# embedding_near_dup switched to auto-planes, so its r4 row no longer
+# covers it) + all 23 queries whose most recent green row is r2 + 13
+# family-diverse backfills whose most recent green row is r3. With this
+# rotation the union r2 ∪ r3 ∪ r4 ∪ r5 covers every oracle-backed query;
+# every query, head and tail, is also verified locally by
+# tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never demote
+# a query whose only green row is the current window.
 _HEAD = [
-    # the two round-3 driver-red rows, re-registered with stringified
-    # (scalar-only) outputs — must come first to confirm the fix
-    "label_centroid_embeddings",    # centroid as int-1e-7 micro-unit string
-    "user_event_type_sets",         # comma-joined sorted set string
-    # late-r3 market microstructure family — never driver-recorded
-    "twap_user_daily",
-    "max_drawdown_user",
-    "bollinger_breakouts",
-    "rsi_event_types",
-    "event_type_correlations",
-    "vwap_monthly_lineitem",
-    "ohlc_resample_events",
-    "ewma_event_rate",
-    # late-r3 analytics / asof / behavior — never driver-recorded
-    "exact_percentiles_order_price",
-    "asof_next_purchase_within_hour",
-    "event_funnel_stages",
-    "weekly_cohort_retention",
-    "dedup_keep_best_quality",
-    "paged_feed_rollup",
-    "source_reliability",
-    "stream_quality_ledger",
-    "table_version_changes",
-    "lang_confusion_matrix",
-    "value_histogram",
-    # rows-only queries with no driver row from any round (weak check,
-    # but proves they run under the driver environment)
-    "incremental_dedup_admission",
-    "knn_lsh_bucketed",
-    "approx_value_percentiles",
-    # per-operator-family representatives, currently r2-green only
-    "gold_daily_topk_stats",        # W2 rank-topK + P4 filters
-    "dedup_keep_latest_events",     # W1 keep-latest window
-    "events_typed_enrichment",      # P1-P3 projections/enrichment
-    "pricing_summary",              # A1 grouped agg (TPC-H Q1)
-    "cross_join_dense_grid",        # J1 cross join
-    "top10_orders_by_price",        # O2 global top-K
-    "union_high_low_value_events",  # set ops: union
-    "set_ops_user_cohorts",         # set ops: intersect/except
-    "rollup_order_status",          # ROLLUP grouping analytics
-    "text_stats",                   # text feature family
-    "tfidf_top_terms",              # TF-IDF
-    "exact_dedup_documents",        # exact dedup
-    "minhash_lsh_near_dup",         # MinHash + banded LSH
-    "simhash_documents",            # SimHash
-    "dedup_clusters",               # near-dup connected components
-    "ngram_jaccard_blocked",        # exact n-gram Jaccard twin
-    "knn_bruteforce_cosine",        # brute-force kNN baseline
-    "embedding_near_dup",           # sign-LSH embedding near-dup
-    "stream_tumbling_hourly",       # streaming windowed agg
-    "stream_session_windows",       # streaming session windows
-    "stream_click_attribution",     # stream-stream interval join
-    "asof_last_purchase_per_click", # as-of join
-    "range_join_events_to_windows", # range join
-    "multimodal_byte_features",     # binary-column feature family
-    "benchmark_contamination",      # curation screen
-    "user_event_run_features",      # applyInPandas grouped-map path
+    # --- never driver-recorded (r5 promotion set, NOTES.md) ---
+    "segment_mode_median",          # exact mode + median aggregates
+    "winsorized_value_stats",       # winsorized robust stats
+    "heavy_hitter_users",           # approx_top_k heavy hitters
+    "heavy_hitter_daily_rollup",    # accumulate/combine daily rollup
+    "session_chains_recursive",     # recursive-CTE session lineage
+    "substring_dup_spans",          # exact substring-span dedup
+    "quality_weighted_sample",      # deterministic weighted sampling
+    "embedding_random_projection",  # JL projection, scalar outputs
+    "hll_incremental_distinct",     # mergeable HLL sketch table (rows-only)
+    "knn_pq_adc",                   # PQ ANN, ADC + re-rank (rows-only)
+    "knn_ivf_pq",                   # IVF-PQ residual ANN (rows-only)
+    "stream_distinct_sketch_state", # streaming HLL fold (rows-only)
+    # --- new or behavior-changed this round ---
+    "ngram_jaccard_adaptive",       # adaptive width + prefix block key
+    "embedding_near_dup",           # now auto-planes over full corpus
+    # --- most recent green row is r2 (all 23) ---
+    "cheapest_supplier_per_part",
+    "context_window_chunks",
+    "doc_quality_and_lang",
+    "doc_repetition_stats",
+    "dq_orders_expectations",
+    "embedding_quantize_stats",
+    "event_rate_anomalies",
+    "gapfill_nation_daily_revenue",
+    "order_counts_pivot",
+    "order_value_percentiles",
+    "orders_above_customer_avg",
+    "part_metrics_unpivot",
+    "parts_sales_coverage",
+    "priority_count_q4",
+    "returned_top_customers_q10",
+    "revenue_by_nation_q5",
+    "salted_event_value_agg",
+    "shipping_priority_q3",
+    "stratified_lang_sample",
+    "stream_sliding_counts",
+    "stream_static_nation_counts",
+    "trailing_hour_user_stats",
+    "user_peak_event",
+    # --- family-diverse backfill, most recent green row is r3 ---
+    "knn_ivf_cells",                # IVF ANN family
+    "curation_funnel",              # composite curation plan
+    "sessionize_events_batch",      # gaps-and-islands sessionization
+    "stream_dedup_events",          # streaming dedup-in-watermark
+    "table_history_ops",            # S8 history scan (rows-only)
+    "hypertable_rollup",            # time-bucket rollup
+    "market_share_q8",              # deep join tree
+    "large_volume_customers_q18",   # big-side groupBy + semi join
+    "doc_fingerprints",             # rolling-hash fingerprints
+    "pii_redact_documents",         # regex redaction
+    "hash_split_train_val",         # md5 split sampling
+    "running_user_value",           # running window aggregates
+    "json_props_profile",           # JSON path profiling
 ]
 
 

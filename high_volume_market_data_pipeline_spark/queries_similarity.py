@@ -123,7 +123,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nd_plane_dot_sql(plane: int, n_planes: int = 2, dim: int = 64) -> str:
+def _nd_plane_dot_sql(plane: int, dim: int = 64) -> str:
     """DuckDB twin of the sign-LSH hyperplane dot product: the hyperplane is
     a deterministic md5-derived constant (similarity/knn._hyperplane), so it
     embeds verbatim as a literal DOUBLE list — the oracle replicates the
@@ -137,9 +137,17 @@ def _nd_plane_dot_sql(plane: int, n_planes: int = 2, dim: int = 64) -> str:
     )
 
 
-_ND_BUCKET_SQL = (
-    f"(CASE WHEN {_nd_plane_dot_sql(0)} >= 0 THEN 1 ELSE 0 END)"
-    f" + (CASE WHEN {_nd_plane_dot_sql(1)} >= 0 THEN 2 ELSE 0 END)"
+_ND_TARGET = 64  # auto-planes: expected rows per sign-LSH bucket
+_ND_MAX_PLANES = 12
+
+# Dynamic bucket: all max_planes plane-dots embed as literals; plane p
+# contributes its 2^p bit only while p < n_planes, and n_planes itself is
+# computed FROM THE DATA by the same integer rule as knn.auto_planes —
+# so one static SQL string stays exact at every corpus size.
+_ND_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {p} < np.n_planes AND {_nd_plane_dot_sql(p)} >= 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(_ND_MAX_PLANES)
 )
 
 
@@ -147,10 +155,13 @@ _ND_BUCKET_SQL = (
     "embedding_near_dup",
     oracle=f"""
     WITH e0 AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % 10 = 0
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), np AS (
+      SELECT MIN(p) AS n_planes FROM range(0, {_ND_MAX_PLANES + 1}) t(p)
+      WHERE {_ND_TARGET} * (1 << p) >= (SELECT COUNT(*) FROM e0)
+         OR p = {_ND_MAX_PLANES}
     ), e AS (
-      SELECT vec_id, v, {_ND_BUCKET_SQL} AS bucket FROM e0
+      SELECT vec_id, v, {_ND_BUCKET_SQL} AS bucket FROM e0, np
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(
@@ -166,20 +177,29 @@ _ND_BUCKET_SQL = (
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked: candidates share a
-    sign-LSH bucket (2 hyperplanes ⇒ 4 buckets here), so the join is an
-    equi-join on the bucket key — per-bucket quadratic, never a cross join
-    (asserted in tests/test_plan_properties.py). The id-stratified sample
-    (vec_id % 10) keeps the sf0.01 result readable; threshold 0.3
-    (testdata's random vectors top out ≈0.48)."""
+    """Embedding-cosine near-dup pairs over the FULL corpus, sign-LSH
+    blocked with an AUTO-SIZED plane count: n_planes = auto_planes(n)
+    grows one plane per corpus doubling past ``_ND_TARGET`` rows, holding
+    expected bucket occupancy ≤ target — the registered config IS the
+    scale-safe one (a fixed plane count measured 15.4× on 10× data;
+    BASELINE.md scale table tracks this query directly now). The join is
+    an equi-join on the bucket key — per-bucket quadratic, never a cross
+    join (asserted in tests/test_plan_properties.py). One count job on
+    the driver picks n_planes; the oracle recomputes the identical
+    integer rule in SQL and masks the unused plane bits, so the static
+    SQL twin matches at every scale factor. Threshold 0.3 (testdata's
+    random vectors top out ≈0.48); recall at high plane counts is the
+    OR-construction's job (knn_lsh_bucketed), not fewer planes."""
     from high_volume_market_data_pipeline_spark.similarity.knn import (
+        auto_planes,
         random_hyperplane_buckets,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = auto_planes(
+        emb.count(), target_bucket_rows=_ND_TARGET, max_planes=_ND_MAX_PLANES
     )
-    emb = random_hyperplane_buckets(emb, n_planes=2, dim=64)
+    emb = random_hyperplane_buckets(emb, n_planes=n_planes, dim=64)
     return embedding_near_dup_pairs(
         emb, block_col="bucket", threshold=0.3
     ).orderBy("id_a", "id_b")
