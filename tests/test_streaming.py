@@ -879,3 +879,77 @@ def test_stream_hll_state_matches_direct_sketch_and_replay_converges(
     run(str(tmp_path / "ckpt2"))
     assert table.latest_version() == 3  # two more commits...
     assert estimates() == want  # ...but the state did not move
+
+
+def test_stream_hll_state_restart_recovery(spark, tmp_path):
+    """Restart-recovery for the sketch-state fold, the paged-feed
+    exactly-once pattern applied to state: a stream that stops after
+    processing part of the input and RESTARTS FROM THE SAME CHECKPOINT
+    must (a) process only the unseen files — one state version per new
+    micro-batch, none for replayed ones — and (b) land on the identical
+    end state as a single uninterrupted run (direct batch sketch over
+    everything)."""
+    import datetime
+
+    from high_volume_market_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_rollup,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
+        stream_hll_state,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")  # ONE checkpoint across both runs
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run() -> None:
+        sdf = read_parquet_stream(
+            spark, src, SCHEMA, max_files_per_trigger=1
+        ).withColumn("day", F.to_date("ts"))
+        q = stream_hll_state(
+            sdf,
+            ["day"],
+            "k",
+            table_root=str(tmp_path / "state"),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    # run 1: one file, then the "crash" (availableNow drains and stops)
+    _write_batch(spark, src, [(u, 0, base) for u in (1, 2, 3)])
+    run()
+    table = VersionedParquetTable(str(tmp_path / "state"))
+    assert table.latest_version() == 0  # one batch -> one version
+
+    # two more files arrive while down; restart from the same checkpoint
+    _write_batch(spark, src, [(u, 1, base) for u in (3, 4)])
+    _write_batch(
+        spark,
+        src,
+        [(u, 2, base + datetime.timedelta(days=1)) for u in (5, 6)],
+    )
+    run()
+    # exactly the two NEW files became batches: versions 1 and 2, no
+    # re-processing of file one (that would have minted a third version)
+    assert table.latest_version() == 2
+
+    got = {
+        str(r["day"]): r["est"]
+        for r in table.read(spark)
+        .select("day", hll_estimate(F.col("sketch")).alias("est"))
+        .collect()
+    }
+    batch = spark.read.parquet(src).withColumn("day", F.to_date("ts"))
+    want = {
+        str(r["day"]): r["est"]
+        for r in hll_rollup(batch, ["day"], "k")
+        .select("day", hll_estimate(F.col("sketch")).alias("est"))
+        .collect()
+    }
+    assert got == want
+    assert got[str(datetime.date(2024, 1, 1))] == 4  # users 1,2,3,4
+    assert got[str(datetime.date(2024, 1, 2))] == 2  # users 5,6

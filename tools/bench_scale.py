@@ -56,6 +56,10 @@ SCALE_SET = [
     "rsi_event_types",
     "source_reliability",
     "event_type_correlations",
+    # streaming HLL fold: per-batch shuffle is sketch-sized (batch rows
+    # once for the rollup + |groups| state rows), so the 10x ratio must
+    # track input volume, not state size
+    "stream_distinct_sketch_state",
 ]
 
 SF01 = "/root/testdata/sf0.1"
