@@ -107,6 +107,7 @@ class SignatureStore:
         id_col: str = "doc_id",
         threshold: float = 0.5,
         max_bucket: int = 1000,
+        skip_existing_ids: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """Admit a new batch: returns ``(admitted, rejected)`` where
         ``admitted`` is the subset of ``new_docs`` that near-duplicates
@@ -120,13 +121,23 @@ class SignatureStore:
 
         Cost model: signature compute is batch-sized; the store join is a
         band-key equi-join shipping (key, sig) only — historical TEXT is
-        never re-read, which is the whole point at 100 TB."""
+        never re-read, which is the whole point at 100 TB.
+
+        ``skip_existing_ids=True`` makes the increment REPLAYABLE (the
+        streaming path's at-least-once contract): a doc whose id is
+        already in the store never matches ITSELF (self-pairs are always
+        excluded), its signatures are not appended twice, and because
+        store-probe and within-batch estimates share the same signature
+        arithmetic, a replayed batch admits exactly the set the first
+        run admitted. Costs one (doc_id)-projection anti-join against
+        the store per batch — skip it for the pure-batch path where ids
+        are disjoint by construction."""
         spark = new_docs.sparkSession
         caches: list[DataFrame] = []
         try:
             return self._dedup_increment(
                 spark, new_docs, text_col, id_col, threshold, max_bucket,
-                caches,
+                caches, skip_existing_ids,
             )
         finally:
             # Every output is localCheckpoint-pinned before we get here, so
@@ -145,6 +156,7 @@ class SignatureStore:
         threshold: float,
         max_bucket: int,
         caches: list[DataFrame],
+        skip_existing_ids: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         # 1. within-batch near-dups: a doc is a loser iff it near-dups any
         # smaller-id batch doc. The report keeps ONE row per loser (the
@@ -212,9 +224,14 @@ class SignatureStore:
         else:
             new_banded = self._banded_signatures(survivors, text_col, id_col)
         store = self.read(spark)
-        cand = new_banded.alias("n").join(
-            store.alias("s"), "band_key"
-        ).select(
+        cand = new_banded.alias("n").join(store.alias("s"), "band_key")
+        if skip_existing_ids:
+            # replay-safe mode: a replayed doc's own signatures are in the
+            # store; matching itself (est 1.0) would flip an admitted doc
+            # to rejected on replay. In the batch mode the self-match IS
+            # the dup signal for a re-sent id, so the filter is gated.
+            cand = cand.filter(F.col("n.doc_id") != F.col("s.doc_id"))
+        cand = cand.select(
             F.col("n.doc_id").alias("doc_id"),
             F.col("s.doc_id").alias("matched_id"),
             F.col("n.sig").alias("sig_n"),
@@ -263,9 +280,19 @@ class SignatureStore:
         # 3. append admitted signatures (reusing the cached batch
         # signatures — admitted ⊆ survivors ⊆ batch; the write must
         # complete before the finally-block unpersists the cache)
-        new_banded.join(
+        to_append = new_banded.join(
             admitted.select(F.col(id_col).alias("doc_id")), "doc_id",
             "leftsemi",
-        ).write.mode("append").parquet(self.path)
+        )
+        if skip_existing_ids:
+            # replay hygiene: ids already in the store keep their original
+            # rows (appending again would double them). Pin BEFORE the
+            # write — the anti-join plan reads the store path the write
+            # lands on.
+            to_append = to_append.join(
+                store.select("doc_id").dropDuplicates(), "doc_id",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+        to_append.write.mode("append").parquet(self.path)
         rejected = batch_loser.unionByName(store_loser)
         return admitted, rejected

@@ -423,3 +423,84 @@ def stream_distinct_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("stream_incremental_dedup_admission")
+def stream_incremental_dedup_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingest near-dup admission
+    (streaming/incremental.stream_incremental_dedup): bootstrap the
+    SignatureStore from the first half of the documents corpus, stream
+    the second half (staged as two arrival files → two micro-batches,
+    maxFilesPerTrigger=1) plus three exact re-sends of stored docs, and
+    return the decision ledger rolled up per decision — the re-sends
+    must land as vs_store rejections at est 1.0, and every fresh doc's
+    decision must equal what the BATCH path decides for the same input
+    (the foreachBatch bridge reuses dedup_increment verbatim).
+
+    Rows-only by nature, like incremental_dedup_admission: the stateful
+    store cycle is not single-statement SQL. The replay/restart
+    contract (same checkpoint → only unseen files; ledger partitions
+    overwritten idempotently) is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup.incremental import (
+        SignatureStore,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = 250
+    base = docs.filter(F.col("doc_id") < half)
+    fresh = docs.filter(F.col("doc_id") >= half)
+    resends = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="hvmdp_stream_dedup_")
+    try:
+        store = SignatureStore(os.path.join(scratch, "sigs"))
+        store.bootstrap(base)
+        # stage two arrival files -> two micro-batches
+        arrivals = os.path.join(scratch, "arrivals")
+        mid = fresh.select(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        fresh.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+        fresh.filter(F.col("doc_id") > mid).unionByName(resends).coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        q = stream_incremental_dedup(
+            sdf,
+            store,
+            out_root=os.path.join(scratch, "ledger"),
+            checkpoint=os.path.join(scratch, "ckpt"),
+            threshold=0.9,
+        )
+        q.awaitTermination()
+        rejected = spark.read.parquet(os.path.join(scratch, "ledger", "rejected"))
+        admitted = spark.read.parquet(os.path.join(scratch, "ledger", "admitted"))
+        out = (
+            admitted.select("doc_id", F.lit("admitted").alias("decision"))
+            .unionByName(rejected.select("doc_id", F.col("reason").alias("decision")))
+            .groupBy("decision")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .orderBy("decision")
+        )
+        # materialize before the scratch dir (ledger files) disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

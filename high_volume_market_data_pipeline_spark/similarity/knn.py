@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import hashlib
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 
@@ -38,6 +40,69 @@ def _cosine_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+_MAX_CLOSURE_QUERIES = 100_000
+
+
+def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
+    """Collect a (id, vector) query BATCH to the driver as (ids,
+    row-normalized float64 matrix) — model-scale metadata, exactly like
+    the ANN codebooks and k-means centroids the index builds already
+    collect. The payoff of the closure kernels below: a candidate row
+    ships ONE int64 query id instead of a 64-double query vector (the
+    crossJoin form measured ~4 GB of duplicated qv at the 200k×40 tier).
+    Guarded so nobody points it at a query TABLE."""
+    rows = q.collect()
+    if len(rows) > _MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"{len(rows)} queries exceed the closure-kernel bound "
+            f"({_MAX_CLOSURE_QUERIES}); run the query set in batches"
+        )
+    qids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return qids, _normalize_rows(mat)
+
+
+def _per_batch_topr(
+    qids: "np.ndarray",
+    ids: "np.ndarray",
+    S: "np.ndarray",
+    r: int,
+):
+    """Deterministic per-batch top-r per query from a (nq, B) score
+    matrix: order by (-score, neighbor_id) — the same tie rule as the
+    global rank window, so the batch-level cut can never drop a row the
+    global cut would have kept. -inf scores (masked self-pairs) never
+    emit. Returns (query_id, neighbor_id, score) flat arrays."""
+    r = min(r, S.shape[1])
+    qs, ns, cs = [], [], []
+    for qi in range(len(qids)):
+        order = np.lexsort((ids, -S[qi]))[:r]
+        sel = order[np.isfinite(S[qi][order])]
+        qs.append(np.full(len(sel), qids[qi], dtype=np.int64))
+        ns.append(ids[sel])
+        cs.append(S[qi][sel])
+    return np.concatenate(qs), np.concatenate(ns), np.concatenate(cs)
+
+
+def _rank_topk(cand: DataFrame, k: int, score_col: str = "_cos") -> DataFrame:
+    """Global (query_id, -score, neighbor_id) rank over a candidate frame
+    that is already per-batch pruned — rows entering the shuffle are
+    O(n_batches · nq · k), never corpus-sized."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), "neighbor_id"
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col(score_col), 6).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
 def brute_force_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -49,12 +114,17 @@ def brute_force_knn(
     """Exact top-k: (query_id, neighbor_id, cosine, knn_rank), excluding
     self-matches; rank ties broken by neighbor id (deterministic).
 
-    ``vectorized=True`` scores pairs with an Arrow-batched numpy einsum —
-    much faster (interpreted HOF folds are the cost; NOTES.md rule 6) but
-    its float64 sum order differs from the expression fold in last-ulp
-    digits, so use it ONLY where cosine VALUES are not driver-hashed
-    (the recall twins inside the ANN queries); the default expression
-    scorer stays bit-identical to the SQL oracle."""
+    ``vectorized=True`` runs a mapInArrow scan over the CORPUS ONLY with
+    the normalized query matrix as a task closure: one (nq, B) matmul per
+    Arrow batch, per-batch top-k, then a global rank over nq·k·n_batches
+    rows. Nothing corpus×queries is ever materialized — the crossJoin
+    form shipped every candidate row with its 64-double query vector
+    (~4 GB duplicated at 200k×40) and shuffled the full score table into
+    the rank window. Much faster, but numpy's float64 sum order differs
+    from the expression fold in last-ulp digits, so use it ONLY where
+    cosine VALUES are not driver-hashed (the recall twins inside the ANN
+    queries); the default expression scorer stays bit-identical to the
+    SQL oracle."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -62,29 +132,42 @@ def brute_force_knn(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     if vectorized:
-        from pyspark.sql.functions import pandas_udf
+        import pyarrow as pa
 
-        scorer = pandas_udf(_cosine_batch, "double")(
-            F.col("qv"), F.col("cv")
+        qids, Q = _query_matrix(q)
+        if len(qids) == 0:
+            return c.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, knn_rank int"
+            )
+
+        def scan(batches):
+            for b in batches:
+                pdf = b.to_pandas()
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+                ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
+                S = Q @ _normalize_rows(X).T  # cosine of normalized rows
+                S[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs
+                qa, na, ca = _per_batch_topr(qids, ids, S, k)
+                yield pa.RecordBatch.from_pydict(
+                    {"query_id": qa, "neighbor_id": na, "_cos": ca}
+                )
+
+        cand = c.mapInArrow(
+            scan, "query_id long, neighbor_id long, _cos double"
         )
-    else:
-        scorer = cosine_similarity(F.col("qv"), F.col("cv"))
+        return _rank_topk(cand, k)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", scorer.alias("_cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "knn_rank",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("_cos"),
         )
     )
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
@@ -351,43 +434,34 @@ def lsh_bucketed_knn(
     )
 
 
-def ivf_knn(
-    queries: DataFrame,
+class IVFIndex(NamedTuple):
+    """A built IVF index: unit-space cell centroids plus the materialized
+    inverted lists (neighbor_id, cv, cell). Build ONCE, search many."""
+
+    centroids: "np.ndarray"
+    coded: DataFrame
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     fit_fraction: float | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
-    per-cell inverted lists → queries probe their ``n_probe`` nearest cells.
-
-    The second ANN family next to sign-LSH: cells ADAPT to the data
-    distribution (learned centroids) where LSH buckets are data-oblivious —
-    on clustered real embeddings IVF probes far fewer candidates at equal
-    recall. Vectors are L2-normalized before clustering so euclidean cell
-    assignment orders like cosine. Candidate fan-out per query ≈
-    n/n_cells · n_probe; scale n_cells ~ √n as the corpus grows (the
-    standard IVF sizing rule) and the per-cell lists stay shuffle-local.
-
-    Training cost is one k-means fit over the corpus; ``fit_fraction``
-    fits on a deterministic md5 sample instead (FAISS trains IVF
-    quantizers on ~30-250 vectors/cell — at 100 TB fitting on the full
-    corpus is waste, and an RNG-free sample keeps the centroids, hence
-    the cell assignment, reproducible across runs and appends). Every
-    vector is still ASSIGNED to a cell; only the Lloyd iterations read
-    the sample. At query time the centroid table (n_cells rows)
-    broadcasts.
-    """
+) -> IVFIndex:
+    """K-means coarse quantizer fit + cell assignment of every vector;
+    the inverted lists are localCheckpoint-materialized. Training cost is
+    one k-means fit; ``fit_fraction`` fits on a deterministic md5 sample
+    (FAISS trains IVF quantizers on ~30-250 vectors/cell — fitting the
+    full corpus at 100 TB is waste, and an RNG-free sample keeps the
+    centroids, hence the cell assignment, reproducible across runs and
+    appends). Every vector is still ASSIGNED; only the Lloyd iterations
+    read the sample."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from high_volume_market_data_pipeline_spark.functions.expr import bind_once
-
-    spark = corpus.sparkSession
 
     def norm(v):
         # bind the norm scalar once per row — inlined, the aggregate would
@@ -396,6 +470,7 @@ def ivf_knn(
         return bind_once(
             length, lambda n: F.transform(v, lambda x: x / n)
         )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
@@ -429,51 +504,95 @@ def ivf_knn(
     inverted = model.transform(ml).select("neighbor_id", "cv", "cell")
     inverted = inverted.localCheckpoint(eager=True)
     ml.unpersist()
+    cent_np = np.asarray(
+        [[float(x) for x in center] for center in model.clusterCenters()],
+        dtype=np.float64,
+    )
+    return IVFIndex(cent_np, inverted)
 
-    centroids = [
-        (i, [float(x) for x in center])
-        for i, center in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    index: IVFIndex | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    per-cell inverted lists → queries probe their ``n_probe`` nearest cells.
+
+    The second ANN family next to sign-LSH: cells ADAPT to the data
+    distribution (learned centroids) where LSH buckets are data-oblivious —
+    on clustered real embeddings IVF probes far fewer candidates at equal
+    recall. Vectors are L2-normalized before clustering so euclidean cell
+    assignment orders like cosine. Candidate fan-out per query ≈
+    n/n_cells · n_probe; scale n_cells ~ √n as the corpus grows (the
+    standard IVF sizing rule) and the per-cell lists stay shuffle-local.
+
+    The search side probes cells on the DRIVER over the collected query
+    batch (centroids are model-scale), so candidate rows carry one
+    query-id long, never a duplicated query vector; scoring is the
+    closure-matrix cosine (one gather per Arrow batch). Pass a prebuilt
+    ``index`` (build_ivf_index) to amortize the k-means fit across query
+    batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    if index is None:
+        index = build_ivf_index(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_cells=n_cells,
+            seed=seed,
+            fit_fraction=fit_fraction,
+        )
+    cent_np, inverted = index.centroids, index.coded
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("_nq", norm(F.col("qv")))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("_nq"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
-    probed = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_d2", dist2)
-        .withColumn("_cell_rank", F.row_number().over(wq))
-        .filter(F.col("_cell_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
+    qids, Qn = _query_matrix(q)
+    if len(qids) == 0:
+        return inverted.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, knn_rank int"
+        )
+    spark = inverted.sparkSession
+    d2 = ((Qn[:, None, :] - cent_np[None, :, :]) ** 2).sum(axis=2)
+    cells_ix = np.arange(cent_np.shape[0])
+    probe_rows = [
+        (int(qids[qi]), int(cell))
+        for qi in range(len(qids))
+        for cell in np.lexsort((cells_ix, d2[qi]))[:n_probe]
+    ]
+    probed = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    qorder = np.argsort(qids)
+    qids_sorted = qids[qorder]
+
+    @pandas_udf("double")
+    def _cos_by_qid(qid_s: pd.Series, cv_s: pd.Series) -> pd.Series:
+        qarr = qid_s.to_numpy().astype(np.int64)
+        idx = qorder[np.searchsorted(qids_sorted, qarr)]
+        X = _normalize_rows(np.asarray(cv_s.tolist(), dtype=np.float64))
+        return pd.Series(np.einsum("bd,bd->b", Qn[idx], X))
+
     scored = (
         inverted.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("_cos"),
+            _cos_by_qid(F.col("query_id"), F.col("cv")).alias("_cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # a vector lives in exactly ONE cell ⇒ (query, neighbor) unique
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "knn_rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def fit_pq_codebooks(
@@ -630,6 +749,52 @@ def pq_encode(
     return df.withColumn(out_col, _enc(as_double(F.col(vec_col))))
 
 
+class PQIndex(NamedTuple):
+    """A built PQ index: the driver-side codebooks plus the materialized
+    code table (neighbor_id, pq_codes). Build ONCE, search many — the
+    FAISS train/add vs search split: the fit + encode cost amortizes over
+    every query batch, and a persisted deployment writes ``coded`` as a
+    parquet table whose m-int code column is the only thing the ADC scan
+    ever reads."""
+
+    codebooks: "np.ndarray"
+    coded: DataFrame
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> PQIndex:
+    """Fit codebooks (distributed, see fit_pq_codebooks) and encode every
+    corpus vector; the code table is localCheckpoint-materialized so
+    searches never re-pay the encode einsum."""
+    cb = fit_pq_codebooks(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        dim=dim,
+        seed=seed,
+        fit_fraction=fit_fraction,
+    )
+    coded = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        cb,
+        vec_col="cv",
+    ).select("neighbor_id", "pq_codes")
+    return PQIndex(cb, coded.localCheckpoint(eager=True))
+
+
 def pq_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -642,6 +807,7 @@ def pq_knn(
     seed: int = 42,
     refine: int = 256,
     fit_fraction: float | None = None,
+    index: PQIndex | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the compressed-domain
     third family next to sign-LSH (data-oblivious buckets) and IVF
@@ -650,124 +816,111 @@ def pq_knn(
 
     Scale story: the scan that scores 100 TB of embeddings reads the code
     column (m ints, dictionary-encoded) instead of the float array — 32×
-    less I/O and shuffle — and the exact re-rank reads full vectors for
-    ``refine`` rows per query via an id equi-join. The asymmetric score
-    Σⱼ qⱼ·c[j,codeⱼ] equals cos(q, decode(code)) for unit vectors, which
-    the Arrow scorer computes as one gather + einsum per batch (a
-    production kernel amortizes a per-query LUT across a partition; same
-    arithmetic, constant-factor faster). Approximate ⇒ register rows-only,
-    with recall asserted in tests like the other ANN families."""
+    less I/O — and the exact re-rank reads full vectors for ``refine``
+    rows per query via an id equi-join. The scan is the production ADC
+    kernel: the per-query lookup table LUT[q,j,code] = q_subⱼ·c[j,code]
+    is one einsum over the driver-collected query batch, shipped to tasks
+    as a closure; each Arrow batch then scores ALL queries with one
+    gather+sum and emits only its top ``refine`` — no corpus×queries
+    materialization, no per-row Python, and the rank shuffle sees
+    n_batches·nq·refine rows, not |corpus|·nq. Pass a prebuilt ``index``
+    (build_pq_index) to amortize fit+encode across query batches — the
+    default fits per call for API compatibility. Approximate ⇒ register
+    rows-only, with recall asserted in tests like the other families."""
+    import pyarrow as pa
+
     from pyspark.sql.functions import pandas_udf
 
-    cb = fit_pq_codebooks(
-        corpus,
-        vec_col=vec_col,
-        id_col=id_col,
-        m_subspaces=m_subspaces,
-        n_codes=n_codes,
-        dim=dim,
-        seed=seed,
-        fit_fraction=fit_fraction,
-    )
-    m, _, dsub = cb.shape
-    coded = pq_encode(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        ),
-        cb,
-        vec_col="cv",
-    ).select("neighbor_id", "pq_codes")
-    # One materialization barrier: the codes feed both the ADC scan and —
-    # conceptually — a persisted index; recomputing the encode per probe
-    # would re-pay the einsum for every query batch.
-    coded = coded.localCheckpoint(eager=True)
-
-    @pandas_udf("double")
-    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
-        Q = _normalize_rows(np.asarray(qvs.tolist(), dtype=np.float64))
-        C = np.asarray(codes.tolist(), dtype=np.int64)  # (B, m)
-        decoded = cb[np.arange(m)[None, :], C]  # (B, m, dsub)
-        scores = np.einsum(
-            "bjd,bjd->b", Q.reshape(len(Q), m, dsub), decoded
+    if index is None:
+        index = build_pq_index(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            m_subspaces=m_subspaces,
+            n_codes=n_codes,
+            dim=dim,
+            seed=seed,
+            fit_fraction=fit_fraction,
         )
-        return pd.Series(scores)
+    cb, coded = index.codebooks, index.coded
+    m, _, dsub = cb.shape
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    cand = (
-        coded.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "qv",
-            "neighbor_id",
-            _adc(F.col("qv"), F.col("pq_codes")).alias("_adc"),
+    qids, Q = _query_matrix(q)
+    if len(qids) == 0:
+        return coded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, knn_rank int"
         )
+    # (nq, m, n_codes): the classic ADC LUT, one per query
+    lut = np.einsum("qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), cb)
+
+    def scan(batches):
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf["pq_codes"].tolist(), dtype=np.int64)  # (B,m)
+            ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            # S[q,b] = Σⱼ LUT[q, j, C[b,j]]
+            S = lut[:, np.arange(m)[None, :], C].sum(axis=2)
+            S[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs
+            qa, na, ca = _per_batch_topr(qids, ids, S, refine)
+            yield pa.RecordBatch.from_pydict(
+                {"query_id": qa, "neighbor_id": na, "_adc": ca}
+            )
+
+    cand = coded.mapInArrow(
+        scan, "query_id long, neighbor_id long, _adc double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"), "neighbor_id")
     shortlist = (
         cand.withColumn("_r", F.row_number().over(w_adc))
         .filter(F.col("_r") <= refine)
-        .select("query_id", "qv", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     # exact re-rank: full vectors only for refine·|queries| rows
     full = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     exact_cos = pandas_udf(_cosine_batch, "double")(F.col("qv"), F.col("cv"))
-    rescored = shortlist.join(full, "neighbor_id").select(
-        "query_id", "neighbor_id", exact_cos.alias("_cos")
+    rescored = (
+        shortlist.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", exact_cos.alias("_cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
-    return (
-        rescored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "knn_rank",
-        )
-    )
+    return _rank_topk(rescored, k)
 
 
-def ivf_pq_knn(
-    queries: DataFrame,
+class IVFPQIndex(NamedTuple):
+    """A built IVF-PQ index: unit-space cell centroids, residual PQ
+    codebooks, and the materialized code table (neighbor_id, cell,
+    pq_codes). Build ONCE, search many (FAISS train/add vs search)."""
+
+    centroids: "np.ndarray"
+    codebooks: "np.ndarray"
+    coded: DataFrame
+
+
+def build_ivf_pq_index(
     corpus: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 16,
-    n_probe: int = 4,
     m_subspaces: int = 8,
     n_codes: int = 32,
     dim: int = 64,
     seed: int = 42,
-    refine: int = 256,
     fit_fraction: float | None = None,
-) -> DataFrame:
-    """IVF-PQ: coarse k-means cells + product quantization of the CELL
-    RESIDUALS — the composition both pieces exist for, and the standard
-    production ANN layout (FAISS IVFPQ): the cell prunes which candidates
-    are scored, the residual codes shrink what scoring reads.
-
-    Residuals (x − cell_centroid) concentrate near the origin, so the same
-    PQ code budget quantizes them with far less error than raw vectors —
-    that's why the residual step exists. The asymmetric score against a
-    candidate reconstructs cos(q, centroid + decode(codes)) for unit
-    corpus vectors: one gather + einsum per Arrow batch.
-
-    At 100 TB: candidate I/O = (probed cells' share of the corpus) ×
-    (m code-ints per row) — both factors independently tunable
-    (n_cells ~ √n, code budget m·log2(n_codes) bits) — then ``refine``
-    full-vector reads per query for the exact re-rank. Everything stays
-    an equi-join on the cell key; no shuffle grows with corpus × queries.
-    """
+) -> IVFPQIndex:
+    """Coarse k-means cells + PQ codebooks fitted on the CELL RESIDUALS,
+    every vector encoded; the code table is localCheckpoint-materialized.
+    Residuals (x − cell_centroid) concentrate near the origin, so the
+    same code budget quantizes them with far less error than raw
+    vectors — that is why the residual step exists."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
 
     from high_volume_market_data_pipeline_spark.functions.expr import bind_once
     from high_volume_market_data_pipeline_spark.functions.vectors import norm
@@ -805,11 +958,14 @@ def ivf_pq_knn(
     ).fit(fit_input)
     inverted = model.transform(ml).select("neighbor_id", "_nv", "cell")
 
-    centroids = [
-        (i, [float(x) for x in center])
-        for i, center in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    cent_np = np.asarray(
+        [[float(x) for x in center] for center in model.clusterCenters()],
+        dtype=np.float64,
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent_np)],
+        "cell int, centroid array<double>",
+    )
 
     # residual encode: PQ codebooks fitted on (x − centroid), not raw x
     resid = inverted.join(F.broadcast(cent_df), "cell").select(
@@ -828,48 +984,111 @@ def ivf_pq_knn(
         fit_fraction=fit_fraction,
         normalize=False,
     )
-    m = m_subspaces
-    dsub = dim // m
     coded = pq_encode(resid, cb, vec_col="resid", normalize=False).select(
         "neighbor_id", "cell", "pq_codes"
     )
     coded = coded.localCheckpoint(eager=True)  # the persisted index
     ml.unpersist()
+    return IVFPQIndex(cent_np, cb, coded)
 
-    # query side: probe the n_probe nearest cells (same rule as ivf_knn)
+
+def ivf_pq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    refine: int = 256,
+    fit_fraction: float | None = None,
+    index: IVFPQIndex | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means cells + product quantization of the CELL
+    RESIDUALS — the composition both pieces exist for, and the standard
+    production ANN layout (FAISS IVFPQ): the cell prunes which candidates
+    are scored, the residual codes shrink what scoring reads.
+
+    At 100 TB: candidate I/O = (probed cells' share of the corpus) ×
+    (m code-ints per row) — both factors independently tunable
+    (n_cells ~ √n, code budget m·log2(n_codes) bits) — then ``refine``
+    full-vector reads per query for the exact re-rank. The search side is
+    all model-scale driver math plus ONE equi-join: cell probing runs on
+    the driver over the collected query batch (centroids are n_cells
+    rows — the same metadata the build already collects), candidate rows
+    ship (query_id, cell, q·centroid scalar, codes) — never a query or
+    centroid VECTOR — and the ADC score is a per-batch LUT gather:
+    cos(q, centroid + decode(codes)) = q·centroid + Σⱼ LUT[q,j,codeⱼ].
+    Pass a prebuilt ``index`` (build_ivf_pq_index) to amortize the fit
+    across query batches."""
+    import pyarrow as pa  # noqa: F401  (parity with pq_knn's arrow path)
+
+    from pyspark.sql.functions import pandas_udf
+
+    if index is None:
+        index = build_ivf_pq_index(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_cells=n_cells,
+            m_subspaces=m_subspaces,
+            n_codes=n_codes,
+            dim=dim,
+            seed=seed,
+            fit_fraction=fit_fraction,
+        )
+    cent_np, cb, coded = index.centroids, index.codebooks, index.coded
+    m, _, dsub = cb.shape
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("_nq", unit(F.col("qv")))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("_nq"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    wq = Window.partitionBy("query_id").orderBy("_d2", "cell")
-    probed = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_d2", dist2)
-        .withColumn("_cell_rank", F.row_number().over(wq))
-        .filter(F.col("_cell_rank") <= n_probe)
-        .select("query_id", "_nq", "cell", "centroid")
+    qids, Qn = _query_matrix(q)
+    if len(qids) == 0:
+        return coded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, knn_rank int"
+        )
+    spark = coded.sparkSession
+    # driver-side cell probe: (nq, n_cells) distances, deterministic
+    # (d2, cell) order — same rule the old crossJoin window used
+    d2 = ((Qn[:, None, :] - cent_np[None, :, :]) ** 2).sum(axis=2)
+    qdotc = Qn @ cent_np.T
+    probe_rows = []
+    cells_ix = np.arange(cent_np.shape[0])
+    for qi in range(len(qids)):
+        for cell in np.lexsort((cells_ix, d2[qi]))[:n_probe]:
+            probe_rows.append(
+                (int(qids[qi]), int(cell), float(qdotc[qi, cell]))
+            )
+    probed = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, _qdotc double"
     )
 
+    # per-query residual LUT, shipped as a task closure (model-scale)
+    lut = np.einsum("qjd,jkd->qjk", Qn.reshape(len(Qn), m, dsub), cb)
+    qorder = np.argsort(qids)
+    qids_sorted = qids[qorder]
+
     @pandas_udf("double")
-    def _adc(qns: pd.Series, cents: pd.Series, codes: pd.Series) -> pd.Series:
-        Q = np.asarray(qns.tolist(), dtype=np.float64)
-        Cent = np.asarray(cents.tolist(), dtype=np.float64)
-        C = np.asarray(codes.tolist(), dtype=np.int64)
-        decoded = cb[np.arange(m)[None, :], C].reshape(len(C), dim)
-        return pd.Series(np.einsum("bd,bd->b", Q, Cent + decoded))
+    def _adc(qid_s: pd.Series, qdotc_s: pd.Series, codes: pd.Series) -> pd.Series:
+        qarr = qid_s.to_numpy().astype(np.int64)
+        idx = qorder[np.searchsorted(qids_sorted, qarr)]
+        C = np.asarray(codes.tolist(), dtype=np.int64)  # (B, m)
+        qd = qdotc_s.to_numpy().astype(np.float64)
+        S = lut[idx[:, None], np.arange(m)[None, :], C].sum(axis=1) + qd
+        return pd.Series(S)
 
     cand = (
         coded.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
-            "_nq",
             "neighbor_id",
-            _adc(F.col("_nq"), F.col("centroid"), F.col("pq_codes")).alias(
+            _adc(F.col("query_id"), F.col("_qdotc"), F.col("pq_codes")).alias(
                 "_adc"
             ),
         )
@@ -880,26 +1099,18 @@ def ivf_pq_knn(
     shortlist = (
         cand.withColumn("_r", F.row_number().over(w_adc))
         .filter(F.col("_r") <= refine)
-        .select("query_id", "_nq", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     full = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    exact_cos = pandas_udf(_cosine_batch, "double")(F.col("_nq"), F.col("cv"))
-    rescored = shortlist.join(full, "neighbor_id").select(
-        "query_id", "neighbor_id", exact_cos.alias("_cos")
+    exact_cos = pandas_udf(_cosine_batch, "double")(F.col("qv"), F.col("cv"))
+    rescored = (
+        shortlist.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", exact_cos.alias("_cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), "neighbor_id")
-    return (
-        rescored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "knn_rank",
-        )
-    )
+    return _rank_topk(rescored, k)
 
 
 def with_recall_at_k(ann: DataFrame, exact: DataFrame) -> DataFrame:

@@ -953,3 +953,91 @@ def test_stream_hll_state_restart_recovery(spark, tmp_path):
     assert got == want
     assert got[str(datetime.date(2024, 1, 1))] == 4  # users 1,2,3,4
     assert got[str(datetime.date(2024, 1, 2))] == 2  # users 5,6
+
+
+def test_stream_incremental_dedup_restart_and_replay(spark, tmp_path):
+    """Continuous-ingest dedup admission: (1) restart from the same
+    checkpoint processes only unseen arrival files, and decisions match
+    the batch path (a copy of a doc admitted in an EARLIER batch is
+    rejected vs_store — its signatures landed); (2) a full replay with a
+    fresh checkpoint against the SAME store converges: identical
+    decision sets and an UNCHANGED store (self-pairs excluded,
+    id-deduped appends) — at-least-once delivery is safe."""
+    from high_volume_market_data_pipeline_spark.dedup.incremental import (
+        SignatureStore,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    t = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet cyan magenta white",
+        "north south east west up down left right front back",
+    ]
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(
+        spark.createDataFrame(
+            [(0, t[0]), (1, t[1])], "doc_id long, text string"
+        )
+    )
+    arrivals = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(arrivals)
+
+    def run(checkpoint):
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        q = stream_incremental_dedup(
+            sdf, store, out_root=ledger, checkpoint=checkpoint, threshold=0.9
+        )
+        q.awaitTermination()
+
+    def decisions():
+        adm = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ledger}/admitted").collect()
+        }
+        rej = {
+            (r["doc_id"], r["matched_id"], r["reason"])
+            for r in spark.read.parquet(f"{ledger}/rejected").collect()
+        }
+        return adm, rej
+
+    # batch 1: one fresh doc + one copy of a bootstrapped doc
+    land([(10, t[2]), (11, t[0])])
+    run(ckpt)
+    adm, rej = decisions()
+    assert adm == {10}
+    assert rej == {(11, 0, "vs_store")}
+
+    # two more files arrive while down; SAME checkpoint -> only they run
+    land([(12, t[3]), (13, t[2])])  # 13 copies doc 10 (admitted batch 1)
+    land([(14, t[4]), (15, t[4])])  # 15 copies 14 within the same batch
+    run(ckpt)
+    adm, rej = decisions()
+    assert adm == {10, 12, 14}
+    assert rej == {
+        (11, 0, "vs_store"),
+        (13, 10, "vs_store"),  # proves batch-1 signatures landed
+        (15, 14, "within_batch"),
+    }
+    store_rows = store.read(spark).count()
+    # 2 bootstrapped + 3 admitted docs, one row per (doc, band)
+    assert store_rows == 5 * store.bands
+
+    # full replay, fresh checkpoint, same store: decisions converge and
+    # the store does not grow (no self-matches, no double-append)
+    run(str(tmp_path / "ckpt2"))
+    assert decisions() == (adm, rej)
+    assert store.read(spark).count() == store_rows

@@ -1,0 +1,196 @@
+"""ANN family shoot-out at one corpus tier: seconds + recall@k for all
+four families (sign-LSH OR-construction, IVF, PQ-ADC, IVF-PQ) against the
+brute-force floor, on the SAME query set.
+
+The point at the 200k-vector tier (.scale/sf10) is the 100 TB claim the
+PQ families make: candidate scoring that reads 8-byte code words instead
+of 64-double vectors must keep latency flat-ish as the corpus grows,
+while brute force and wide-probe IVF pay the full vector-read cost.
+Each family runs twice: with the REGISTERED default knobs (what the
+correctness-gated queries ship) and with the documented tier-scaled
+knobs (cells ~ sqrt(n), planes ~ log2(n/target)) — recall is reported
+next to every time so no row can quietly trade quality for speed.
+
+Timing = median of ``--runs`` solo executions of the ANN path only (the
+exact twin is computed once, outside the clock). Run SOLO (NOTES.md:
+host drifts +-45% under load).
+
+Usage: python tools/bench_ann_tier.py [--sf-dir .scale/sf10] [--runs 3]
+       [--n-queries 40] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from high_volume_market_data_pipeline_spark.catalog import load_table  # noqa: E402
+from high_volume_market_data_pipeline_spark.session import build_session  # noqa: E402
+from high_volume_market_data_pipeline_spark.similarity.knn import (  # noqa: E402
+    auto_planes,
+    brute_force_knn,
+    ivf_knn,
+    ivf_pq_knn,
+    lsh_bucketed_knn,
+    pq_knn,
+)
+
+K = 5
+
+
+def _time_median(fn, runs: int) -> float:
+    return round(statistics.median(
+        _time_once(fn) for _ in range(runs)
+    ), 3)
+
+
+def _time_once(fn) -> float:
+    start = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def _mean_recall(ann, exact) -> float:
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        with_recall_at_k,
+    )
+
+    row = (
+        with_recall_at_k(ann, exact)
+        .select("query_id", "recall_at_k")
+        .distinct()
+        .agg(F.avg("recall_at_k").alias("r"))
+        .first()
+    )
+    return round(float(row["r"]), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".scale/sf10")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n-queries", type=int, default=40)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="hvmdp-bench-ann-tier")
+    try:
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        n = emb.count()
+        q = emb.filter(F.col("vec_id") < args.n_queries)
+        # tier-scaled knobs (the documented rules, spelled out here so the
+        # artifact records what was measured)
+        # cells ~ sqrt(n); probe holds a ~25% scan fraction — on RANDOM
+        # vectors (no cluster structure) lower fractions crater recall
+        # (measured 0.475 at 11% vs 0.7 at 25%, sf0.1). Clustered real
+        # embeddings sustain far lower fractions; the artifact records
+        # recall next to every time so the trade is visible.
+        cells = max(16, int(math.sqrt(n)))
+        probe = max(4, cells // 4)
+        planes = auto_planes(n, target_bucket_rows=1024, max_planes=12)
+
+        # exact twin once, outside every clock; also times the floor
+        t_exact = _time_median(
+            lambda: brute_force_knn(q, emb, k=K, vectorized=True), args.runs
+        )
+        exact = brute_force_knn(q, emb, k=K, vectorized=True).localCheckpoint(
+            eager=True
+        )
+
+        # FAISS-style build/search split: each indexed family reports its
+        # one-time BUILD cost (fit + encode, amortized over every query
+        # batch in production) separately from the per-batch SEARCH cost.
+        from high_volume_market_data_pipeline_spark.similarity.knn import (
+            build_ivf_index,
+            build_ivf_pq_index,
+            build_pq_index,
+        )
+
+        def timed_build(fn):
+            start = time.perf_counter()
+            idx = fn()
+            return idx, round(time.perf_counter() - start, 3)
+
+        ivf_idx, ivf_b = timed_build(lambda: build_ivf_index(emb))
+        ivf_s_idx, ivf_s_b = timed_build(
+            lambda: build_ivf_index(emb, n_cells=cells, fit_fraction=0.1)
+        )
+        pq_idx, pq_b = timed_build(lambda: build_pq_index(emb))
+        ivfpq_idx, ivfpq_b = timed_build(lambda: build_ivf_pq_index(emb))
+
+        families = {
+            "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
+            "lsh_default": (
+                lambda: lsh_bucketed_knn(q, emb, k=K),
+                {"knobs": "planes=4, tables=4, multi-probe"},
+            ),
+            "lsh_scaled": (
+                lambda: lsh_bucketed_knn(q, emb, k=K, n_planes=planes),
+                {"knobs": f"planes={planes}, tables=4, multi-probe"},
+            ),
+            "ivf_default": (
+                lambda: ivf_knn(q, emb, k=K, index=ivf_idx),
+                {"knobs": "cells=16, probe=4", "build_sec": ivf_b},
+            ),
+            "ivf_scaled": (
+                lambda: ivf_knn(q, emb, k=K, n_probe=probe, index=ivf_s_idx),
+                {
+                    "knobs": f"cells={cells}, probe={probe}, fit_fraction=0.1",
+                    "build_sec": ivf_s_b,
+                },
+            ),
+            "pq_adc": (
+                lambda: pq_knn(q, emb, k=K, index=pq_idx),
+                {"knobs": "m=8, codes=32, refine=256", "build_sec": pq_b},
+            ),
+            "ivf_pq": (
+                lambda: ivf_pq_knn(q, emb, k=K, index=ivfpq_idx),
+                {
+                    "knobs": "cells=16, probe=4, m=8, codes=32, refine=256",
+                    "build_sec": ivfpq_b,
+                },
+            ),
+        }
+        rows: dict[str, dict] = {}
+        for name, (fn, meta) in families.items():
+            if fn is None:
+                rows[name] = meta
+                print(f"# {name}: {meta}", file=sys.stderr)
+                continue
+            try:
+                sec = _time_median(fn, args.runs)
+                rec = _mean_recall(fn(), exact)
+                rows[name] = {**meta, "sec": sec, "recall": rec}
+            except Exception as exc:
+                rows[name] = {**meta, "error": str(exc).splitlines()[0][:200]}
+            print(f"# {name}: {rows[name]}", file=sys.stderr)
+        doc = {
+            "metric": "ann_tier_shootout",
+            "unit": "sec",
+            "sf_dir": args.sf_dir,
+            "n_vectors": n,
+            "n_queries": args.n_queries,
+            "k": K,
+            "runs_per_point": args.runs,
+            "families": rows,
+        }
+        line = json.dumps(doc)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
