@@ -61,6 +61,7 @@ _HEAD = [
     "ngram_jaccard_adaptive",       # adaptive width + prefix block key
     "embedding_near_dup",           # now auto-planes over full corpus
     "stream_incremental_dedup_admission",  # streaming SignatureStore
+    "knn_lsh_bucketed",             # now auto-planes (rows-only)
     # --- most recent green row is r2 (all 23) ---
     "cheapest_supplier_per_part",
     "context_window_chunks",
@@ -97,7 +98,6 @@ _HEAD = [
     "doc_fingerprints",             # rolling-hash fingerprints
     "pii_redact_documents",         # regex redaction
     "hash_split_train_val",         # md5 split sampling
-    "running_user_value",           # running window aggregates
 ]
 
 

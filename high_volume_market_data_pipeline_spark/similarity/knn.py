@@ -298,7 +298,7 @@ def lsh_bucketed_knn(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     multi_probe: bool = True,
@@ -333,6 +333,19 @@ def lsh_bucketed_knn(
     q0 = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    if n_planes is None:
+        # default = the scale-safe rule, not a constant: one plane per
+        # corpus doubling past 1024 rows/bucket. At 200k vectors the old
+        # fixed 4-plane default produced 12.5k-row buckets and ran SLOWER
+        # than brute force (56s vs 41s, BENCH_ANN_TIER); auto-planes (8)
+        # ran it in 9s at equal recall. Small corpora resolve to 1 plane
+        # — with multi-probe both buckets are probed, so the degenerate
+        # config is the honest full scan (floor 1, not 0: the bucketing
+        # matmul needs at least one hyperplane row).
+        n_planes = max(
+            1,
+            auto_planes(corpus.count(), target_bucket_rows=1024, max_planes=12),
+        )
     # All tables resolve in ONE pass: every row gets its per-table bucket
     # (distinct hyperplane sets via shifted seeds), the (table, bucket)
     # pairs explode into a composite join key, and a single bucket-keyed
@@ -396,16 +409,32 @@ def lsh_bucketed_knn(
                 for p in range(n_planes)
             ]
     q = q.select(
-        "query_id", "qv", F.explode(F.array(*q_keys)).alias("_tb")
-    ).select("query_id", "qv", "_tb.tbl", "_tb.bucket")
+        "query_id", F.explode(F.array(*q_keys)).alias("_tb")
+    ).select("query_id", "_tb.tbl", "_tb.bucket")
     # Candidate scoring is the hot loop (candidates ≈ tables·probes·
     # queries·bucket_size pairs), so it is Arrow-vectorized like the
-    # bucketing: one einsum per batch instead of a 64-element interpreted
-    # fold per pair. The float64 sum order differs from the expression
-    # fold only in last-ulp digits — irrelevant to ranking and to this
-    # query's rows-only/recall grading; brute_force_knn keeps the
-    # expression scorer because its cosine VALUES are driver-hashed.
-    _cos_vec = pandas_udf(_cosine_batch, "double")
+    # bucketing AND closure-keyed: the probe rows carry only (query_id,
+    # tbl, bucket) — the query MATRIX rides the task closure and each
+    # batch scores via one gather+einsum. Shipping qv on every candidate
+    # row was the old cost (64 doubles × candidates). Float64 sum order
+    # differs from the expression fold only in last-ulp digits —
+    # irrelevant to ranking and to this query's rows-only/recall grading;
+    # brute_force_knn keeps the expression scorer because its cosine
+    # VALUES are driver-hashed.
+    qids, Qn = _query_matrix(q0.select("query_id", "qv"))
+    if len(qids) == 0:
+        return c0.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, knn_rank int"
+        )
+    qorder = np.argsort(qids)
+    qids_sorted = qids[qorder]
+
+    @pandas_udf("double")
+    def _cos_by_qid(qid_s: pd.Series, cv_s: pd.Series) -> pd.Series:
+        qarr = qid_s.to_numpy().astype(np.int64)
+        idx = qorder[np.searchsorted(qids_sorted, qarr)]
+        X = _normalize_rows(np.asarray(cv_s.tolist(), dtype=np.float64))
+        return pd.Series(np.einsum("bd,bd->b", Qn[idx], X))
 
     # Score BEFORE deduping: a duplicate candidate costs one extra
     # vectorized dot map-side, but deduping first would push the vectors
@@ -417,7 +446,7 @@ def lsh_bucketed_knn(
         .select(
             "query_id",
             "neighbor_id",
-            _cos_vec(F.col("qv"), F.col("cv")).alias("_cos"),
+            _cos_by_qid(F.col("query_id"), F.col("cv")).alias("_cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

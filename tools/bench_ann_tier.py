@@ -129,13 +129,13 @@ def main() -> None:
 
         families = {
             "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
-            "lsh_default": (
-                lambda: lsh_bucketed_knn(q, emb, k=K),
-                {"knobs": "planes=4, tables=4, multi-probe"},
+            "lsh_fixed4": (
+                lambda: lsh_bucketed_knn(q, emb, k=K, n_planes=4),
+                {"knobs": "planes=4 (old fixed default), tables=4"},
             ),
-            "lsh_scaled": (
-                lambda: lsh_bucketed_knn(q, emb, k=K, n_planes=planes),
-                {"knobs": f"planes={planes}, tables=4, multi-probe"},
+            "lsh_auto": (
+                lambda: lsh_bucketed_knn(q, emb, k=K),
+                {"knobs": f"planes=auto({planes}), tables=4, multi-probe"},
             ),
             "ivf_default": (
                 lambda: ivf_knn(q, emb, k=K, index=ivf_idx),
