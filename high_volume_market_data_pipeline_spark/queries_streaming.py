@@ -487,8 +487,12 @@ def stream_incremental_dedup_admission(
             threshold=0.9,
         )
         q.awaitTermination()
-        rejected = spark.read.parquet(os.path.join(scratch, "ledger", "rejected"))
-        admitted = spark.read.parquet(os.path.join(scratch, "ledger", "admitted"))
+        from high_volume_market_data_pipeline_spark.streaming.incremental import (
+            read_ledger,
+        )
+
+        rejected = read_ledger(spark, os.path.join(scratch, "ledger"), "rejected")
+        admitted = read_ledger(spark, os.path.join(scratch, "ledger"), "admitted")
         out = (
             admitted.select("doc_id", F.lit("admitted").alias("decision"))
             .unionByName(rejected.select("doc_id", F.col("reason").alias("decision")))

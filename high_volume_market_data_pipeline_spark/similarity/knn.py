@@ -41,6 +41,12 @@ def _cosine_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
 
 
 _MAX_CLOSURE_QUERIES = 100_000
+# Bound on any single in-flight (query-chunk × corpus-batch) float64 score
+# matrix inside a closure kernel. The scans chunk the query matrix so that
+# nq_chunk · batch_rows · 8 bytes never exceeds this, whatever the admitted
+# query count — without it, 100k queries × a 10k-row Arrow batch would
+# materialize an ~8 GB matrix per in-flight task.
+_CLOSURE_BUDGET_BYTES = 128 << 20
 
 
 def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
@@ -50,16 +56,44 @@ def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
     collect. The payoff of the closure kernels below: a candidate row
     ships ONE int64 query id instead of a 64-double query vector (the
     crossJoin form measured ~4 GB of duplicated qv at the 200k×40 tier).
-    Guarded so nobody points it at a query TABLE."""
+    Guarded so nobody points it at a query TABLE.
+
+    Requires an INTEGRAL, UNIQUE id column: every closure path keys
+    scores by int64 query id (``searchsorted`` lookups and int equality
+    against corpus ids), so string/float ids and duplicate ids — which
+    the old crossJoin forms tolerated — are rejected here with a clear
+    error instead of silently truncating or collapsing."""
     rows = q.collect()
     if len(rows) > _MAX_CLOSURE_QUERIES:
         raise ValueError(
             f"{len(rows)} queries exceed the closure-kernel bound "
             f"({_MAX_CLOSURE_QUERIES}); run the query set in batches"
         )
-    qids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    raw_ids = [r[0] for r in rows]
+    for v in raw_ids:
+        if not isinstance(v, (int, np.integer)):
+            raise TypeError(
+                "closure-kernel kNN requires an integral id column; got "
+                f"{type(v).__name__} ({v!r}). Cast ids to long (or use the "
+                "non-vectorized crossJoin path, which accepts any id type)."
+            )
+    qids = np.asarray(raw_ids, dtype=np.int64)
+    if len(np.unique(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query ids in closure-kernel kNN: id-keyed score "
+            "lookup would silently collapse duplicates to one vector; "
+            "deduplicate the query set first"
+        )
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
     return qids, _normalize_rows(mat)
+
+
+def _query_chunks(nq: int, batch_rows: int):
+    """Yield (start, stop) query-row slices sized so a (chunk, batch_rows)
+    float64 matrix stays under _CLOSURE_BUDGET_BYTES."""
+    chunk = max(1, _CLOSURE_BUDGET_BYTES // (max(1, batch_rows) * 8))
+    for s in range(0, nq, chunk):
+        yield s, min(nq, s + chunk)
 
 
 def _per_batch_topr(
@@ -72,12 +106,26 @@ def _per_batch_topr(
     matrix: order by (-score, neighbor_id) — the same tie rule as the
     global rank window, so the batch-level cut can never drop a row the
     global cut would have kept. -inf scores (masked self-pairs) never
-    emit. Returns (query_id, neighbor_id, score) flat arrays."""
+    emit. Returns (query_id, neighbor_id, score) flat arrays.
+
+    One vectorized argpartition prunes each row to its top-r score tier
+    (plus every boundary tie, so the id tie rule stays exact); the
+    per-query lexsort then runs over ~r candidates, not the full batch —
+    the old full-row lexsort loop was O(nq · B log B) and dominated at
+    large query counts."""
     r = min(r, S.shape[1])
+    n, B = S.shape
+    kth = min(r - 1, B - 1)
+    part = np.argpartition(-S, kth, axis=1)[:, : kth + 1]
+    thresh = S[np.arange(n)[:, None], part].min(axis=1)
     qs, ns, cs = [], [], []
-    for qi in range(len(qids)):
-        order = np.lexsort((ids, -S[qi]))[:r]
-        sel = order[np.isfinite(S[qi][order])]
+    for qi in range(n):
+        t = thresh[qi]
+        if np.isfinite(t):
+            cand = np.nonzero(S[qi] >= t)[0]
+        else:  # fewer than r finite scores in the row
+            cand = np.nonzero(np.isfinite(S[qi]))[0]
+        sel = cand[np.lexsort((ids[cand], -S[qi][cand]))][:r]
         qs.append(np.full(len(sel), qids[qi], dtype=np.int64))
         ns.append(ids[sel])
         cs.append(S[qi][sel])
@@ -147,12 +195,16 @@ def brute_force_knn(
                     continue
                 X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
                 ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
-                S = Q @ _normalize_rows(X).T  # cosine of normalized rows
-                S[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs
-                qa, na, ca = _per_batch_topr(qids, ids, S, k)
-                yield pa.RecordBatch.from_pydict(
-                    {"query_id": qa, "neighbor_id": na, "_cos": ca}
-                )
+                Xn = _normalize_rows(X).T
+                # chunk queries so the (chunk, B) score matrix stays
+                # under _CLOSURE_BUDGET_BYTES regardless of admitted nq
+                for s, e in _query_chunks(len(qids), len(ids)):
+                    S = Q[s:e] @ Xn  # cosine of normalized rows
+                    S[qids[s:e, None] == ids[None, :]] = -np.inf  # self
+                    qa, na, ca = _per_batch_topr(qids[s:e], ids, S, k)
+                    yield pa.RecordBatch.from_pydict(
+                        {"query_id": qa, "neighbor_id": na, "_cos": ca}
+                    )
 
         cand = c.mapInArrow(
             scan, "query_id long, neighbor_id long, _cos double"
@@ -892,13 +944,16 @@ def pq_knn(
                 continue
             C = np.asarray(pdf["pq_codes"].tolist(), dtype=np.int64)  # (B,m)
             ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
-            # S[q,b] = Σⱼ LUT[q, j, C[b,j]]
-            S = lut[:, np.arange(m)[None, :], C].sum(axis=2)
-            S[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs
-            qa, na, ca = _per_batch_topr(qids, ids, S, refine)
-            yield pa.RecordBatch.from_pydict(
-                {"query_id": qa, "neighbor_id": na, "_adc": ca}
-            )
+            # chunked like the brute-force scan: (chunk, B) ADC matrix
+            # bounded by _CLOSURE_BUDGET_BYTES
+            for s, e in _query_chunks(len(qids), len(ids)):
+                # S[q,b] = Σⱼ LUT[q, j, C[b,j]]
+                S = lut[s:e, np.arange(m)[None, :], C].sum(axis=2)
+                S[qids[s:e, None] == ids[None, :]] = -np.inf  # self-pairs
+                qa, na, ca = _per_batch_topr(qids[s:e], ids, S, refine)
+                yield pa.RecordBatch.from_pydict(
+                    {"query_id": qa, "neighbor_id": na, "_adc": ca}
+                )
 
     cand = coded.mapInArrow(
         scan, "query_id long, neighbor_id long, _adc double"

@@ -32,10 +32,23 @@ import os
 import time
 import uuid
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "_log"
+
+
+class VacuumResult(NamedTuple):
+    """vacuum() outcome. ``retired``: versions whose manifest was deleted
+    (no longer time-travelable). ``removed_dirs``: snapshot dir names
+    removed, including manifest-less orphans from losing commit attempts
+    (their parsed version number can match a kept snapshot's, so they are
+    NOT reported as retired versions)."""
+
+    retired: list
+    removed_dirs: list
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -118,12 +131,26 @@ class VersionedParquetTable:
         # orphan until vacuum.
         final = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {version} at {self.root} was committed by another "
-                "writer; re-read the head and retry"
-            ) from None
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {version} at {self.root} was committed by "
+                    "another writer; re-read the head and retry"
+                ) from None
+            except OSError:
+                # Filesystem without hard links (some NFS/object-store/
+                # overlay mounts): O_CREAT|O_EXCL open keeps the same
+                # create-if-absent guarantee with wider FS support.
+                try:
+                    fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                except FileExistsError:
+                    raise ConcurrentCommitError(
+                        f"version {version} at {self.root} was committed by "
+                        "another writer; re-read the head and retry"
+                    ) from None
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(manifest, fh)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -256,34 +283,39 @@ class VersionedParquetTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(self, keep_last: int = 2) -> "VacuumResult":
         """Retire snapshot dirs older than the newest ``keep_last`` versions
         (and any orphan ``_v*`` dirs with no manifest). Time travel below
-        the horizon stops working — same contract as Delta VACUUM."""
+        the horizon stops working — same contract as Delta VACUUM.
+
+        Returns ``VacuumResult(retired, removed_dirs)``: ``retired`` lists
+        only versions whose MANIFEST was deleted (time travel to them is
+        gone); ``removed_dirs`` lists every snapshot dir removed, including
+        commit-losing orphan attempt dirs whose parsed version number may
+        match a kept, still-readable snapshot — conflating those two was a
+        false 'version retired' signal."""
         import shutil
 
         ms = self._manifests()
         kept = ms[-keep_last:] if ms else []
         keep_dirs = {os.path.basename(m["data_dir"]) for m in kept}
         keep_versions = {m["version"] for m in kept}
-        removed: list[int] = []
+        removed_dirs: list[str] = []
+        retired: list[int] = []
         if not os.path.isdir(self.root):
-            return removed
+            return VacuumResult(retired, removed_dirs)
         # Keyed on the dirs the kept manifests actually reference, not on
         # parsed version numbers: a commit-losing writer's orphan dir can
         # share a version number with the winner's kept snapshot.
         for d in os.listdir(self.root):
             if not d.startswith("_v") or d in keep_dirs:
                 continue
-            try:
-                v = int(d[2:].split("_")[0])
-            except ValueError:
-                continue
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-            removed.append(v)
+            removed_dirs.append(d)
         for m in ms:
             if m["version"] not in keep_versions:
                 mf = os.path.join(self.log_dir, f"{m['version']:08d}.json")
                 if os.path.exists(mf):
                     os.remove(mf)
-        return removed
+                    retired.append(m["version"])
+        return VacuumResult(retired, removed_dirs)

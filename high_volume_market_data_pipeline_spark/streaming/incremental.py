@@ -26,13 +26,45 @@ checkpointed incremental pulls) with MinHash dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
 
 from high_volume_market_data_pipeline_spark.dedup.incremental import (
     SignatureStore,
 )
+
+_SCHEMA_MARKER = "_ledger_schema.json"
+
+
+def _ensure_schema_marker(df: DataFrame, leaf_dir: str) -> None:
+    """Persist the leaf's schema once, so a leaf whose every micro-batch
+    wrote zero rows (e.g. no rejections all run) is still readable —
+    an all-empty partitioned parquet dir has no schema-bearing files and
+    a plain ``spark.read.parquet`` fails with 'unable to infer schema'.
+    Underscore-prefixed, so Spark's parquet scan ignores it."""
+    os.makedirs(leaf_dir, exist_ok=True)
+    marker = os.path.join(leaf_dir, _SCHEMA_MARKER)
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(df.schema.json())
+
+
+def read_ledger(spark: SparkSession, out_root: str, leaf: str) -> DataFrame:
+    """Read an admission-ledger leaf (``admitted`` | ``rejected``),
+    tolerating a leaf that never received a row: schema comes from the
+    marker the first micro-batch wrote."""
+    path = os.path.join(out_root, leaf)
+    marker = os.path.join(path, _SCHEMA_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            schema = StructType.fromJson(json.load(fh))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def stream_incremental_dedup(
@@ -68,14 +100,14 @@ def stream_incremental_dedup(
             skip_existing_ids=True,
         )
         for df, leaf in ((admitted, "admitted"), (rejected, "rejected")):
+            out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            _ensure_schema_marker(out, os.path.join(out_root, leaf))
             # dynamic mode per-write: a replayed batch overwrites ONLY its
             # own batch_id partition (exactly-once ledger), without
             # flipping the session-wide overwrite default
-            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "batch_id"
-            ).parquet(f"{out_root}/{leaf}")
+            out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").parquet(f"{out_root}/{leaf}")
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (

@@ -1041,3 +1041,51 @@ def test_stream_incremental_dedup_restart_and_replay(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     assert decisions() == (adm, rej)
     assert store.read(spark).count() == store_rows
+
+
+def test_stream_incremental_dedup_empty_leaf_readable(spark, tmp_path):
+    """A run where NO document is rejected must still leave a readable
+    rejected leaf: every micro-batch writes zero rows there, so the
+    partitioned dir has no schema-bearing parquet files and a plain
+    spark.read.parquet fails with 'unable to infer schema'. The schema
+    marker written at first batch + read_ledger cover exactly that."""
+    from pyspark.errors import AnalysisException
+
+    from high_volume_market_data_pipeline_spark.dedup.incremental import (
+        SignatureStore,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.incremental import (
+        read_ledger,
+        stream_incremental_dedup,
+    )
+
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(spark.createDataFrame([], "doc_id long, text string"))
+    arrivals = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(arrivals)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(arrivals)
+    q = stream_incremental_dedup(
+        sdf,
+        store,
+        out_root=str(tmp_path / "ledger"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.9,
+    )
+    q.awaitTermination()
+
+    rej = read_ledger(spark, str(tmp_path / "ledger"), "rejected")
+    assert rej.count() == 0
+    assert "matched_id" in rej.columns and "batch_id" in rej.columns
+    adm = read_ledger(spark, str(tmp_path / "ledger"), "admitted")
+    assert {r["doc_id"] for r in adm.collect()} == {1, 2}
+    # the failure mode the marker exists for
+    import pytest as _pytest
+
+    with _pytest.raises(AnalysisException):
+        spark.read.parquet(str(tmp_path / "ledger" / "rejected")).collect()
