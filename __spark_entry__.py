@@ -29,75 +29,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run records only the FIRST 50 registered entries,
-# so the 50-slot window rotates per round. Round 2 recorded the 50
-# operator-distinct head queries; round 3 the next 50 (2 array-output
-# crashes, fixed in r4 via registry.assert_driver_safe_schema); round 4 the
-# late-r3 additions + 26 r2-green family representatives. Round 5's head =
-# the 12 late-r4 tail queries with no driver row from ANY round (8
-# oracle-backed + 4 rows-only — the NOTES.md promotion set) + the 2
-# queries whose code CHANGED this round (ngram_jaccard_adaptive is new;
-# embedding_near_dup switched to auto-planes, so its r4 row no longer
-# covers it) + all 23 queries whose most recent green row is r2 + 13
-# family-diverse backfills whose most recent green row is r3. With this
-# rotation the union r2 ∪ r3 ∪ r4 ∪ r5 covers every oracle-backed query;
-# every query, head and tail, is also verified locally by
-# tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never demote
-# a query whose only green row is the current window.
+# so the 50-slot window rotates per round. History: r2 = the 50
+# operator-distinct head queries; r3 = the next 50; r4 = late-r3 additions
+# + r2-green family representatives; r5 = the never-recorded promotion set
+# + changed queries + all 23 r2-stale rows — after which the r1∪…∪r5 union
+# covers every registered query (123 oracle-backed hash-green, 12
+# rows-only driver-run; verified in the round-5 verdict). From r6 on the
+# policy is steady-state: (a) queries NEW or BEHAVIOR-CHANGED this round,
+# then (b) the queries whose most recent driver row is OLDEST (refresh the
+# stalest evidence first). Round 6 head = 7 new/changed (knn_pq_persisted
+# is new; embedding_near_dup gained the bucket-screen prefilter;
+# stream_incremental_dedup_admission reads via the schema-marker ledger;
+# the four knn_* rows-only queries share the reworked chunked closure
+# kernels in their exact twins) + all 37 queries whose latest row is r3 +
+# 6 family-diverse r4 refreshes. Every query, head and tail, is also
+# verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1 each
+# round. Never demote a query whose only green row is the current window.
 _HEAD = [
-    # --- never driver-recorded (r5 promotion set, NOTES.md) ---
-    "segment_mode_median",          # exact mode + median aggregates
-    "winsorized_value_stats",       # winsorized robust stats
-    "heavy_hitter_users",           # approx_top_k heavy hitters
-    "heavy_hitter_daily_rollup",    # accumulate/combine daily rollup
-    "session_chains_recursive",     # recursive-CTE session lineage
-    "substring_dup_spans",          # exact substring-span dedup
-    "quality_weighted_sample",      # deterministic weighted sampling
-    "embedding_random_projection",  # JL projection, scalar outputs
-    "hll_incremental_distinct",     # mergeable HLL sketch table (rows-only)
-    "knn_pq_adc",                   # PQ ANN, ADC + re-rank (rows-only)
-    "knn_ivf_pq",                   # IVF-PQ residual ANN (rows-only)
-    "stream_distinct_sketch_state", # streaming HLL fold (rows-only)
     # --- new or behavior-changed this round ---
-    "ngram_jaccard_adaptive",       # adaptive width + prefix block key
-    "embedding_near_dup",           # now auto-planes over full corpus
-    "stream_incremental_dedup_admission",  # streaming SignatureStore
-    "knn_lsh_bucketed",             # now auto-planes (rows-only)
-    # --- most recent green row is r2 (all 23) ---
-    "cheapest_supplier_per_part",
-    "context_window_chunks",
-    "doc_quality_and_lang",
-    "doc_repetition_stats",
-    "dq_orders_expectations",
-    "embedding_quantize_stats",
-    "event_rate_anomalies",
-    "gapfill_nation_daily_revenue",
-    "order_counts_pivot",
-    "order_value_percentiles",
-    "orders_above_customer_avg",
-    "part_metrics_unpivot",
-    "parts_sales_coverage",
-    "priority_count_q4",
-    "returned_top_customers_q10",
-    "revenue_by_nation_q5",
-    "salted_event_value_agg",
-    "shipping_priority_q3",
-    "stratified_lang_sample",
-    "stream_sliding_counts",
-    "stream_static_nation_counts",
-    "trailing_hour_user_stats",
-    "user_peak_event",
-    # --- family-diverse backfill, most recent green row is r3 ---
-    "knn_ivf_cells",                # IVF ANN family
-    "curation_funnel",              # composite curation plan
-    "sessionize_events_batch",      # gaps-and-islands sessionization
-    "stream_dedup_events",          # streaming dedup-in-watermark
-    "table_history_ops",            # S8 history scan (rows-only)
-    "hypertable_rollup",            # time-bucket rollup
-    "market_share_q8",              # deep join tree
-    "large_volume_customers_q18",   # big-side groupBy + semi join
-    "doc_fingerprints",             # rolling-hash fingerprints
-    "pii_redact_documents",         # regex redaction
-    "hash_split_train_val",         # md5 split sampling
+    "knn_pq_persisted",             # NEW: versioned-store index lifecycle
+    "embedding_near_dup",           # Arrow bucket-screen + exact-fold rescore
+    "stream_incremental_dedup_admission",  # schema-marker ledger reads
+    "knn_pq_adc",                   # chunked ADC closure kernel (rows-only)
+    "knn_ivf_pq",                   # shared exact twin changed (rows-only)
+    "knn_ivf_cells",                # shared exact twin changed (rows-only)
+    "knn_lsh_bucketed",             # shared exact twin changed (rows-only)
+    # --- most recent driver row is r3 (all 37) ---
+    "approx_distinct_users",
+    "broadcast_dim_join",
+    "bulk_part_suppliers_q20",
+    "cube_event_stats",
+    "customer_order_distribution_q13",
+    "customer_order_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_profile",
+    "discounted_bulk_revenue_q19",
+    "distinct_order_priorities",
+    "dormant_rich_customers_q22",
+    "event_type_audiences",
+    "fk_orphan_lineitems",
+    "forecast_revenue_q6",
+    "important_part_stock_q11",
+    "json_props_profile",
+    "lang_quota_sample",
+    "nation_trade_volume_q7",
+    "order_price_rank_metrics",
+    "order_value_quartiles_ntile",
+    "parts_catalog_labels",
+    "priority_shipping_modes_q12",
+    "product_type_profit_q9",
+    "profile_orders_columns",
+    "promo_revenue_share_q14",
+    "running_user_value",
+    "small_quantity_orders_q17",
+    "sql_grouping_sets_orders",
+    "sql_peak_revenue_day",
+    "stats_quantity_price",
+    "supplier_diversity_q16",
+    "token_budget_chunks",
+    "top1_order_by_price",
+    "top_supplier_q15",
+    "variant_props_buckets",
+    "waiting_supplier_q21",
+    # --- family-diverse r4 refreshes (6) ---
+    "pricing_summary",              # headline full-scan agg (q1)
+    "minhash_lsh_near_dup",         # banded LSH dedup family
+    "dedup_keep_latest_events",     # W1 keep-latest window
+    "gold_daily_topk_stats",        # flagship medallion top-k
+    "paged_feed_rollup",            # Python DataSource source family
+    "table_version_changes",        # versioned-table CDF family
 ]
 
 

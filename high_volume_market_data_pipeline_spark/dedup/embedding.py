@@ -17,24 +17,100 @@ from pyspark.sql import functions as F
 from high_volume_market_data_pipeline_spark.functions.vectors import cosine_similarity
 
 
+# Arrow-prefilter slack: the numpy cosine and the interpreted fold agree
+# to last-ulp digits (~1e-15 relative), and the exact filter compares the
+# 6-decimal ROUND of the fold — so a margin of 2e-6 below the threshold
+# can never drop a pair the exact filter would keep.
+_PREFILTER_EPS = 2e-6
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.9,
+    arrow_prefilter: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold, id_a < id_b.
 
     With ``block_col`` the join is an equi-join on the block (shuffle on
     block key, quadratic only within block); without it, a full cross join —
     only for small/sampled inputs.
-    """
+
+    The reported ``cosine`` is always the zip_with+aggregate expression
+    fold — a sequential JVM-side sum whose exact digits the SQL oracle
+    replicates. But Spark never codegens lambda bodies inside higher-order
+    functions, so that fold is an interpreted tree walk per element — the
+    whole operator cost when candidate volume is high (NOTES.md lesson 6).
+    ``arrow_prefilter=True`` (requires ``block_col`` and a LONG id)
+    screens each bucket with ONE numpy gram matrix in applyInPandas —
+    every vector crosses Arrow once per bucket, never once per pair —
+    keeps (id_a, id_b) with numpy cosine ≥ ``threshold - _PREFILTER_EPS``,
+    and re-scores only those survivors with the exact fold (a broadcast
+    join back to the vectors: survivors are ~output-sized). Same rows,
+    same hash; fold cost proportional to OUTPUT instead of candidates.
+    (A per-pair pandas_udf screen was measured SLOWER than the plain
+    fold at sf0.1 — shipping both 64-double vectors per candidate through
+    Arrow dwarfs the fold it saves.)"""
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         *([F.col(block_col)] if block_col else []),
     )
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    if arrow_prefilter:
+        if block_col is None:
+            raise ValueError("arrow_prefilter requires block_col")
+        import numpy as np
+        import pandas as pd
+
+        pre_floor = threshold - _PREFILTER_EPS
+
+        def _bucket_screen(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            pdf = pdf.sort_values("_id")
+            ids = pdf["_id"].to_numpy()
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = 1.0
+            Xn = X / norms[:, None]
+            S = Xn @ Xn.T
+            ia, ib = np.triu_indices(len(ids), 1)  # sorted ⇒ id_a < id_b
+            keep = S[ia, ib] >= pre_floor
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
+            )
+
+        survivors = (
+            vecs.select(
+                F.col(id_col).cast("long").alias("_id"), "v", block_col
+            )
+            .groupBy(block_col)
+            .applyInPandas(_bucket_screen, "id_a long, id_b long")
+        )
+        rescored = (
+            F.broadcast(survivors)
+            .join(
+                vecs.select(
+                    F.col(id_col).cast("long").alias("id_a"),
+                    F.col("v").alias("v_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                vecs.select(
+                    F.col(id_col).cast("long").alias("id_b"),
+                    F.col("v").alias("v_b"),
+                ),
+                "id_b",
+            )
+        )
+        return (
+            rescored.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
     a = vecs.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_a"),
@@ -46,7 +122,6 @@ def embedding_near_dup_pairs(
         F.col("v").alias("v_b"),
     )
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

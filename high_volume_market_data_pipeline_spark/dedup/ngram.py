@@ -24,6 +24,55 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
 PREFIX_CHARS = 32
 
 
+def resolve_block_knobs(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    block_tokens: int = 8,
+    target_block_rows: int | None = None,
+) -> tuple[int, int]:
+    """Resolve the adaptive block knobs (width, n_prefix_buckets) from
+    corpus stats — the exact integer arithmetic token_block_pairs applies
+    (and the DuckDB oracle replicates). Exposed so the scale sweep can
+    RECORD which regime each tier lands in: width > 1 / b = 1 below the
+    floor, width = 1 / b > 1 once the content-prefix key takes over.
+    One tiny agg job (count, #langs, token-count range); returns the
+    fixed (block_tokens, 1) when ``target_block_rows`` is None or the
+    stats degrade (empty corpus / all-NULL text)."""
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    width = block_tokens
+    n_prefix_buckets = 1
+    if target_block_rows is not None:
+        stats = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(lang_col).alias("langs"),
+            (
+                F.max(token_count(F.col(text_col)))
+                - F.min(token_count(F.col(text_col)))
+                + 1
+            ).alias("nt_range"),
+        ).first()
+        # nt_range aggregates to NULL when every text is NULL (token_count
+        # of NULL is NULL) — degrade to the fixed width instead of None
+        # arithmetic on the driver
+        if stats and stats["n"] and stats["nt_range"] is not None:
+            spread = max(1, stats["langs"] * stats["nt_range"])
+            width = max(
+                1,
+                min(
+                    block_tokens,
+                    int(target_block_rows * spread // stats["n"]),
+                ),
+            )
+            n_prefix_buckets = max(
+                1, int(stats["n"] // (spread * target_block_rows))
+            )
+    return width, n_prefix_buckets
+
+
 def token_block_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -64,33 +113,13 @@ def token_block_pairs(
         token_count,
     )
 
-    width = block_tokens
-    n_prefix_buckets = 1
-    if target_block_rows is not None:
-        stats = docs.select(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(lang_col).alias("langs"),
-            (
-                F.max(token_count(F.col(text_col)))
-                - F.min(token_count(F.col(text_col)))
-                + 1
-            ).alias("nt_range"),
-        ).first()
-        # nt_range aggregates to NULL when every text is NULL (token_count
-        # of NULL is NULL) — degrade to the fixed width instead of None
-        # arithmetic on the driver
-        if stats and stats["n"] and stats["nt_range"] is not None:
-            spread = max(1, stats["langs"] * stats["nt_range"])
-            width = max(
-                1,
-                min(
-                    block_tokens,
-                    int(target_block_rows * spread // stats["n"]),
-                ),
-            )
-            n_prefix_buckets = max(
-                1, int(stats["n"] // (spread * target_block_rows))
-            )
+    width, n_prefix_buckets = resolve_block_knobs(
+        docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        block_tokens=block_tokens,
+        target_block_rows=target_block_rows,
+    )
     blk_parts = [
         F.col(lang_col).cast("string"),
         F.floor(token_count(F.col(text_col)) / width)

@@ -8,6 +8,8 @@ weaker gate; its recall is asserted against brute force in tests/).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,8 +202,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.count(), target_bucket_rows=_ND_TARGET, max_planes=_ND_MAX_PLANES
     )
     emb = random_hyperplane_buckets(emb, n_planes=n_planes, dim=64)
+    # arrow_prefilter: numpy screen at threshold-ε, exact fold (the value
+    # the oracle hashes) only on survivors — the fold cost tracks OUTPUT
+    # size, not candidate volume (round-5 constant-factor regression fix)
     return embedding_near_dup_pairs(
-        emb, block_col="bucket", threshold=0.3
+        emb, block_col="bucket", threshold=0.3, arrow_prefilter=True
     ).orderBy("id_a", "id_b")
 
 
@@ -257,6 +262,46 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall twin: ranking-only, so the Arrow scorer is safe (values not hashed)
     exact = brute_force_knn(q, emb, k=_K, vectorized=True)
     return with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
+
+
+@query("knn_pq_persisted")
+def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS build-once/search-many lifecycle end to end: build a PQ
+    index, COMMIT it through the versioned table store
+    (similarity/index_store.py — model arrays + coded corpus as
+    VersionedParquetTables), reload it from disk, and search with the
+    LOADED copy. The loaded index reads everything from parquet — nothing
+    from session state — so this is the search path a fresh session on
+    another node runs at 100 TB (the subprocess test in
+    tests/test_index_store.py pins actual cross-session identity; this
+    registered query keeps the lifecycle under the driver's rows gate).
+    Approximate ⇒ rows-only; the recall twin self-grades like the other
+    knn_* queries."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        pq_knn,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    scratch = tempfile.mkdtemp(prefix="hvmdp_pq_index_")
+    try:
+        save_pq_index(build_pq_index(emb), os.path.join(scratch, "pq"))
+        loaded = load_pq_index(spark, os.path.join(scratch, "pq"))
+        ann = pq_knn(q, emb, k=_K, index=loaded)
+        # recall twin: ranking-only, the Arrow scorer is safe (not hashed)
+        exact = brute_force_knn(q, emb, k=_K, vectorized=True)
+        out = with_recall_at_k(ann, exact).orderBy("query_id", "knn_rank")
+        # materialize before the scratch dir disappears: the loaded
+        # index's coded table is lazy parquet under `scratch`
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 @query(

@@ -1,0 +1,182 @@
+"""Persist / reload ANN indexes through the versioned table store.
+
+The build functions in ``similarity.knn`` return in-session indexes: the
+driver-side model arrays (centroids / codebooks) live in the NamedTuple
+and the coded corpus table is a localCheckpoint — both die with the
+SparkSession. The 100 TB contract is FAISS's: train/encode ONCE, search
+from any number of later sessions. This module writes each index as two
+(or three) ``VersionedParquetTable``s under one root —
+
+    {root}/model   — the driver-side arrays flattened to rows
+                     (cell, centroid) and/or (subspace, code, vec)
+    {root}/coded   — the full coded corpus table, unchanged schema
+
+— so an index update is a new VERSION (history/time-travel/vacuum apply
+verbatim: a nightly re-encode commits atomically while readers keep the
+old version), and ``load_*_index`` rebuilds the exact NamedTuple in a
+fresh session. Model tables are a few thousand rows (n_cells + m·k) —
+collect is metadata-scale by construction; the coded table is never
+collected, it is read as parquet like any corpus.
+
+No reference counterpart (beyond-reference ANN surface); the versioned
+commit machinery is sinks/history.py's Delta-emulation layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+
+from high_volume_market_data_pipeline_spark.similarity.knn import (
+    IVFIndex,
+    IVFPQIndex,
+    PQIndex,
+)
+from high_volume_market_data_pipeline_spark.sinks.history import (
+    VersionedParquetTable,
+)
+
+
+def _save_model_arrays(
+    spark: SparkSession,
+    root: str,
+    operation: str,
+    parameters: dict,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> int:
+    """One model table holds both array kinds, discriminated by ``part``:
+    centroid rows are (part='centroid', i=cell, j=0, vec), codebook rows
+    are (part='codebook', i=subspace, j=code, vec)."""
+    rows = []
+    if centroids is not None:
+        rows += [
+            ("centroid", int(i), 0, [float(x) for x in centroids[i]])
+            for i in range(len(centroids))
+        ]
+    if codebooks is not None:
+        m, n_codes, _ = codebooks.shape
+        rows += [
+            ("codebook", j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+    df = spark.createDataFrame(
+        rows, "part string, i int, j int, vec array<double>"
+    )
+    return VersionedParquetTable(os.path.join(root, "model")).write(
+        df, operation, parameters
+    )
+
+
+def _load_model_arrays(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple["np.ndarray | None", "np.ndarray | None"]:
+    rows = (
+        VersionedParquetTable(os.path.join(root, "model"))
+        .read(spark, version=version)
+        .collect()
+    )
+    cent_rows = sorted(
+        ((r["i"], r["vec"]) for r in rows if r["part"] == "centroid")
+    )
+    cb_rows = sorted(
+        ((r["i"], r["j"], r["vec"]) for r in rows if r["part"] == "codebook")
+    )
+    centroids = (
+        np.asarray([v for _, v in cent_rows], dtype=np.float64)
+        if cent_rows
+        else None
+    )
+    codebooks = None
+    if cb_rows:
+        m = cb_rows[-1][0] + 1
+        n_codes = cb_rows[-1][1] + 1
+        dsub = len(cb_rows[0][2])
+        codebooks = np.empty((m, n_codes, dsub), dtype=np.float64)
+        for i, j, v in cb_rows:
+            codebooks[i, j] = v
+    return centroids, codebooks
+
+
+def _save_coded(index_coded, root: str, operation: str) -> int:
+    return VersionedParquetTable(os.path.join(root, "coded")).write(
+        index_coded, operation, {}
+    )
+
+
+def _load_coded(spark: SparkSession, root: str, version: int | None = None):
+    return VersionedParquetTable(os.path.join(root, "coded")).read(
+        spark, version=version
+    )
+
+
+# -- public save/load per family -------------------------------------------
+
+
+def save_ivf_index(index: IVFIndex, root: str) -> int:
+    """Returns the committed coded-table version."""
+    spark = index.coded.sparkSession
+    _save_model_arrays(
+        spark,
+        root,
+        "IVF_MODEL",
+        {"n_cells": len(index.centroids)},
+        centroids=index.centroids,
+    )
+    return _save_coded(index.coded, root, "IVF_CODED")
+
+
+def load_ivf_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> IVFIndex:
+    centroids, _ = _load_model_arrays(spark, root, version)
+    return IVFIndex(centroids, _load_coded(spark, root, version))
+
+
+def save_pq_index(index: PQIndex, root: str) -> int:
+    spark = index.coded.sparkSession
+    m, n_codes, _ = index.codebooks.shape
+    _save_model_arrays(
+        spark,
+        root,
+        "PQ_MODEL",
+        {"m_subspaces": m, "n_codes": n_codes},
+        codebooks=index.codebooks,
+    )
+    return _save_coded(index.coded, root, "PQ_CODED")
+
+
+def load_pq_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> PQIndex:
+    _, codebooks = _load_model_arrays(spark, root, version)
+    return PQIndex(codebooks, _load_coded(spark, root, version))
+
+
+def save_ivf_pq_index(index: IVFPQIndex, root: str) -> int:
+    spark = index.coded.sparkSession
+    m, n_codes, _ = index.codebooks.shape
+    _save_model_arrays(
+        spark,
+        root,
+        "IVF_PQ_MODEL",
+        {
+            "n_cells": len(index.centroids),
+            "m_subspaces": m,
+            "n_codes": n_codes,
+        },
+        centroids=index.centroids,
+        codebooks=index.codebooks,
+    )
+    return _save_coded(index.coded, root, "IVF_PQ_CODED")
+
+
+def load_ivf_pq_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> IVFPQIndex:
+    centroids, codebooks = _load_model_arrays(spark, root, version)
+    return IVFPQIndex(centroids, codebooks, _load_coded(spark, root, version))

@@ -1,0 +1,182 @@
+"""ANN index persistence: build once, search from the stored copy.
+
+The in-session round-trips assert byte-identical model arrays, identical
+coded tables, and identical SEARCH RESULTS between a live-built index and
+its saved+loaded twin — the loaded side reads everything from parquet
+(model table + versioned coded table), nothing from session state, which
+is what makes the cold-session test below work. The subprocess test is
+the actual FAISS contract: a completely fresh JVM/session loads the index
+and reproduces the exact search output committed by the builder session.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from high_volume_market_data_pipeline_spark.catalog import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_index_roundtrip_identical_search(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = build_ivf_index(emb, n_cells=8)
+    save_ivf_index(idx, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    np.testing.assert_array_equal(idx.centroids, loaded.centroids)
+    assert _rows(idx.coded) == _rows(loaded.coded)
+    live = ivf_knn(q, emb, k=3, n_cells=8, index=idx)
+    cold = ivf_knn(q, emb, k=3, n_cells=8, index=loaded)
+    assert _rows(live) == _rows(cold)
+
+
+def test_pq_index_roundtrip_identical_search(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        pq_knn,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = build_pq_index(emb, m_subspaces=8, n_codes=16)
+    save_pq_index(idx, str(tmp_path / "pq"))
+    loaded = load_pq_index(spark, str(tmp_path / "pq"))
+    np.testing.assert_array_equal(idx.codebooks, loaded.codebooks)
+    assert _rows(idx.coded) == _rows(loaded.coded)
+    live = pq_knn(q, emb, k=3, m_subspaces=8, n_codes=16, index=idx)
+    cold = pq_knn(q, emb, k=3, m_subspaces=8, n_codes=16, index=loaded)
+    assert _rows(live) == _rows(cold)
+
+
+def test_ivf_pq_index_roundtrip_identical_search(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_knn,
+        load_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = build_ivf_pq_index(emb, n_cells=8, m_subspaces=8, n_codes=16)
+    save_ivf_pq_index(idx, str(tmp_path / "ivfpq"))
+    loaded = load_ivf_pq_index(spark, str(tmp_path / "ivfpq"))
+    np.testing.assert_array_equal(idx.centroids, loaded.centroids)
+    np.testing.assert_array_equal(idx.codebooks, loaded.codebooks)
+    assert _rows(idx.coded) == _rows(loaded.coded)
+    live = ivf_pq_knn(q, emb, k=3, n_cells=8, m_subspaces=8, n_codes=16, index=idx)
+    cold = ivf_pq_knn(q, emb, k=3, n_cells=8, m_subspaces=8, n_codes=16, index=loaded)
+    assert _rows(live) == _rows(cold)
+
+
+def test_index_update_is_a_new_version(spark, tmp_path):
+    """Re-encoding commits a new VERSION of the coded table; readers on
+    the old version keep their snapshot (the atomic-nightly-rebuild
+    contract the versioned store exists for)."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_v0 = build_pq_index(emb.filter("vec_id < 200"), m_subspaces=8, n_codes=16)
+    save_pq_index(idx_v0, str(tmp_path / "pq"))
+    idx_v1 = build_pq_index(emb, m_subspaces=8, n_codes=16)
+    v1 = save_pq_index(idx_v1, str(tmp_path / "pq"))
+    assert v1 == 1
+    old = load_pq_index(spark, str(tmp_path / "pq"), version=0)
+    new = load_pq_index(spark, str(tmp_path / "pq"), version=None)
+    assert old.coded.count() == 200
+    assert new.coded.count() == emb.count()
+
+
+def test_pq_search_from_fresh_session_subprocess(spark, tmp_path):
+    """The cold-session proof: this session builds+saves+searches; a
+    SEPARATE python process (its own JVM, no shared state) loads the
+    index and must emit the identical result set."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        pq_knn,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = build_pq_index(emb, m_subspaces=8, n_codes=16)
+    root = str(tmp_path / "pq")
+    save_pq_index(idx, root)
+    expected = _rows(
+        pq_knn(q, emb, k=3, m_subspaces=8, n_codes=16, index=idx).select(
+            "query_id", "neighbor_id", "knn_rank"
+        )
+    )
+    script = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.similarity import load_pq_index, pq_knn
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+emb = load_table(spark, {SF_DIR!r}, "embeddings")
+q = emb.filter("vec_id < 5")
+idx = load_pq_index(spark, {root!r})
+out = pq_knn(q, emb, k=3, m_subspaces=8, n_codes=16, index=idx)
+for r in out.select("query_id", "neighbor_id", "knn_rank").collect():
+    print("ROW", r["query_id"], r["neighbor_id"], r["knn_rank"])
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = sorted(
+        tuple(int(x) for x in line.split()[1:])
+        for line in proc.stdout.splitlines()
+        if line.startswith("ROW")
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("bad", ["model", "coded"])
+def test_load_missing_piece_raises(spark, tmp_path, bad):
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    idx = build_pq_index(emb, m_subspaces=8, n_codes=16)
+    root = str(tmp_path / "pq")
+    save_pq_index(idx, root)
+    import shutil
+
+    shutil.rmtree(os.path.join(root, bad))
+    with pytest.raises(FileNotFoundError):
+        load_pq_index(spark, root).coded.count()

@@ -127,6 +127,26 @@ def main() -> None:
         pq_idx, pq_b = timed_build(lambda: build_pq_index(emb))
         ivfpq_idx, ivfpq_b = timed_build(lambda: build_ivf_pq_index(emb))
 
+        # persisted-index search: the build-once/search-many deployment —
+        # the coded table comes back as versioned PARQUET (what a fresh
+        # session on another node reads), not this session's
+        # localCheckpoint; save/load costs are recorded next to it
+        import shutil
+        import tempfile
+
+        from high_volume_market_data_pipeline_spark.similarity.index_store import (
+            load_pq_index,
+            save_pq_index,
+        )
+
+        idx_scratch = tempfile.mkdtemp(prefix="hvmdp_annidx_")
+        t0 = time.perf_counter()
+        save_pq_index(pq_idx, os.path.join(idx_scratch, "pq"))
+        pq_save_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pq_loaded = load_pq_index(spark, os.path.join(idx_scratch, "pq"))
+        pq_load_sec = round(time.perf_counter() - t0, 3)
+
         families = {
             "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
             "lsh_fixed4": (
@@ -151,6 +171,15 @@ def main() -> None:
             "pq_adc": (
                 lambda: pq_knn(q, emb, k=K, index=pq_idx),
                 {"knobs": "m=8, codes=32, refine=256", "build_sec": pq_b},
+            ),
+            "pq_adc_persisted": (
+                lambda: pq_knn(q, emb, k=K, index=pq_loaded),
+                {
+                    "knobs": "m=8, codes=32, refine=256, "
+                    "index reloaded from versioned store",
+                    "save_sec": pq_save_sec,
+                    "load_sec": pq_load_sec,
+                },
             ),
             "ivf_pq": (
                 lambda: ivf_pq_knn(q, emb, k=K, index=ivfpq_idx),
@@ -188,6 +217,7 @@ def main() -> None:
         if args.out:
             with open(args.out, "w") as f:
                 f.write(line + "\n")
+        shutil.rmtree(idx_scratch, ignore_errors=True)
     finally:
         spark.stop()
 

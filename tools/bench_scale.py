@@ -67,6 +67,65 @@ SF1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
 )
 
+# Pair generators whose ratio defense is "output grows ~10× too": their
+# rows carry the emitted-pair count per tier so 'output-proportional' is
+# checkable from the artifact, not asserted (round-5 verdict item 3).
+PAIR_QUERIES = {
+    "ngram_jaccard_adaptive",
+    "minhash_lsh_near_dup",
+    "embedding_near_dup",
+}
+
+
+def _count_rows(spark, name: str, sf_dir: str) -> int:
+    """Output cardinality for a pair generator — a separate untimed run,
+    so the evidence never perturbs the timing medians."""
+    return QUERIES[name](spark, sf_dir).count()
+
+
+def _resolved_ngram_knobs(spark, sf_dir: str) -> dict[str, int]:
+    """Which (width, prefix-bucket) regime the adaptive n-gram block key
+    resolves to on this tier's actual corpus (the b>1 regime only engages
+    once width floors at 1 — record where each tier lands)."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        resolve_block_knobs,
+    )
+    from high_volume_market_data_pipeline_spark.queries_dedup import _NJ_TARGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    width, b = resolve_block_knobs(
+        docs, block_tokens=8, target_block_rows=_NJ_TARGET
+    )
+    return {"width": width, "prefix_buckets": b}
+
+
+def _ngram_recall(spark, sf_dir: str) -> dict:
+    """Recall of the adaptive block key vs the width-8 exact twin on the
+    tier's REAL corpus (the synthetic-corpus test pins the mechanism; this
+    pins the number on scale data). Expensive — the fixed-width config is
+    a measured quadratic at sf1 — so it runs only under --ngram-recall."""
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        ngram_jaccard_adaptive,
+        ngram_jaccard_blocked,
+    )
+
+    fixed = ngram_jaccard_blocked(spark, sf_dir).select("id_a", "id_b").cache()
+    adapt = (
+        ngram_jaccard_adaptive(spark, sf_dir).select("id_a", "id_b").cache()
+    )
+    n_fixed = fixed.count()
+    n_adapt = adapt.count()
+    n_hit = adapt.join(fixed, ["id_a", "id_b"]).count()
+    fixed.unpersist()
+    adapt.unpersist()
+    return {
+        "fixed_pairs": n_fixed,
+        "adaptive_pairs": n_adapt,
+        "hit": n_hit,
+        "recall": round(n_hit / n_fixed, 4) if n_fixed else None,
+    }
+
 
 def _run_once(spark, name: str, sf_dir: str) -> float:
     start = time.perf_counter()
@@ -124,6 +183,12 @@ def main() -> None:
         help="also run the headline subset at the 100x tier "
         "(make_scale_data.py --copies 100 --out .scale/sf10 first)",
     )
+    ap.add_argument(
+        "--ngram-recall",
+        action="store_true",
+        help="measure adaptive-vs-width-8 n-gram pair recall at sf1 "
+        "(runs the known-quadratic fixed config once; ~10 min)",
+    )
     args = ap.parse_args()
     if not os.path.isdir(SF1):
         raise SystemExit("run tools/make_scale_data.py first")
@@ -149,6 +214,22 @@ def main() -> None:
                 "sf1_sec": t_big,
                 "ratio": round(t_big / t_small, 2),
             }
+            if name in PAIR_QUERIES:
+                p_small = _count_rows(spark, name, SF01)
+                p_big = _count_rows(spark, name, SF1)
+                rows[name]["pairs_sf0.1"] = p_small
+                rows[name]["pairs_sf1"] = p_big
+                if p_small:
+                    rows[name]["pairs_ratio"] = round(p_big / p_small, 2)
+                    # pairs/sec flat-or-better across tiers = the work
+                    # grew with the OUTPUT, not quadratically with input
+                    rows[name]["pairs_per_sec_sf0.1"] = round(
+                        p_small / t_small, 1
+                    )
+                    rows[name]["pairs_per_sec_sf1"] = round(p_big / t_big, 1)
+            if name == "ngram_jaccard_adaptive":
+                rows[name]["knobs_sf0.1"] = _resolved_ngram_knobs(spark, SF01)
+                rows[name]["knobs_sf1"] = _resolved_ngram_knobs(spark, SF1)
             # A sub-2s base is dominated by per-job fixed overhead — its
             # ratio says nothing about the plan's data-scaling. Keep the
             # seconds, flag the ratio (NOTES.md rule, enforced here).
@@ -158,12 +239,19 @@ def main() -> None:
                   file=sys.stderr)
         sf10_rows: dict[str, float | str] = {}
         if args.sf10:
+            # same median-of-N as the ratio rows: the round-5 artifact
+            # committed a single cold run (pricing_summary 132 s vs a
+            # true ~5 s) because this loop bypassed _run — never again
             for name in SF10_SET:
                 try:
-                    sf10_rows[name] = _run(spark, name, SF10, runs=1)
+                    sf10_rows[name] = _run(spark, name, SF10, runs=args.runs)
                 except Exception as exc:
                     sf10_rows[name] = "ERR " + str(exc).splitlines()[0][:160]
                 print(f"# sf10 {name}: {sf10_rows[name]}", file=sys.stderr)
+        recall_row = None
+        if args.ngram_recall:
+            recall_row = _ngram_recall(spark, SF1)
+            print(f"# ngram recall sf1: {recall_row}", file=sys.stderr)
     finally:
         spark.stop()
     ok = [r for r in rows.values() if "ratio" in r]
@@ -178,6 +266,9 @@ def main() -> None:
     }
     if args.sf10:
         doc["sf10_seconds"] = sf10_rows
+        doc["sf10_runs_per_point"] = args.runs
+    if recall_row is not None:
+        doc["ngram_recall_sf1"] = recall_row
     line = json.dumps(doc)
     print(line)
     if args.out:
