@@ -88,10 +88,16 @@ def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
     return qids, _normalize_rows(mat)
 
 
-def _query_chunks(nq: int, batch_rows: int):
+def _query_chunks(nq: int, batch_rows: int, budget: int | None = None):
     """Yield (start, stop) query-row slices sized so a (chunk, batch_rows)
-    float64 matrix stays under _CLOSURE_BUDGET_BYTES."""
-    chunk = max(1, _CLOSURE_BUDGET_BYTES // (max(1, batch_rows) * 8))
+    float64 matrix stays under the byte budget (default
+    _CLOSURE_BUDGET_BYTES). ``budget`` is an explicit parameter — not
+    only the module global — so a caller-captured value reaches executor
+    workers, which re-import this module and never see driver-side
+    monkeypatching (the chunk-identity test relies on this)."""
+    if budget is None:
+        budget = _CLOSURE_BUDGET_BYTES
+    chunk = max(1, budget // (max(1, batch_rows) * 8))
     for s in range(0, nq, chunk):
         yield s, min(nq, s + chunk)
 
@@ -158,6 +164,7 @@ def brute_force_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     vectorized: bool = False,
+    budget_bytes: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine, knn_rank), excluding
     self-matches; rank ties broken by neighbor id (deterministic).
@@ -197,8 +204,8 @@ def brute_force_knn(
                 ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
                 Xn = _normalize_rows(X).T
                 # chunk queries so the (chunk, B) score matrix stays
-                # under _CLOSURE_BUDGET_BYTES regardless of admitted nq
-                for s, e in _query_chunks(len(qids), len(ids)):
+                # under the byte budget regardless of admitted nq
+                for s, e in _query_chunks(len(qids), len(ids), budget_bytes):
                     S = Q[s:e] @ Xn  # cosine of normalized rows
                     S[qids[s:e, None] == ids[None, :]] = -np.inf  # self
                     qa, na, ca = _per_batch_topr(qids[s:e], ids, S, k)

@@ -506,3 +506,41 @@ def test_adaptive_blocking_prefix_buckets_cross_engine(spark, tmp_path):
     n = len(pdf)
     n_pairs = token_block_pairs(docs, target_block_rows=32).count()
     assert n_pairs < (n * (n - 1) // 2) / 3  # the prefix key really splits
+
+
+def test_closure_kernel_chunking_identical_results(spark):
+    """The memory-budget chunking of the closure-query matrix must be
+    invisible in the output: force pathologically tiny chunks (budget ⇒
+    one query row per chunk; passed as an explicit arg because executor
+    workers re-import the module and never see driver monkeypatching)
+    and compare the vectorized brute-force top-k to the default-budget
+    run row-for-row, ranks and rounded cosines included."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 12)
+    baseline = sorted(
+        tuple(r)
+        for r in brute_force_knn(q, emb, k=5, vectorized=True).collect()
+    )
+    chunked = sorted(
+        tuple(r)
+        for r in brute_force_knn(
+            q, emb, k=5, vectorized=True, budget_bytes=8
+        ).collect()
+    )
+    assert chunked == baseline
+
+
+def test_closure_kernel_rejects_bad_query_ids(spark):
+    """Non-integral or duplicate query ids silently collapse in the
+    id-keyed score lookup — both must be rejected loudly."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bad_type = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    ).limit(3)
+    with _pytest.raises(Exception, match="integral id"):
+        brute_force_knn(bad_type, emb, k=2, vectorized=True).collect()
+    dup = emb.limit(1).unionAll(emb.limit(1))
+    with _pytest.raises(Exception, match="duplicate query ids"):
+        brute_force_knn(dup, emb, k=2, vectorized=True).collect()

@@ -245,6 +245,10 @@ def main() -> None:
             for name in SF10_SET:
                 try:
                     sf10_rows[name] = _run(spark, name, SF10, runs=args.runs)
+                    if name in PAIR_QUERIES:
+                        sf10_rows[name + "_pairs"] = _count_rows(
+                            spark, name, SF10
+                        )
                 except Exception as exc:
                     sf10_rows[name] = "ERR " + str(exc).splitlines()[0][:160]
                 print(f"# sf10 {name}: {sf10_rows[name]}", file=sys.stderr)
