@@ -37,17 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows-only driver-run; verified in the round-5 verdict). From r6 on the
 # policy is steady-state: (a) queries NEW or BEHAVIOR-CHANGED this round,
 # then (b) the queries whose most recent driver row is OLDEST (refresh the
-# stalest evidence first). Round 6 head = 7 new/changed (knn_pq_persisted
-# is new; embedding_near_dup gained the bucket-screen prefilter;
-# stream_incremental_dedup_admission reads via the schema-marker ledger;
-# the four knn_* rows-only queries share the reworked chunked closure
-# kernels in their exact twins) + all 37 queries whose latest row is r3 +
-# 6 family-diverse r4 refreshes. Every query, head and tail, is also
+# stalest evidence first). Round 6 head = 8 new/changed (knn_pq_persisted
+# and stream_pq_index_ingest are new; embedding_near_dup gained the
+# bucket-screen prefilter; stream_incremental_dedup_admission reads via
+# the schema-marker ledger; the four knn_* rows-only queries share the
+# reworked chunked closure kernels in their exact twins) + all 37 queries
+# whose latest row is r3 + 5 family-diverse r4 refreshes. Every query,
+# head and tail, is also
 # verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1 each
 # round. Never demote a query whose only green row is the current window.
 _HEAD = [
     # --- new or behavior-changed this round ---
     "knn_pq_persisted",             # NEW: versioned-store index lifecycle
+    "stream_pq_index_ingest",       # NEW: streaming vector-store appends
     "embedding_near_dup",           # Arrow bucket-screen + exact-fold rescore
     "stream_incremental_dedup_admission",  # schema-marker ledger reads
     "knn_pq_adc",                   # chunked ADC closure kernel (rows-only)
@@ -92,22 +94,21 @@ _HEAD = [
     "top_supplier_q15",
     "variant_props_buckets",
     "waiting_supplier_q21",
-    # --- family-diverse r4 refreshes (6) ---
+    # --- family-diverse r4 refreshes (5) ---
     "pricing_summary",              # headline full-scan agg (q1)
     "minhash_lsh_near_dup",         # banded LSH dedup family
     "dedup_keep_latest_events",     # W1 keep-latest window
     "gold_daily_topk_stats",        # flagship medallion top-k
     "paged_feed_rollup",            # Python DataSource source family
-    "table_version_changes",        # versioned-table CDF family
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Priority-ordered so the driver's 50-entry correctness window records
-    the round-3 promotion set (_HEAD); the tail holds the queries already
-    driver-green in CORRECTNESS_r02.json plus two approximate rows-only
-    entries (knn_lsh_bucketed, approx_value_percentiles — both pinned by
-    recall/percentile tests in pytest)."""
+    _HEAD (this round's new/changed queries + the stalest driver rows);
+    every tail entry has a green driver row in an earlier round's
+    CORRECTNESS_r0N.json and stays verified locally at both SFs each
+    round."""
     head = {n: QUERIES[n] for n in _HEAD}
     tail = {n: f for n, f in QUERIES.items() if n not in head}
     return {**head, **tail}

@@ -508,3 +508,81 @@ def stream_incremental_dedup_admission(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("stream_pq_index_ingest")
+def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector-store ingestion
+    (streaming/vector_ingest.stream_append_pq_index): train + persist a
+    PQ index on the first 300 embeddings, stream the rest in two
+    micro-batches (each an atomic versioned append encoded with the
+    STORED codebooks — FAISS train/add separation), then search the
+    final loaded index. Returns one row per index version (operation +
+    coded-table cardinality at that version) plus a searched-rows
+    summary row — the commit trail IS the contract: v0 build, one append
+    per micro-batch, monotone coded counts, replay converging on the id
+    anti-join (pinned in tests/test_index_store.py).
+
+    Rows-only by nature: a stateful multi-commit lifecycle, not
+    single-statement SQL."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        pq_knn,
+        save_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.vector_ingest import (
+        stream_append_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 300)
+    arriving = emb.filter(F.col("vec_id") >= 300)
+    scratch = tempfile.mkdtemp(prefix="hvmdp_vec_ingest_")
+    try:
+        root = os.path.join(scratch, "pq")
+        save_pq_index(build_pq_index(seed, n_codes=16), root)
+        arrivals = os.path.join(scratch, "arrivals")
+        arriving.repartition(2).write.parquet(arrivals)
+        sdf = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        q = stream_append_pq_index(
+            sdf, root, checkpoint=os.path.join(scratch, "ckpt")
+        )
+        q.awaitTermination()
+
+        coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
+        versions = [
+            (
+                int(r["version"]),
+                r["operation"],
+                coded_tbl.read(spark, version=int(r["version"])).count(),
+            )
+            for r in coded_tbl.history(spark).collect()
+        ]
+        idx = load_pq_index(spark, root)
+        searched = pq_knn(
+            emb.filter(F.col("vec_id") >= 300).limit(5),
+            emb,
+            k=3,
+            n_codes=16,
+            index=idx,
+        ).count()
+        out = spark.createDataFrame(
+            [(v, op, n) for v, op, n in versions]
+            + [(-1, "SEARCHED_ROWS", searched)],
+            "version long, operation string, n_rows long",
+        ).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

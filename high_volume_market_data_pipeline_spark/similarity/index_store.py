@@ -180,3 +180,59 @@ def load_ivf_pq_index(
 ) -> IVFPQIndex:
     centroids, codebooks = _load_model_arrays(spark, root, version)
     return IVFPQIndex(centroids, codebooks, _load_coded(spark, root, version))
+
+
+def append_to_pq_index(
+    spark: SparkSession,
+    root: str,
+    new_vectors,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_existing_ids: bool = True,
+) -> int:
+    """FAISS ``add()``: encode NEW vectors with the STORED codebooks (no
+    refit — the whole point of train/add separation) and commit the
+    union as a new VERSION of the coded table. Readers pinned to the old
+    version are untouched; the model table is untouched (same codebooks
+    ⇒ appended codes are comparable to existing ones by construction).
+
+    ``skip_existing_ids`` drops arrivals whose id is already coded (one
+    id-only anti-join — at-least-once ingest converges instead of
+    double-coding). Quantization error drifts only if the corpus
+    distribution drifts from the training sample; a periodic full
+    ``build_pq_index`` + save is the re-train, committed as just another
+    version. Returns the new coded-table version."""
+    from high_volume_market_data_pipeline_spark.functions.vectors import (
+        as_double,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    idx = load_pq_index(spark, root)
+    new_coded = pq_encode(
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        idx.codebooks,
+        vec_col="cv",
+    ).select("neighbor_id", "pq_codes")
+    if skip_existing_ids:
+        new_coded = new_coded.join(
+            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
+        )
+    merged = idx.coded.unionByName(new_coded)
+    # re-commit the unchanged model under the same version number so
+    # version N is always a CONSISTENT (model, coded) snapshot —
+    # load_pq_index(version=N) must resolve both tables at N
+    m, n_codes, _ = idx.codebooks.shape
+    _save_model_arrays(
+        spark,
+        root,
+        "PQ_APPEND",
+        {"m_subspaces": m, "n_codes": n_codes},
+        codebooks=idx.codebooks,
+    )
+    return _save_coded(merged, root, "PQ_APPEND")

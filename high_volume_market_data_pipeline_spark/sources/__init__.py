@@ -6,6 +6,7 @@ from high_volume_market_data_pipeline_spark.sources.readers import (
     read_csv,
     read_json,
     read_orc,
+    read_xml,
     read_parquet,
     rows_to_df,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_orc",
+    "read_xml",
     "read_parquet",
     "rows_to_df",
 ]

@@ -113,6 +113,24 @@ def read_csv(
     return reader.schema(schema).csv(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's built-in ``xml`` source (one row per
+    ``row_tag`` element; attributes surface as ``_attr`` columns). Pass a
+    schema in production — like CSV/JSON, inference costs a full extra
+    pass over the files. Feeds like any other frame; vendor feeds that
+    still ship XML (many market-data providers do) land without a
+    preprocessing hop."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC table scan — same pruning/pushdown contract as parquet (both
     are columnar; Catalyst pushes filters and prunes columns either way)."""

@@ -94,6 +94,20 @@ def test_embedding_near_dup_never_cross_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_embedding_near_dup_bucket_screen_shape(spark):
+    """The Arrow prefilter's scale contract: the quadratic screening runs
+    INSIDE a grouped-pandas stage keyed on the bucket (vectors cross
+    Arrow once per bucket, never once per pair), and the exact-fold
+    re-score joins the output-sized survivor set back to the vectors as
+    the BROADCAST side — survivors, not the corpus, fit in memory."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the fold runs post-screen: no per-pair Python stage (the screen is
+    # the only pandas stage; a per-pair pandas_udf would add ArrowEvalPython)
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_q16_anti_join_broadcasts_small_side(spark):
     """NOT IN (negative-balance suppliers) must plan as a broadcast anti
     join — the tiny exclusion set never forces a fact shuffle."""

@@ -264,3 +264,41 @@ def test_paged_feed_datasource_stream_advances_page_offsets(spark):
     assert got.count() == 40
     pages = sorted(r.page for r in got.select("page").distinct().collect())
     assert pages == [1, 2, 3, 4]
+
+
+def test_read_xml_rowtag_with_and_without_schema(spark, tmp_path):
+    """XML ingestion (Spark 4 built-in source): rowTag extraction,
+    attribute columns, and the explicit-schema path (the production one —
+    inference is a full extra pass, same rule as CSV/JSON)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from high_volume_market_data_pipeline_spark.sources.readers import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<quotes>"
+        '<quote venue="X"><sym>BTC</sym><px>42000.5</px><qty>3</qty></quote>'
+        '<quote venue="Y"><sym>ETH</sym><px>2500.25</px><qty>7</qty></quote>'
+        "</quotes>"
+    )
+    inferred = read_xml(spark, str(p), row_tag="quote")
+    rows = {(r["sym"], float(r["px"]), r["_venue"]) for r in inferred.collect()}
+    assert rows == {("BTC", 42000.5, "X"), ("ETH", 2500.25, "Y")}
+
+    schema = StructType(
+        [
+            StructField("_venue", StringType()),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+            StructField("qty", LongType()),
+        ]
+    )
+    typed = read_xml(spark, str(p), row_tag="quote", schema=schema)
+    assert typed.schema == schema
+    assert typed.count() == 2
