@@ -115,6 +115,27 @@ def _load_coded(spark: SparkSession, root: str, version: int | None = None):
     )
 
 
+def _pin_version(root: str, version: int | None) -> int | None:
+    """Resolve the version BOTH tables are loaded at. An explicit version
+    passes through (missing pieces raise, as they should). ``None`` pins
+    to min(model head, coded head) instead of each table's own head: the
+    two commits in save_*/append_* are not one transaction, so a crash or
+    lost commit race between them can leave the heads diverged — and a
+    head-of-each load would then pair NEW model arrays with the OLD coded
+    table (for a rebuild, codes decoded against the wrong codebooks:
+    silently wrong neighbors, not an error). min() always lands on the
+    newest PAIRED snapshot, whichever commit order the writer used."""
+    if version is not None:
+        return version
+    heads = [
+        VersionedParquetTable(os.path.join(root, leaf)).latest_version()
+        for leaf in ("model", "coded")
+    ]
+    if any(h is None for h in heads):
+        return None  # let the table read raise its own not-found error
+    return min(heads)
+
+
 # -- public save/load per family -------------------------------------------
 
 
@@ -134,6 +155,7 @@ def save_ivf_index(index: IVFIndex, root: str) -> int:
 def load_ivf_index(
     spark: SparkSession, root: str, version: int | None = None
 ) -> IVFIndex:
+    version = _pin_version(root, version)
     centroids, _ = _load_model_arrays(spark, root, version)
     return IVFIndex(centroids, _load_coded(spark, root, version))
 
@@ -154,6 +176,7 @@ def save_pq_index(index: PQIndex, root: str) -> int:
 def load_pq_index(
     spark: SparkSession, root: str, version: int | None = None
 ) -> PQIndex:
+    version = _pin_version(root, version)
     _, codebooks = _load_model_arrays(spark, root, version)
     return PQIndex(codebooks, _load_coded(spark, root, version))
 
@@ -179,6 +202,7 @@ def save_ivf_pq_index(index: IVFPQIndex, root: str) -> int:
 def load_ivf_pq_index(
     spark: SparkSession, root: str, version: int | None = None
 ) -> IVFPQIndex:
+    version = _pin_version(root, version)
     centroids, codebooks = _load_model_arrays(spark, root, version)
     return IVFPQIndex(centroids, codebooks, _load_coded(spark, root, version))
 

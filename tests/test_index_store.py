@@ -370,3 +370,43 @@ def test_ivf_pq_index_append_residual_encode(spark, tmp_path):
         index=new,
     )
     assert out.count() > 0
+
+
+def test_head_load_pins_to_newest_paired_snapshot(spark, tmp_path):
+    """save/append commit model and coded as two separate versioned
+    writes — not one transaction. If a writer dies (or loses a commit
+    race) BETWEEN the two, the table heads diverge, and a head-of-each
+    load would pair NEW codebooks with the OLD coded table: codes
+    decoded against the wrong model, silently wrong neighbors. Head
+    loads must pin to min(model head, coded head) — the newest PAIRED
+    snapshot."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _save_model_arrays,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = build_pq_index(emb.limit(100), m_subspaces=8, n_codes=16)
+    root = str(tmp_path / "pq")
+    save_pq_index(idx, root)
+
+    # simulate a rebuild that committed its model, then died before the
+    # coded commit: model head advances to v1, coded head stays v0
+    other = build_pq_index(emb.limit(100), m_subspaces=8, n_codes=16, seed=7)
+    _save_model_arrays(
+        spark,
+        root,
+        "PQ_MODEL",
+        {"m_subspaces": 8, "n_codes": 16},
+        codebooks=other.codebooks,
+    )
+
+    loaded = load_pq_index(spark, root)  # head load
+    # must be the PAIRED v0 snapshot — the crashed writer's v1 codebooks
+    # would decode v0's codes into garbage
+    np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
+    assert loaded.coded.count() == 100
