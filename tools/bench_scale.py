@@ -60,7 +60,26 @@ SCALE_SET = [
     # once for the rollup + |groups| state rows), so the 10x ratio must
     # track input volume, not state size
     "stream_distinct_sketch_state",
+    # stateful store cycle: bootstrap half the corpus, admit the rest —
+    # its row also records the admitted/rejected breakdown per tier
+    # (the replicated corpus is near-dup-dense, so rejections GROW with
+    # scale; recording them makes that claim checkable)
+    "incremental_dedup_admission",
 ]
+
+# Queries whose output is a per-doc decision report: their sweep rows
+# carry the decision breakdown (admitted vs rejected counts) per tier.
+DECISION_QUERIES = {"incremental_dedup_admission"}
+
+
+def _decision_counts(spark, name: str, sf_dir: str) -> dict[str, int]:
+    rows = (
+        QUERIES[name](spark, sf_dir)
+        .groupBy("decision")
+        .count()
+        .collect()
+    )
+    return {r["decision"]: r["count"] for r in rows}
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(
@@ -230,6 +249,13 @@ def main() -> None:
             if name == "ngram_jaccard_adaptive":
                 rows[name]["knobs_sf0.1"] = _resolved_ngram_knobs(spark, SF01)
                 rows[name]["knobs_sf1"] = _resolved_ngram_knobs(spark, SF1)
+            if name in DECISION_QUERIES:
+                rows[name]["decisions_sf0.1"] = _decision_counts(
+                    spark, name, SF01
+                )
+                rows[name]["decisions_sf1"] = _decision_counts(
+                    spark, name, SF1
+                )
             # A sub-2s base is dominated by per-job fixed overhead — its
             # ratio says nothing about the plan's data-scaling. Keep the
             # seconds, flag the ratio (NOTES.md rule, enforced here).
