@@ -77,8 +77,14 @@ def embedding_near_dup_pairs(
             norms[norms == 0.0] = 1.0
             Xn = X / norms[:, None]
             S = Xn @ Xn.T
-            ia, ib = np.triu_indices(len(ids), 1)  # sorted ⇒ id_a < id_b
+            ia, ib = np.triu_indices(len(ids), 1)  # sorted ⇒ id_a ≤ id_b
             keep = S[ia, ib] >= pre_floor
+            # triu pairs by POSITION: a duplicated id in one bucket would
+            # emit an id_a == id_b row the final cosine filter keeps,
+            # while the non-prefilter path's strict id_a < id_b join
+            # excludes it — mask equal-id pairs so both paths share the
+            # strict-inequality contract on duplicate-id input.
+            keep &= ids[ia] != ids[ib]
             return pd.DataFrame(
                 {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
             )
@@ -89,6 +95,12 @@ def embedding_near_dup_pairs(
             )
             .groupBy(block_col)
             .applyInPandas(_bucket_screen, "id_a long, id_b long")
+            # positional pairs collapse to ID pairs: with a duplicated id
+            # in a bucket the screen emits the same (id_a, id_b) once per
+            # position pair, and the rescore join would multiply that by
+            # the id's row count again. distinct() restores the fold
+            # path's multiplicity (survivors are output-sized — cheap).
+            .distinct()
         )
         rescored = (
             F.broadcast(survivors)

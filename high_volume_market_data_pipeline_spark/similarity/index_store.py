@@ -37,6 +37,7 @@ from high_volume_market_data_pipeline_spark.similarity.knn import (
     PQIndex,
 )
 from high_volume_market_data_pipeline_spark.sinks.history import (
+    ConcurrentCommitError,
     VersionedParquetTable,
 )
 
@@ -48,6 +49,7 @@ def _save_model_arrays(
     parameters: dict,
     centroids: "np.ndarray | None" = None,
     codebooks: "np.ndarray | None" = None,
+    version: int | None = None,
 ) -> int:
     """One model table holds both array kinds, discriminated by ``part``:
     centroid rows are (part='centroid', i=cell, j=0, vec), codebook rows
@@ -69,7 +71,7 @@ def _save_model_arrays(
         rows, "part string, i int, j int, vec array<double>"
     )
     return VersionedParquetTable(os.path.join(root, "model")).write(
-        df, operation, parameters
+        df, operation, parameters, version=version
     )
 
 
@@ -103,9 +105,15 @@ def _load_model_arrays(
     return centroids, codebooks
 
 
-def _save_coded(index_coded, root: str, operation: str) -> int:
+def _save_coded(
+    index_coded,
+    root: str,
+    operation: str,
+    parameters: dict | None = None,
+    version: int | None = None,
+) -> int:
     return VersionedParquetTable(os.path.join(root, "coded")).write(
-        index_coded, operation, {}
+        index_coded, operation, parameters or {}, version=version
     )
 
 
@@ -134,6 +142,90 @@ def _pin_version(root: str, version: int | None) -> int | None:
     if any(h is None for h in heads):
         return None  # let the table read raise its own not-found error
     return min(heads)
+
+
+_APPEND_RETRIES = 5
+
+
+def _append_coords(root: str) -> tuple[int, int, int]:
+    """(model_load_version, coded_head, cas_target) for one append attempt.
+
+    The merge base for an append is the CODED HEAD — never the paired
+    min() a reader would pin to — because the coded chain is what two
+    appenders race on: deriving from anything older silently drops the
+    other writer's rows at commit time (the classic lost update). Model
+    arrays are append-invariant, so loading them at the newest PAIRED
+    version is always the stored codebooks/centroids. The CAS target sits
+    past BOTH heads so a crashed re-train's orphan model version can
+    never collide with an append's pairing commit."""
+    mh = VersionedParquetTable(os.path.join(root, "model")).latest_version()
+    ch = VersionedParquetTable(os.path.join(root, "coded")).latest_version()
+    if mh is None or ch is None:
+        raise FileNotFoundError(f"no persisted index at {root}")
+    return min(mh, ch), ch, max(mh, ch) + 1
+
+
+def _append_coded(
+    delta, root: str, operation: str, parameters: dict, version: int,
+    parent_version: int,
+) -> int:
+    """CAS-commit ONLY the delta rows on top of ``parent_version`` — the
+    manifest references the parent's files plus one new delta dir, so a
+    2k-vector micro-batch append against a 100M-vector index writes 2k
+    rows, never the corpus (measured flat per-batch in BENCH_ANN_TIER)."""
+    return VersionedParquetTable(os.path.join(root, "coded")).append(
+        delta, operation, parameters, version=version,
+        parent_version=parent_version,
+    )
+
+
+def _commit_append(spark: SparkSession, root: str, operation: str, derive):
+    """Optimistic-concurrency append (the Delta commit-loop shape):
+
+    1. read (model arrays at the paired version, coded table at its head)
+    2. ``derive(centroids, codebooks, coded) -> (delta_df, params)`` —
+       the NEW coded rows only, already anti-joined against ``coded``
+    3. CAS-append the delta at max(heads)+1 — an explicit version, so a
+       racer that landed first raises ConcurrentCommitError here; the
+       commit writes O(delta) bytes (parent files are referenced, not
+       rewritten)
+    4. re-commit the unchanged model at the same number (pairing)
+
+    A lost CAS re-reads the new head and re-derives; the id anti-join
+    in every derive makes the retry converge (already-appended ids drop
+    out). Appends therefore serialize against appends; a concurrent
+    RE-TRAIN (save_*_index) still requires quiescing appenders — that is
+    the FAISS offline-retrain contract and is documented on each append.
+    Commit order is coded-then-model: between the two commits readers'
+    ``_pin_version`` min() resolves to the old paired snapshot, so no
+    reader ever pairs new codes with absent model rows."""
+    for _ in range(_APPEND_RETRIES):
+        model_v, coded_head, target = _append_coords(root)
+        centroids, codebooks = _load_model_arrays(spark, root, model_v)
+        coded = _load_coded(spark, root, coded_head)
+        delta, params = derive(centroids, codebooks, coded)
+        params = {**params, "parent_version": coded_head}
+        try:
+            _append_coded(
+                delta, root, operation, params, version=target,
+                parent_version=coded_head,
+            )
+        except ConcurrentCommitError:
+            continue  # another appender won this version; re-derive on head
+        _save_model_arrays(
+            spark,
+            root,
+            operation,
+            params,
+            centroids=centroids,
+            codebooks=codebooks,
+            version=target,
+        )
+        return target
+    raise ConcurrentCommitError(
+        f"append at {root} lost {_APPEND_RETRIES} consecutive commit "
+        "races; contention is too high for optimistic retry"
+    )
 
 
 # -- public save/load per family -------------------------------------------
@@ -263,23 +355,17 @@ def append_to_ivf_index(
     lists as a new paired (model, coded) version. Same replay contract
     as append_to_pq_index. Cell balance degrades only if the data
     distribution drifts; re-train offline via build_ivf_index + save."""
-    idx = load_ivf_index(spark, root)
-    new_rows = _with_cell(new_vectors, idx.centroids, vec_col, id_col).select(
-        "neighbor_id", "cv", "cell"
-    )
-    if skip_existing_ids:
-        new_rows = new_rows.join(
-            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
+    def derive(centroids, codebooks, coded):
+        new_rows = _with_cell(new_vectors, centroids, vec_col, id_col).select(
+            "neighbor_id", "cv", "cell"
         )
-    merged = idx.coded.unionByName(new_rows)
-    _save_model_arrays(
-        spark,
-        root,
-        "IVF_APPEND",
-        {"n_cells": len(idx.centroids)},
-        centroids=idx.centroids,
-    )
-    return _save_coded(merged, root, "IVF_APPEND")
+        if skip_existing_ids:
+            new_rows = new_rows.join(
+                coded.select("neighbor_id"), "neighbor_id", "left_anti"
+            )
+        return new_rows, {"n_cells": len(centroids)}
+
+    return _commit_append(spark, root, "IVF_APPEND", derive)
 
 
 def append_to_ivf_pq_index(
@@ -300,39 +386,32 @@ def append_to_ivf_pq_index(
         pq_encode,
     )
 
-    idx = load_ivf_pq_index(spark, root)
-    assigned = _with_cell(new_vectors, idx.centroids, vec_col, id_col)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(idx.centroids)],
-        "cell int, centroid array<double>",
-    )
-    resid = assigned.join(F.broadcast(cent_df), "cell").select(
-        "neighbor_id",
-        "cell",
-        F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
-    )
-    new_coded = pq_encode(
-        resid, idx.codebooks, vec_col="resid", normalize=False
-    ).select("neighbor_id", "cell", "pq_codes")
-    if skip_existing_ids:
-        new_coded = new_coded.join(
-            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
+    def derive(centroids, codebooks, coded):
+        assigned = _with_cell(new_vectors, centroids, vec_col, id_col)
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cell int, centroid array<double>",
         )
-    merged = idx.coded.unionByName(new_coded)
-    m, n_codes, _ = idx.codebooks.shape
-    _save_model_arrays(
-        spark,
-        root,
-        "IVF_PQ_APPEND",
-        {
-            "n_cells": len(idx.centroids),
+        resid = assigned.join(F.broadcast(cent_df), "cell").select(
+            "neighbor_id",
+            "cell",
+            F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
+        )
+        new_coded = pq_encode(
+            resid, codebooks, vec_col="resid", normalize=False
+        ).select("neighbor_id", "cell", "pq_codes")
+        if skip_existing_ids:
+            new_coded = new_coded.join(
+                coded.select("neighbor_id"), "neighbor_id", "left_anti"
+            )
+        m, n_codes, _ = codebooks.shape
+        return new_coded, {
+            "n_cells": len(centroids),
             "m_subspaces": m,
             "n_codes": n_codes,
-        },
-        centroids=idx.centroids,
-        codebooks=idx.codebooks,
-    )
-    return _save_coded(merged, root, "IVF_PQ_APPEND")
+        }
+
+    return _commit_append(spark, root, "IVF_PQ_APPEND", derive)
 
 
 def append_to_pq_index(
@@ -344,14 +423,19 @@ def append_to_pq_index(
     skip_existing_ids: bool = True,
 ) -> int:
     """FAISS ``add()``: encode NEW vectors with the STORED codebooks (no
-    refit — the whole point of train/add separation) and commit the
-    union as a new VERSION of the coded table. Readers pinned to the old
-    version are untouched; the model table is untouched (same codebooks
-    ⇒ appended codes are comparable to existing ones by construction).
+    refit — the whole point of train/add separation) and CAS-commit the
+    union as a new paired (model, coded) version via ``_commit_append``.
+    Readers pinned to an old version are untouched; codebook CONTENT
+    never changes on append (same codebooks ⇒ appended codes are
+    comparable to existing ones by construction). Concurrent appenders
+    serialize — a lost commit race re-derives from the winner's head, so
+    no appender's rows are ever dropped; a concurrent RE-TRAIN
+    (``save_pq_index``) still requires quiescing appenders first.
 
     ``skip_existing_ids`` drops arrivals whose id is already coded (one
     id-only anti-join — at-least-once ingest converges instead of
-    double-coding). Quantization error drifts only if the corpus
+    double-coding, and it is also what makes a commit-race retry
+    idempotent). Quantization error drifts only if the corpus
     distribution drifts from the training sample; a periodic full
     ``build_pq_index`` + save is the re-train, committed as just another
     version. Returns the new coded-table version."""
@@ -363,29 +447,23 @@ def append_to_pq_index(
     )
     from pyspark.sql import functions as F
 
-    idx = load_pq_index(spark, root)
-    new_coded = pq_encode(
-        new_vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        ),
-        idx.codebooks,
-        vec_col="cv",
-    ).select("neighbor_id", "pq_codes")
-    if skip_existing_ids:
-        new_coded = new_coded.join(
-            idx.coded.select("neighbor_id"), "neighbor_id", "left_anti"
-        )
-    merged = idx.coded.unionByName(new_coded)
-    # re-commit the unchanged model under the same version number so
-    # version N is always a CONSISTENT (model, coded) snapshot —
-    # load_pq_index(version=N) must resolve both tables at N
-    m, n_codes, _ = idx.codebooks.shape
-    _save_model_arrays(
-        spark,
-        root,
-        "PQ_APPEND",
-        {"m_subspaces": m, "n_codes": n_codes},
-        codebooks=idx.codebooks,
-    )
-    return _save_coded(merged, root, "PQ_APPEND")
+    def derive(centroids, codebooks, coded):
+        new_coded = pq_encode(
+            new_vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double(F.col(vec_col)).alias("cv"),
+            ),
+            codebooks,
+            vec_col="cv",
+        ).select("neighbor_id", "pq_codes")
+        if skip_existing_ids:
+            new_coded = new_coded.join(
+                coded.select("neighbor_id"), "neighbor_id", "left_anti"
+            )
+        m, n_codes, _ = codebooks.shape
+        return new_coded, {
+            "m_subspaces": m,
+            "n_codes": n_codes,
+        }
+
+    return _commit_append(spark, root, "PQ_APPEND", derive)

@@ -537,6 +537,7 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     fit_fraction: float | None = None,
+    points_per_cell: int | None = 256,
 ) -> IVFIndex:
     """K-means coarse quantizer fit + cell assignment of every vector;
     the inverted lists are localCheckpoint-materialized. Training cost is
@@ -544,8 +545,11 @@ def build_ivf_index(
     (FAISS trains IVF quantizers on ~30-250 vectors/cell — fitting the
     full corpus at 100 TB is waste, and an RNG-free sample keeps the
     centroids, hence the cell assignment, reproducible across runs and
-    appends). Every vector is still ASSIGNED; only the Lloyd iterations
-    read the sample."""
+    appends). When ``fit_fraction`` is not given the fit auto-samples to
+    ``points_per_cell · n_cells`` vectors (same FAISS
+    max_points_per_centroid discipline as fit_pq_codebooks; None forces
+    the full fit). Every vector is still ASSIGNED; only the Lloyd
+    iterations read the sample."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -570,6 +574,11 @@ def build_ivf_index(
     # Coarse quantizer: a handful of Lloyd iterations is enough — cells
     # only need to be roughly balanced, not converged (FAISS uses 10-25 on
     # samples; recall is governed by n_probe, not centroid polish).
+    if fit_fraction is None and points_per_cell is not None:
+        n = ml.count()  # also materializes the persist for the fit passes
+        target = points_per_cell * n_cells
+        if n > target:
+            fit_fraction = target / n
     fit_input = ml
     if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
         from high_volume_market_data_pipeline_spark.operators.sampling import (
@@ -619,8 +628,20 @@ def ivf_knn(
     on clustered real embeddings IVF probes far fewer candidates at equal
     recall. Vectors are L2-normalized before clustering so euclidean cell
     assignment orders like cosine. Candidate fan-out per query ≈
-    n/n_cells · n_probe; scale n_cells ~ √n as the corpus grows (the
-    standard IVF sizing rule) and the per-cell lists stay shuffle-local.
+    n/n_cells · n_probe.
+
+    Sizing — measured, not folklore: the classic "n_cells ~ √n" rule only
+    pays when PER-CELL READS dominate, i.e. when probing fewer rows means
+    reading fewer bytes (corpus on disk/object store, cells are parquet
+    partitions and probing prunes them). On an in-RAM corpus it measures
+    WORSE: at 200k vectors, cells=447/probe=111 searched 17.5 s vs
+    cells=16/probe=4 at 9.5 s, identical recall and identical 25% scan
+    fraction (BENCH_ANN_TIER_r06) — every extra probed cell adds
+    orchestration (probe rows, join fan-in) while saving zero I/O. Rule:
+    hold the scan fraction (n_probe/n_cells) at your recall target, and
+    grow n_cells only when cells map to prunable storage units; otherwise
+    keep n_cells small. ``tools/bench_ann_tier.py`` keeps the √n preset
+    as a labeled anti-pattern row next to the default.
 
     The search side probes cells on the DRIVER over the collected query
     batch (centroids are model-scale), so candidate rows carry one
@@ -694,11 +715,24 @@ def fit_pq_codebooks(
     iters: int = 10,
     fit_fraction: float | None = None,
     normalize: bool = True,
+    points_per_code: int | None = 256,
 ) -> np.ndarray:
     """Fit product-quantization codebooks: split each (L2-normalized when
     ``normalize``; residual inputs pass ``normalize=False``) vector into
     ``m_subspaces`` contiguous subvectors and k-means each subspace
     independently to ``n_codes`` centroids.
+
+    Training is SAMPLED by default: when ``fit_fraction`` is not given,
+    the fit reads ``points_per_code · n_codes`` vectors (an md5-bucket
+    sample — FAISS's ``max_points_per_centroid`` discipline, default 256
+    points per centroid ⇒ 8,192 vectors for 32 codes), because k-means
+    quality saturates at a few hundred points per centroid while fit cost
+    keeps growing linearly: at the 200k tier the full-corpus fit was
+    89–100 s against a 3 s search — the one-time build dominated the
+    lifecycle, and at 100M vectors it would be hours. Corpora at or under
+    the target fit in full (the sample fraction clamps to 1). Pass
+    ``points_per_code=None`` (and no ``fit_fraction``) to force the
+    full-corpus fit. Encoding always covers every vector.
 
     Returns a ``(m_subspaces, n_codes, dim // m_subspaces)`` numpy array —
     model-scale metadata (m·k rows), the one thing an ANN index build DOES
@@ -728,6 +762,14 @@ def fit_pq_codebooks(
     else:
         v = raw
     c = corpus.select(F.col(id_col).alias("_id"), v.alias("v"))
+    if fit_fraction is None and points_per_code is not None:
+        # auto-sample: target points_per_code · n_codes training vectors.
+        # The count is one column-pruned pass over ids — negligible next
+        # to the Lloyd iterations it saves.
+        n = c.count()
+        target = points_per_code * n_codes
+        if n > target:
+            fit_fraction = target / n
     if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
         from high_volume_market_data_pipeline_spark.operators.sampling import (
             hash_bucket,
@@ -761,8 +803,13 @@ def fit_pq_codebooks(
         rng = np.random.RandomState(seed + sub_id)
         k = min(n_codes, len(X))
         cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+        # ‖x‖² is loop-invariant; per iteration only ‖c‖² − 2X·Cᵀ moves.
+        # The cross-term form keeps the working set at one (n, k) matrix —
+        # the naive (X[:,None]−cent)² broadcast materializes (n, k, d),
+        # d× larger, and WAS the dominant build cost before sampling.
+        x2 = (X**2).sum(axis=1)
         for _ in range(iters):
-            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = x2[:, None] + (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
             assign = d2.argmin(axis=1)
             for ci in range(k):
                 members = X[assign == ci]
@@ -951,11 +998,18 @@ def pq_knn(
                 continue
             C = np.asarray(pdf["pq_codes"].tolist(), dtype=np.int64)  # (B,m)
             ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
-            # chunked like the brute-force scan: (chunk, B) ADC matrix
-            # bounded by _CLOSURE_BUDGET_BYTES
-            for s, e in _query_chunks(len(qids), len(ids)):
+            # Chunked like the brute-force scan, but the PQ gather is
+            # accumulated PER SUBSPACE: a single fancy-index
+            # lut[s:e, arange(m), C] would materialize a (chunk, B, m)
+            # intermediate — m× the stated budget — before its .sum.
+            # Per-subspace, at most TWO (chunk, B) matrices are ever live
+            # (the S accumulator + one gather temp), so chunks are sized
+            # against 2·B rows to keep the true peak at the budget.
+            for s, e in _query_chunks(len(qids), 2 * len(ids)):
                 # S[q,b] = Σⱼ LUT[q, j, C[b,j]]
-                S = lut[s:e, np.arange(m)[None, :], C].sum(axis=2)
+                S = lut[s:e, 0, C[:, 0]]  # fancy index ⇒ already a fresh array
+                for j in range(1, m):
+                    S += lut[s:e, j, C[:, j]]
                 S[qids[s:e, None] == ids[None, :]] = -np.inf  # self-pairs
                 qa, na, ca = _per_batch_topr(qids[s:e], ids, S, refine)
                 yield pa.RecordBatch.from_pydict(
@@ -1004,12 +1058,16 @@ def build_ivf_pq_index(
     dim: int = 64,
     seed: int = 42,
     fit_fraction: float | None = None,
+    points_per_cell: int | None = 256,
 ) -> IVFPQIndex:
     """Coarse k-means cells + PQ codebooks fitted on the CELL RESIDUALS,
     every vector encoded; the code table is localCheckpoint-materialized.
     Residuals (x − cell_centroid) concentrate near the origin, so the
     same code budget quantizes them with far less error than raw
-    vectors — that is why the residual step exists."""
+    vectors — that is why the residual step exists. Both fits auto-sample
+    when ``fit_fraction`` is not given (points_per_cell · n_cells for the
+    coarse quantizer here; fit_pq_codebooks applies its own
+    points_per_code target to the residual codebooks)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1028,14 +1086,20 @@ def build_ivf_pq_index(
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("_nv", unit(F.col("cv")))
     ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+    coarse_fraction = fit_fraction
+    if coarse_fraction is None and points_per_cell is not None:
+        n = ml.count()
+        target = points_per_cell * n_cells
+        if n > target:
+            coarse_fraction = target / n
     fit_input = ml
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+    if coarse_fraction is not None and 0.0 < coarse_fraction < 1.0:
         from high_volume_market_data_pipeline_spark.operators.sampling import (
             hash_bucket,
         )
 
         n_buckets = 10_000
-        bound = max(1, int(round(fit_fraction * n_buckets)))
+        bound = max(1, int(round(coarse_fraction * n_buckets)))
         fit_input = ml.filter(
             hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
         )

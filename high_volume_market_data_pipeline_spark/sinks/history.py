@@ -8,8 +8,14 @@ a JSON manifest log — the layout Delta itself uses (data files + ordered
 commit log), minus transactions we cannot express without a JVM extension:
 
     <root>/_log/<version>.json      one manifest per committed version
-    <root>/_v<version>_<attempt>/   immutable parquet snapshot (unique per
-                                    write attempt; the manifest points at it)
+    <root>/_v<version>_<attempt>/   immutable parquet dir (unique per
+                                    write attempt; manifests point at it)
+
+A ``write`` manifest references ONE full-snapshot dir; an ``append``
+manifest references its parent's dirs plus one new delta dir (the Delta
+add-files shape), so appending a micro-batch to a 100 TB table writes
+only the batch. Compaction (sinks/maintenance) folds an append chain
+back into a single snapshot via ``write``.
 
 Commit protocol: write the snapshot dir first, then CREATE the manifest via
 a create-if-absent hard link of a temp file (os.link fails with EEXIST — a
@@ -72,11 +78,27 @@ class VersionedParquetTable:
     def _manifests(self) -> list[dict]:
         if not os.path.isdir(self.log_dir):
             return []
+        names = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
         out = []
-        for f in sorted(os.listdir(self.log_dir)):
-            if f.endswith(".json"):
+        for i, f in enumerate(names):
+            try:
                 with open(os.path.join(self.log_dir, f)) as fh:
                     out.append(json.load(fh))
+            except (json.JSONDecodeError, ValueError) as exc:
+                # A torn TRAILING manifest is a crashed commit on a
+                # filesystem without hard links (the O_EXCL fallback makes
+                # the file visible before its single write lands) — treat
+                # it as never committed so one torn commit cannot brick
+                # every later read of the table. A torn manifest in the
+                # MIDDLE of the log means real corruption: fail loudly.
+                if i == len(names) - 1:
+                    continue
+                raise RuntimeError(
+                    f"corrupt non-trailing manifest {f} at {self.root}; "
+                    "the commit log is damaged beyond a torn tail"
+                ) from exc
         return sorted(out, key=lambda m: m["version"])
 
     def latest_version(self) -> int | None:
@@ -95,9 +117,18 @@ class VersionedParquetTable:
         operation: str = "WRITE",
         parameters: dict | None = None,
         partition_by: str | None = None,
+        version: int | None = None,
     ) -> int:
-        """Commit ``df`` as the next version; returns the version number."""
-        version = (self.latest_version() or 0) + 1 if self.exists() else 0
+        """Commit ``df`` as the next version; returns the version number.
+
+        An explicit ``version`` turns the commit into a compare-and-swap:
+        the create-if-absent manifest gate raises ConcurrentCommitError
+        when that version already exists, so a caller that derived its
+        write from version N can commit at N+1 and KNOW no other commit
+        landed in between (the optimistic-concurrency pattern Delta uses;
+        see similarity/index_store append_*)."""
+        if version is None:
+            version = (self.latest_version() or 0) + 1 if self.exists() else 0
         # The snapshot dir carries a per-attempt suffix: two writers racing
         # for the same version must not overwrite each other's DATA either —
         # the commit-losing attempt leaves an orphan dir (vacuum reclaims
@@ -118,6 +149,60 @@ class VersionedParquetTable:
             "parameters": parameters or {},
             "data_dir": data_dir,
         }
+        self._commit_manifest(manifest, version)
+        return version
+
+    def append(
+        self,
+        df: DataFrame,
+        operation: str = "APPEND",
+        parameters: dict | None = None,
+        partition_by: str | None = None,
+        version: int | None = None,
+        parent_version: int | None = None,
+    ) -> int:
+        """Commit ``df`` as NEW FILES ONLY on top of an existing version —
+        the Delta append shape: the manifest lists the parent's data dirs
+        plus one fresh delta dir, so commit cost is O(appended rows), not
+        O(table). A full ``write`` stays the compaction/overwrite path
+        (``sinks.maintenance.compact`` folds a long append chain back to
+        one snapshot). Readers of any version are untouched; time travel
+        and vacuum apply unchanged (vacuum keys on every dir a kept
+        manifest references, so a shared parent dir survives until no
+        kept version needs it).
+
+        ``version`` makes the commit a CAS exactly like ``write``;
+        ``parent_version`` pins which committed version the delta extends
+        (default: the current head) — pass it together with ``version``
+        when the caller must KNOW no other append slipped in between
+        (see similarity/index_store._commit_append)."""
+        parent = self._resolve(parent_version, None)
+        if version is None:
+            version = (self.latest_version() or 0) + 1
+        delta_dir = os.path.join(
+            self.root, f"_v{version:08d}_{uuid.uuid4().hex[:8]}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(delta_dir)
+        manifest = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": operation,
+            "parameters": parameters or {},
+            "data_dirs": self._data_dirs(parent) + [delta_dir],
+        }
+        self._commit_manifest(manifest, version)
+        return version
+
+    @staticmethod
+    def _data_dirs(manifest: dict) -> list[str]:
+        """Every data dir a manifest references: append commits carry
+        ``data_dirs`` (parent chain + delta), full snapshots ``data_dir``."""
+        return list(manifest.get("data_dirs") or [manifest["data_dir"]])
+
+    def _commit_manifest(self, manifest: dict, version: int) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
@@ -141,7 +226,12 @@ class VersionedParquetTable:
             except OSError:
                 # Filesystem without hard links (some NFS/object-store/
                 # overlay mounts): O_CREAT|O_EXCL open keeps the same
-                # create-if-absent guarantee with wider FS support.
+                # create-if-absent guarantee with wider FS support. Unlike
+                # the link path the file IS visible before its content, so
+                # publish with ONE os.write + fsync (never incremental
+                # json.dump into the live fd) — a reader can then only ever
+                # observe empty-or-complete, and _manifests() treats a torn
+                # trailing manifest as uncommitted.
                 try:
                     fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
                 except FileExistsError:
@@ -149,12 +239,14 @@ class VersionedParquetTable:
                         f"version {version} at {self.root} was committed by "
                         "another writer; re-read the head and retry"
                     ) from None
-                with os.fdopen(fd, "w") as fh:
-                    json.dump(manifest, fh)
+                try:
+                    os.write(fd, json.dumps(manifest).encode())
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        return version
 
     # -- read path ----------------------------------------------------------
 
@@ -182,7 +274,9 @@ class VersionedParquetTable:
     ) -> DataFrame:
         """Current snapshot, or time travel by version / timestamp
         (``VERSION AS OF`` / ``TIMESTAMP AS OF`` analogue)."""
-        return spark.read.parquet(self._resolve(version, as_of_ts)["data_dir"])
+        return spark.read.parquet(
+            *self._data_dirs(self._resolve(version, as_of_ts))
+        )
 
     def history(self, spark: SparkSession) -> DataFrame:
         """(version, timestamp, operation, parameters) — newest first, like
@@ -275,6 +369,17 @@ class VersionedParquetTable:
             F.col("_chg._change_type").alias("_change_type"),
         )
 
+    def compact(self, spark: SparkSession) -> int:
+        """Fold the head's file set — possibly a long append chain — back
+        into ONE full snapshot (OPTIMIZE for the manifest log): reading a
+        table that took 10,000 micro-batch appends should not open 10,000
+        delta dirs forever. Old versions stay time-travelable until
+        vacuum retires them."""
+        head = self.latest_version()
+        return self.write(
+            self.read(spark), "COMPACT", {"compacted_from": head}
+        )
+
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: re-commit an old snapshot as
         the new head (Delta-parity; keeps the log linear)."""
@@ -298,7 +403,9 @@ class VersionedParquetTable:
 
         ms = self._manifests()
         kept = ms[-keep_last:] if ms else []
-        keep_dirs = {os.path.basename(m["data_dir"]) for m in kept}
+        keep_dirs = {
+            os.path.basename(d) for m in kept for d in self._data_dirs(m)
+        }
         keep_versions = {m["version"] for m in kept}
         removed_dirs: list[str] = []
         retired: list[int] = []

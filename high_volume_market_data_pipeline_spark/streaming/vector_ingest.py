@@ -14,9 +14,13 @@ version N never sees a half-written batch).
 Replay safety: ``skip_existing_ids`` makes a replayed batch a no-op at
 the id level, so at-least-once delivery converges — the ledger-style
 batch_id partitioning is unnecessary here because the id set IS the
-dedup key. Single-writer per index root (the stream); a racing writer
-gets ConcurrentCommitError from the store and retries via Spark's
-foreachBatch retry.
+dedup key. Concurrent appenders are safe: ``append_to_pq_index``
+CAS-commits at an explicit version derived from the coded head, so an
+interleaved writer loses the commit race LOUDLY and the retry
+re-derives its union from the winner's head (no lost update — pinned
+by the interleaved-append test in tests/test_index_store.py). Only a
+concurrent RE-TRAIN (save_pq_index) requires quiescing this stream
+first — the FAISS offline-retrain contract.
 
 No reference counterpart (beyond-reference ANN surface); composes the
 reference's checkpointed incremental-pull discipline

@@ -544,3 +544,37 @@ def test_closure_kernel_rejects_bad_query_ids(spark):
     dup = emb.limit(1).unionAll(emb.limit(1))
     with _pytest.raises(Exception, match="duplicate query ids"):
         brute_force_knn(dup, emb, k=2, vectorized=True).collect()
+
+
+def test_near_dup_prefilter_masks_duplicate_ids(spark):
+    """The Arrow bucket screen pairs rows by POSITION (triu over the
+    id-sorted bucket frame), so a duplicated id in one bucket would emit
+    an id_a == id_b survivor that the final cosine filter keeps — while
+    the fold path's strict id_a < id_b join excludes it. Both paths must
+    agree on duplicate-id input (strict-inequality contract)."""
+    from high_volume_market_data_pipeline_spark.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "b"),
+        (1, [1.0, 0.0, 0.0], "b"),  # duplicate id, identical vector
+        (2, [1.0, 0.001, 0.0], "b"),
+        (3, [0.0, 1.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blk string"
+    )
+    fast = embedding_near_dup_pairs(
+        df, block_col="blk", threshold=0.9, arrow_prefilter=True
+    )
+    slow = embedding_near_dup_pairs(
+        df, block_col="blk", threshold=0.9, arrow_prefilter=False
+    )
+    frows = sorted(tuple(r) for r in fast.collect())
+    srows = sorted(tuple(r) for r in slow.collect())
+    assert all(a != b for a, b, _ in frows)  # no self-pairs survive
+    # duplicate ids make BOTH paths emit the (1,2) pair twice — identical
+    # multisets, not just identical sets
+    assert frows == srows
+    assert [p[:2] for p in frows] == [(1, 2), (1, 2)]

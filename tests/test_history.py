@@ -284,3 +284,79 @@ def test_sketch_merge_commit_retries_on_collision(spark, tmp_path):
         .collect()[0]["est"]
     )
     assert est == direct  # union exactness: nobody's items were dropped
+
+
+def test_torn_trailing_manifest_is_skipped_not_fatal(spark, table):
+    """A crashed O_EXCL-fallback commit can leave a truncated trailing
+    manifest. Readers must treat it as never-committed (head = previous
+    version) instead of raising JSONDecodeError forever; a torn manifest
+    in the MIDDLE of the log is real corruption and must fail loudly."""
+    table.write(_df(spark, 3, "a"), "WRITE")
+    table.write(_df(spark, 5, "b"), "WRITE")
+
+    torn = os.path.join(table.log_dir, "00000002.json")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 2, "timestamp"')  # truncated mid-write
+
+    assert table.latest_version() == 1  # torn tail ignored
+    assert table.read(spark).count() == 5
+    # Recovery: the next write claims the torn version number via the
+    # create-if-absent gate — with the torn file present that raises
+    # ConcurrentCommitError (a writer must not assume a torn tail is
+    # reclaimable; an admin removes it), which is loud, not corrupt.
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    with pytest.raises(ConcurrentCommitError):
+        table.write(_df(spark, 7, "c"), "WRITE")
+    os.unlink(torn)
+    v = table.write(_df(spark, 7, "c"), "WRITE")
+    assert v == 2 and table.read(spark).count() == 7
+
+    # Mid-log corruption is NOT skippable.
+    mid = os.path.join(table.log_dir, "00000001.json")
+    with open(mid, "w") as fh:
+        fh.write("{nope")
+    with pytest.raises(RuntimeError, match="non-trailing"):
+        table.latest_version()
+
+
+def test_append_commits_delta_files_only(spark, table):
+    """append() must reference the parent's data dirs plus ONE new delta
+    dir — commit cost O(appended rows) — while read/time-travel behave
+    exactly as if the table had been fully rewritten."""
+    table.write(_df(spark, 5, "a"))
+    v1 = table.append(_df(spark, 3, "b"))
+    assert v1 == 1
+    assert table.read(spark).count() == 8
+    assert table.read(spark, version=0).count() == 5
+
+    dirs_v1 = table._data_dirs(table._resolve(1, None))
+    v0_dir = table._data_dirs(table._resolve(0, None))[0]
+    assert len(dirs_v1) == 2 and v0_dir in dirs_v1  # parent referenced
+
+    table.append(_df(spark, 2, "c"))
+    assert len(table._data_dirs(table._resolve(2, None))) == 3
+    tags = {
+        r["tag"] for r in table.read(spark).select("tag").distinct().collect()
+    }
+    assert tags == {"a", "b", "c"} and table.read(spark).count() == 10
+
+    # compaction folds the chain back to one snapshot, same rows
+    v3 = table.compact(spark)
+    assert len(table._data_dirs(table._resolve(v3, None))) == 1
+    assert table.read(spark).count() == 10
+
+
+def test_vacuum_keeps_shared_parent_dirs(spark, table):
+    """Retiring an old version must NOT delete a data dir that a kept
+    append manifest still references — append chains share files."""
+    table.write(_df(spark, 5, "a"))
+    table.append(_df(spark, 3, "b"))
+    table.append(_df(spark, 2, "c"))
+    res = table.vacuum(keep_last=2)
+    assert res.retired == [0]  # v0's manifest is gone (no time travel)
+    # ...but v0's DATA survives: kept v1/v2 manifests reference its dir
+    assert table.read(spark).count() == 10
+    assert table.read(spark, version=1).count() == 8

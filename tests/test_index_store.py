@@ -410,3 +410,62 @@ def test_head_load_pins_to_newest_paired_snapshot(spark, tmp_path):
     # would decode v0's codes into garbage
     np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
     assert loaded.coded.count() == 100
+
+
+def test_interleaved_appends_do_not_lose_updates(spark, tmp_path, monkeypatch):
+    """Two appenders that both loaded coded head v0 and commit interleaved
+    must NOT silently drop the first writer's rows (the classic lost
+    update). append_* CAS-commits at an explicit version derived from the
+    coded head, so the second writer's stale commit raises internally and
+    the retry re-derives its union from the winner's head — the final
+    table carries BOTH appends."""
+    import high_volume_market_data_pipeline_spark.similarity.index_store as ist
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter("vec_id % 3 = 0")
+    a_rows = emb.filter("vec_id % 3 = 1")
+    b_rows = emb.filter("vec_id % 3 = 2")
+    root = str(tmp_path / "pq")
+    save_pq_index(build_pq_index(base, m_subspaces=8, n_codes=16), root)
+
+    real_append = ist._append_coded
+    state = {"injected": False, "collisions": 0}
+
+    def racy_append(df, root_, op, parameters, version, parent_version):
+        # Writer B reached its commit point with a delta derived from v0;
+        # writer A's whole append lands NOW — the exact interleaving that
+        # lost A's rows before the CAS commit.
+        if not state["injected"]:
+            state["injected"] = True
+            ist.append_to_pq_index(spark, root, a_rows)
+        try:
+            return real_append(
+                df, root_, op, parameters, version, parent_version
+            )
+        except ist.ConcurrentCommitError:
+            state["collisions"] += 1
+            raise
+
+    monkeypatch.setattr(ist, "_append_coded", racy_append)
+    ist.append_to_pq_index(spark, root, b_rows)  # writer B
+
+    assert state["collisions"] == 1  # B really did lose the race once
+    final = load_pq_index(spark, root)
+    assert final.coded.count() == emb.count()  # nobody's rows dropped
+    ids = {r["neighbor_id"] for r in final.coded.select("neighbor_id").collect()}
+    assert {r["vec_id"] for r in a_rows.select("vec_id").collect()} <= ids
+    assert {r["vec_id"] for r in b_rows.select("vec_id").collect()} <= ids
+    # every surviving version is paired and records its parent
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
+    manifests = coded_t._manifests()
+    assert [m["version"] for m in manifests] == [0, 1, 2]
+    assert [m["parameters"].get("parent_version") for m in manifests[1:]] == [0, 1]
