@@ -79,8 +79,12 @@ def _cold_session_persisted_search(
 ) -> dict:
     """Load + search timings from a FRESH python process / JVM (reported
     separately from session startup, which a long-lived searcher
-    amortizes). Returns {} with an 'error' key on failure rather than
-    killing the whole shoot-out."""
+    amortizes). The SECOND search in the same fresh session decomposes
+    the cold gap: if search2 ≈ the builder session's warm time, the
+    first-search premium is session warmup (JIT, Python-worker daemon
+    fork, first-job codegen), NOT storage layout — and coalescing the
+    coded table on save would buy nothing. Returns an 'error' key on
+    failure rather than killing the whole shoot-out."""
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -98,7 +102,9 @@ t0 = time.perf_counter(); idx = load_pq_index(spark, {index_root!r})
 t1 = time.perf_counter()
 pq_knn(q, emb, k=5, index=idx).write.format("noop").mode("overwrite").save()
 t2 = time.perf_counter()
-print("COLD", round(t1-t0, 3), round(t2-t1, 3))
+pq_knn(q, emb, k=5, index=idx).write.format("noop").mode("overwrite").save()
+t3 = time.perf_counter()
+print("COLD", round(t1-t0, 3), round(t2-t1, 3), round(t3-t2, 3))
 spark.stop()
 """
     proc = subprocess.run(
@@ -109,10 +115,11 @@ spark.stop()
     )
     for line in proc.stdout.splitlines():
         if line.startswith("COLD"):
-            _, load_s, search_s = line.split()
+            _, load_s, search_s, search2_s = line.split()
             return {
                 "cold_session_load_sec": float(load_s),
                 "cold_session_search_sec": float(search_s),
+                "cold_session_second_search_sec": float(search2_s),
             }
     return {"error": (proc.stderr or "no COLD line").splitlines()[-1][:200]}
 
