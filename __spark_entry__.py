@@ -34,72 +34,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # + r2-green family representatives; r5 = the never-recorded promotion set
 # + changed queries + all 23 r2-stale rows — after which the r1∪…∪r5 union
 # covers every registered query (123 oracle-backed hash-green, 12
-# rows-only driver-run; verified in the round-5 verdict). From r6 on the
-# policy is steady-state: (a) queries NEW or BEHAVIOR-CHANGED this round,
-# then (b) the queries whose most recent driver row is OLDEST (refresh the
-# stalest evidence first). Round 6 head = 8 new/changed (knn_pq_persisted
-# and stream_pq_index_ingest are new; embedding_near_dup gained the
-# bucket-screen prefilter; stream_incremental_dedup_admission reads via
-# the schema-marker ledger; the four knn_* rows-only queries share the
-# reworked chunked closure kernels in their exact twins) + all 37 queries
-# whose latest row is r3 + 5 family-diverse r4 refreshes. Every query,
-# head and tail, is also
-# verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1 each
-# round. Never demote a query whose only green row is the current window.
+# rows-only driver-run; verified in the round-5 verdict). Steady-state
+# policy from r6: (a) queries NEW or BEHAVIOR-CHANGED this round, then
+# (b) the queries whose most recent driver row is OLDEST (refresh the
+# stalest evidence first). Round 7 head = 9 changed (delta-file CAS
+# appends rework the persisted-index lifecycle and the history/versioned
+# -table queries; sampled quantizer fits change every built-index family;
+# embedding_near_dup dedups screen survivors; ngram_jaccard_adaptive's
+# pair generation was refactored) + 41 of the 42 queries whose latest
+# driver row is r4 (ngram_jaccard_blocked rolls to r8 — its family is
+# covered by the adaptive config in the changed block). Every query,
+# head and tail, is also verified locally by tools/verify_correctness.py
+# at sf0.01 AND sf0.1 each round. Never demote a query whose only green
+# row is the current window.
 _HEAD = [
     # --- new or behavior-changed this round ---
-    "knn_pq_persisted",             # NEW: versioned-store index lifecycle
-    "stream_pq_index_ingest",       # NEW: streaming vector-store appends
-    "embedding_near_dup",           # Arrow bucket-screen + exact-fold rescore
-    "stream_incremental_dedup_admission",  # schema-marker ledger reads
-    "knn_pq_adc",                   # chunked ADC closure kernel (rows-only)
-    "knn_ivf_pq",                   # shared exact twin changed (rows-only)
-    "knn_ivf_cells",                # shared exact twin changed (rows-only)
-    "knn_lsh_bucketed",             # shared exact twin changed (rows-only)
-    # --- most recent driver row is r3 (all 37) ---
-    "approx_distinct_users",
-    "broadcast_dim_join",
-    "bulk_part_suppliers_q20",
-    "cube_event_stats",
-    "customer_order_distribution_q13",
-    "customer_order_revenue",
-    "customers_with_orders",
-    "customers_without_orders",
-    "daily_event_profile",
-    "discounted_bulk_revenue_q19",
-    "distinct_order_priorities",
-    "dormant_rich_customers_q22",
-    "event_type_audiences",
-    "fk_orphan_lineitems",
-    "forecast_revenue_q6",
-    "important_part_stock_q11",
-    "json_props_profile",
-    "lang_quota_sample",
-    "nation_trade_volume_q7",
-    "order_price_rank_metrics",
-    "order_value_quartiles_ntile",
-    "parts_catalog_labels",
-    "priority_shipping_modes_q12",
-    "product_type_profit_q9",
-    "profile_orders_columns",
-    "promo_revenue_share_q14",
-    "running_user_value",
-    "small_quantity_orders_q17",
-    "sql_grouping_sets_orders",
-    "sql_peak_revenue_day",
-    "stats_quantity_price",
-    "supplier_diversity_q16",
-    "token_budget_chunks",
-    "top1_order_by_price",
-    "top_supplier_q15",
-    "variant_props_buckets",
-    "waiting_supplier_q21",
-    # --- family-diverse r4 refreshes (5) ---
-    "pricing_summary",              # headline full-scan agg (q1)
-    "minhash_lsh_near_dup",         # banded LSH dedup family
-    "dedup_keep_latest_events",     # W1 keep-latest window
-    "gold_daily_topk_stats",        # flagship medallion top-k
-    "paged_feed_rollup",            # Python DataSource source family
+    "knn_pq_persisted",             # delta-file CAS appends in the store
+    "stream_pq_index_ingest",       # streaming appends now O(batch) commits
+    "knn_pq_adc",                   # sampled codebooks + per-subspace ADC
+    "knn_ivf_pq",                   # sampled coarse+residual fits
+    "knn_ivf_cells",                # sampled coarse fit
+    "embedding_near_dup",           # screen survivors distinct + id mask
+    "ngram_jaccard_adaptive",       # pair generation split for forced knobs
+    "table_history_ops",            # manifest log: torn-tail tolerance
+    "table_version_changes",        # manifest log: append/dirs resolution
+    # --- most recent driver row is r4 (41 of 42) ---
+    "approx_value_percentiles",
+    "asof_last_purchase_per_click",
+    "asof_next_purchase_within_hour",
+    "benchmark_contamination",
+    "bollinger_breakouts",
+    "cross_join_dense_grid",
+    "dedup_clusters",
+    "dedup_keep_best_quality",
+    "event_funnel_stages",
+    "event_type_correlations",
+    "events_typed_enrichment",
+    "ewma_event_rate",
+    "exact_dedup_documents",
+    "exact_percentiles_order_price",
+    "incremental_dedup_admission",
+    "knn_bruteforce_cosine",
+    "label_centroid_embeddings",
+    "lang_confusion_matrix",
+    "max_drawdown_user",
+    "multimodal_byte_features",
+    "ohlc_resample_events",
+    "range_join_events_to_windows",
+    "rollup_order_status",
+    "rsi_event_types",
+    "set_ops_user_cohorts",
+    "simhash_documents",
+    "source_reliability",
+    "stream_click_attribution",
+    "stream_quality_ledger",
+    "stream_session_windows",
+    "stream_tumbling_hourly",
+    "text_stats",
+    "tfidf_top_terms",
+    "top10_orders_by_price",
+    "twap_user_daily",
+    "union_high_low_value_events",
+    "user_event_run_features",
+    "user_event_type_sets",
+    "value_histogram",
+    "vwap_monthly_lineitem",
+    "weekly_cohort_retention",
 ]
 
 

@@ -23,6 +23,22 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
 
 PREFIX_CHARS = 32
 
+# Committed recall bar for the ADAPTIVE block key, measured against the
+# exact width-8 twin on scale data (pair recall at the jaccard>=0.3
+# output, BENCH_SCALE ngram_recall rows; pinned by
+# tests/test_dedup_similarity.test_adaptive_recall_meets_committed_floor
+# against the newest committed sweep artifact). 0.75 is ACCEPTED, not a
+# target to grow: this operator is one layer of a multi-layer near-dup
+# stack — the pairs its two keys drop are precisely near-dups whose
+# token counts differ (width key) or whose first 32 chars diverge
+# (prefix key), and those are the pairs the ORDER-ROBUST layers
+# (MinHash shingle-set LSH, embedding sign-LSH) catch; the curation
+# funnel unions all three edge sets before clustering. Buying the last
+# ~0.2 recall inside THIS layer means widening blocks back toward the
+# measured quadratic (84x time on 10x data at width 8) for pairs the
+# stack already has.
+ADAPTIVE_RECALL_FLOOR = 0.75
+
 
 def resolve_block_knobs(
     docs: DataFrame,
@@ -109,10 +125,6 @@ def token_block_pairs(
     width-8 query pins the fixed config (its DuckDB oracle embeds the
     literal); ``ngram_jaccard_adaptive`` registers this adaptive path
     with a full oracle."""
-    from high_volume_market_data_pipeline_spark.functions.text import (
-        token_count,
-    )
-
     width, n_prefix_buckets = resolve_block_knobs(
         docs,
         text_col=text_col,
@@ -120,6 +132,35 @@ def token_block_pairs(
         block_tokens=block_tokens,
         target_block_rows=target_block_rows,
     )
+    return block_pairs_with_knobs(
+        docs,
+        width,
+        n_prefix_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+    )
+
+
+def block_pairs_with_knobs(
+    docs: DataFrame,
+    width: int,
+    n_prefix_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The block-key pair join with EXPLICIT (width, prefix-bucket) knobs —
+    the deterministic back half of ``token_block_pairs``. Exposed so the
+    scale sweep can replay a tier's RESOLVED knobs on a document
+    subsample (a pair's co-block fate depends only on its two docs, so
+    subsample recall with production knobs estimates full-corpus recall
+    unbiasedly — the sf10 exact twin is a measured quadratic and can only
+    be afforded on a stratum)."""
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
     blk_parts = [
         F.col(lang_col).cast("string"),
         F.floor(token_count(F.col(text_col)) / width)

@@ -26,9 +26,11 @@ from high_volume_market_data_pipeline_spark.sinks.history import (
 
 @query("table_history_ops")
 def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v0 full write → v1 partial overwrite-style write → v2 restore(0);
+    """v0 full write → v1 MERGE-style write → v2 delta-file APPEND →
+    v3 COMPACT (folds the append chain to one snapshot) → v4 restore(0);
     returns (version, operation, n_rows) newest-first — the
-    ``DeltaTable.history()`` read path over the parquet-native log."""
+    ``DeltaTable.history()`` read path over the parquet-native log, now
+    covering the add-files append shape end-to-end."""
     root = os.path.join(tempfile.gettempdir(), "hvmdp_history_demo")
     shutil.rmtree(root, ignore_errors=True)
     table = VersionedParquetTable(root)
@@ -46,6 +48,10 @@ def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MERGE",
         {"keys": "o_orderkey"},
     )
+    table.append(
+        orders.filter(F.col("o_orderstatus") == "F"), "APPEND"
+    )
+    table.compact(spark)
     table.restore(spark, 0)
 
     hist = table.history(spark)

@@ -578,3 +578,38 @@ def test_near_dup_prefilter_masks_duplicate_ids(spark):
     # multisets, not just identical sets
     assert frows == srows
     assert [p[:2] for p in frows] == [(1, 2), (1, 2)]
+
+
+def test_adaptive_recall_meets_committed_floor():
+    """The adaptive n-gram block key has a COMMITTED recall bar
+    (``ADAPTIVE_RECALL_FLOOR``; acceptance rationale in dedup/ngram.py:
+    the dropped pairs are the ones the order-robust MinHash/embedding
+    layers catch). Regress the NEWEST committed scale-sweep artifact
+    against it, so a knob or blocking change that silently decays recall
+    fails the suite instead of rotting in an unread JSON."""
+    import glob
+    import json
+    import os
+
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        ADAPTIVE_RECALL_FLOOR,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = []
+    for p in sorted(glob.glob(os.path.join(repo, "BENCH_SCALE_r*.json")),
+                    reverse=True):
+        with open(p) as fh:
+            d = json.load(fh)
+        rows = [
+            (p, k, d[k])
+            for k in ("ngram_recall_sf1", "ngram_recall_sf10")
+            if k in d
+        ]
+        if rows:
+            break
+    assert rows, "no committed sweep artifact carries an ngram recall row"
+    for path, key, r in rows:
+        assert r["recall"] is not None and (
+            r["recall"] >= ADAPTIVE_RECALL_FLOOR
+        ), f"{os.path.basename(path)} {key}: {r}"
