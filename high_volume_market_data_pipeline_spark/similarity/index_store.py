@@ -146,6 +146,14 @@ def _pin_version(root: str, version: int | None) -> int | None:
 
 _APPEND_RETRIES = 5
 
+# Bound on the coded table's append-chain length before a commit absorbs
+# the chain into one snapshot (log-structured compaction): continuous
+# streaming ingest must not make every later search open an unbounded
+# number of tiny delta dirs. 64 dirs ≈ the point where file-open
+# round-trips rival the scan itself on object stores; the absorb pass is
+# amortized O(1) extra reads per appended row.
+_CODED_MAX_CHAIN = 64
+
 
 def _append_coords(root: str) -> tuple[int, int, int]:
     """(model_load_version, coded_head, cas_target) for one append attempt.
@@ -175,7 +183,7 @@ def _append_coded(
     rows, never the corpus (measured flat per-batch in BENCH_ANN_TIER)."""
     return VersionedParquetTable(os.path.join(root, "coded")).append(
         delta, operation, parameters, version=version,
-        parent_version=parent_version,
+        parent_version=parent_version, max_chain=_CODED_MAX_CHAIN,
     )
 
 

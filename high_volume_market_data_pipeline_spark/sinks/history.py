@@ -160,6 +160,7 @@ class VersionedParquetTable:
         partition_by: str | None = None,
         version: int | None = None,
         parent_version: int | None = None,
+        max_chain: int | None = None,
     ) -> int:
         """Commit ``df`` as NEW FILES ONLY on top of an existing version —
         the Delta append shape: the manifest lists the parent's data dirs
@@ -175,10 +176,28 @@ class VersionedParquetTable:
         ``parent_version`` pins which committed version the delta extends
         (default: the current head) — pass it together with ``version``
         when the caller must KNOW no other append slipped in between
-        (see similarity/index_store._commit_append)."""
+        (see similarity/index_store._commit_append).
+
+        ``max_chain`` bounds read fan-in for continuous ingest: when the
+        parent already references that many dirs, THIS commit absorbs
+        chain + delta into one full snapshot instead (same version
+        number, same CAS) — log-structured compaction, so a stream of
+        10,000 micro-batches costs O(batch) per commit amortized and a
+        reader never opens more than ``max_chain`` dirs."""
         parent = self._resolve(parent_version, None)
         if version is None:
             version = (self.latest_version() or 0) + 1
+        parent_dirs = self._data_dirs(parent)
+        if max_chain is not None and len(parent_dirs) >= max_chain:
+            spark = df.sparkSession
+            merged = spark.read.parquet(*parent_dirs).unionByName(df)
+            return self.write(
+                merged,
+                operation,
+                {**(parameters or {}), "absorbed_chain": len(parent_dirs)},
+                partition_by=partition_by,
+                version=version,
+            )
         delta_dir = os.path.join(
             self.root, f"_v{version:08d}_{uuid.uuid4().hex[:8]}"
         )
@@ -191,7 +210,7 @@ class VersionedParquetTable:
             "timestamp": time.time(),
             "operation": operation,
             "parameters": parameters or {},
-            "data_dirs": self._data_dirs(parent) + [delta_dir],
+            "data_dirs": parent_dirs + [delta_dir],
         }
         self._commit_manifest(manifest, version)
         return version

@@ -360,3 +360,27 @@ def test_vacuum_keeps_shared_parent_dirs(spark, table):
     # ...but v0's DATA survives: kept v1/v2 manifests reference its dir
     assert table.read(spark).count() == 10
     assert table.read(spark, version=1).count() == 8
+
+
+def test_append_max_chain_absorbs_into_snapshot(spark, table):
+    """Continuous ingest must not grow read fan-in without bound:
+    append(max_chain=k) absorbs chain + delta into ONE full snapshot
+    once the parent references k dirs — same version numbering, same
+    rows, and every later read opens at most k dirs."""
+    table.write(_df(spark, 4, "a"))
+    for i in range(5):
+        table.append(_df(spark, 1, f"d{i}"), max_chain=3)
+
+    # chain lengths per version: v0=1, v1=2, v2=3, v3 absorbed to 1,
+    # v4=2, v5=3 — never above the bound
+    lens = [
+        len(table._data_dirs(table._resolve(v, None))) for v in range(6)
+    ]
+    assert lens == [1, 2, 3, 1, 2, 3]
+    assert table._resolve(3, None)["parameters"]["absorbed_chain"] == 3
+    assert table.read(spark).count() == 9
+    # absorption is invisible to readers: every version's content is the
+    # prefix-sum of appends
+    assert [table.read(spark, version=v).count() for v in range(6)] == [
+        4, 5, 6, 7, 8, 9
+    ]
