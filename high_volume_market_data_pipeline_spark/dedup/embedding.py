@@ -85,9 +85,14 @@ def embedding_near_dup_pairs(
             # excludes it — mask equal-id pairs so both paths share the
             # strict-inequality contract on duplicate-id input.
             keep &= ids[ia] != ids[ib]
+            # ...and collapse positional duplicates to ID pairs HERE: a
+            # row's single-valued block key puts any (id_a, id_b) in
+            # exactly one bucket, so an in-bucket drop_duplicates fully
+            # replaces a global distinct (no extra shuffle) and keeps the
+            # rescore join from multiplying duplicate-id survivors.
             return pd.DataFrame(
                 {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
-            )
+            ).drop_duplicates()
 
         survivors = (
             vecs.select(
@@ -95,12 +100,6 @@ def embedding_near_dup_pairs(
             )
             .groupBy(block_col)
             .applyInPandas(_bucket_screen, "id_a long, id_b long")
-            # positional pairs collapse to ID pairs: with a duplicated id
-            # in a bucket the screen emits the same (id_a, id_b) once per
-            # position pair, and the rescore join would multiply that by
-            # the id's row count again. distinct() restores the fold
-            # path's multiplicity (survivors are output-sized — cheap).
-            .distinct()
         )
         rescored = (
             F.broadcast(survivors)

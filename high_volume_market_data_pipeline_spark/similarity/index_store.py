@@ -111,9 +111,14 @@ def _save_coded(
     operation: str,
     parameters: dict | None = None,
     version: int | None = None,
+    partition_by: str | None = None,
 ) -> int:
     return VersionedParquetTable(os.path.join(root, "coded")).write(
-        index_coded, operation, parameters or {}, version=version
+        index_coded,
+        operation,
+        parameters or {},
+        version=version,
+        partition_by=partition_by,
     )
 
 
@@ -175,7 +180,7 @@ def _append_coords(root: str) -> tuple[int, int, int]:
 
 def _append_coded(
     delta, root: str, operation: str, parameters: dict, version: int,
-    parent_version: int,
+    parent_version: int, partition_by: str | None = None,
 ) -> int:
     """CAS-commit ONLY the delta rows on top of ``parent_version`` — the
     manifest references the parent's files plus one new delta dir, so a
@@ -184,10 +189,17 @@ def _append_coded(
     return VersionedParquetTable(os.path.join(root, "coded")).append(
         delta, operation, parameters, version=version,
         parent_version=parent_version, max_chain=_CODED_MAX_CHAIN,
+        partition_by=partition_by,
     )
 
 
-def _commit_append(spark: SparkSession, root: str, operation: str, derive):
+def _commit_append(
+    spark: SparkSession,
+    root: str,
+    operation: str,
+    derive,
+    partition_by: str | None = None,
+):
     """Optimistic-concurrency append (the Delta commit-loop shape):
 
     1. read (model arrays at the paired version, coded table at its head)
@@ -216,7 +228,7 @@ def _commit_append(spark: SparkSession, root: str, operation: str, derive):
         try:
             _append_coded(
                 delta, root, operation, params, version=target,
-                parent_version=coded_head,
+                parent_version=coded_head, partition_by=partition_by,
             )
         except ConcurrentCommitError:
             continue  # another appender won this version; re-derive on head
@@ -240,7 +252,13 @@ def _commit_append(spark: SparkSession, root: str, operation: str, derive):
 
 
 def save_ivf_index(index: IVFIndex, root: str) -> int:
-    """Returns the committed coded-table version."""
+    """Returns the committed coded-table version. The inverted lists are
+    written PARTITIONED BY cell — the disk layout the whole IVF family
+    argument rests on: a search probes n_probe cells, and with cells as
+    hive partitions the probe equi-join prunes unprobed partitions at
+    the scan (the "cells map to prunable storage units" regime where
+    growing n_cells actually pays — see ivf_knn's sizing rule; pruning
+    pinned in tests/test_index_store.py)."""
     spark = index.coded.sparkSession
     _save_model_arrays(
         spark,
@@ -249,7 +267,7 @@ def save_ivf_index(index: IVFIndex, root: str) -> int:
         {"n_cells": len(index.centroids)},
         centroids=index.centroids,
     )
-    return _save_coded(index.coded, root, "IVF_CODED")
+    return _save_coded(index.coded, root, "IVF_CODED", partition_by="cell")
 
 
 def load_ivf_index(
@@ -257,7 +275,12 @@ def load_ivf_index(
 ) -> IVFIndex:
     version = _pin_version(root, version)
     centroids, _ = _load_model_arrays(spark, root, version)
-    return IVFIndex(centroids, _load_coded(spark, root, version))
+    # partitioned reads surface the partition column LAST — restore the
+    # build-side column order so loaded and live indexes are one schema
+    coded = _load_coded(spark, root, version).select(
+        "neighbor_id", "cv", "cell"
+    )
+    return IVFIndex(centroids, coded)
 
 
 def save_pq_index(index: PQIndex, root: str) -> int:
@@ -296,7 +319,9 @@ def save_ivf_pq_index(index: IVFPQIndex, root: str) -> int:
         centroids=index.centroids,
         codebooks=index.codebooks,
     )
-    return _save_coded(index.coded, root, "IVF_PQ_CODED")
+    return _save_coded(
+        index.coded, root, "IVF_PQ_CODED", partition_by="cell"
+    )
 
 
 def load_ivf_pq_index(
@@ -304,7 +329,10 @@ def load_ivf_pq_index(
 ) -> IVFPQIndex:
     version = _pin_version(root, version)
     centroids, codebooks = _load_model_arrays(spark, root, version)
-    return IVFPQIndex(centroids, codebooks, _load_coded(spark, root, version))
+    coded = _load_coded(spark, root, version).select(
+        "neighbor_id", "cell", "pq_codes"
+    )
+    return IVFPQIndex(centroids, codebooks, coded)
 
 
 def _with_cell(df, centroids: "np.ndarray", vec_col: str, id_col: str):
@@ -373,7 +401,7 @@ def append_to_ivf_index(
             )
         return new_rows, {"n_cells": len(centroids)}
 
-    return _commit_append(spark, root, "IVF_APPEND", derive)
+    return _commit_append(spark, root, "IVF_APPEND", derive, partition_by="cell")
 
 
 def append_to_ivf_pq_index(
@@ -419,7 +447,9 @@ def append_to_ivf_pq_index(
             "n_codes": n_codes,
         }
 
-    return _commit_append(spark, root, "IVF_PQ_APPEND", derive)
+    return _commit_append(
+        spark, root, "IVF_PQ_APPEND", derive, partition_by="cell"
+    )
 
 
 def append_to_pq_index(

@@ -680,6 +680,18 @@ def ivf_knn(
         for cell in np.lexsort((cells_ix, d2[qi]))[:n_probe]
     ]
     probed = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    # The probed-cell set is known DRIVER-SIDE, so push it as a STATIC
+    # IN-filter ahead of the join: on a persisted index (coded table
+    # hive-partitioned by cell — save_ivf_index) this becomes a
+    # PartitionFilter at the scan and unprobed cells are never read —
+    # the storage regime where growing n_cells genuinely pays (see the
+    # sizing rule above). Logically redundant with the equi-join;
+    # harmless on an in-RAM localCheckpoint. (Spark's dynamic partition
+    # pruning does NOT fire here: the probe side is a local relation
+    # with no selective scan predicate, so we prune statically.)
+    inverted = inverted.filter(
+        F.col("cell").isin(sorted({c for _, c in probe_rows}))
+    )
 
     qorder = np.argsort(qids)
     qids_sorted = qids[qorder]
@@ -1221,6 +1233,11 @@ def ivf_pq_knn(
             )
     probed = spark.createDataFrame(
         probe_rows, "query_id long, cell int, _qdotc double"
+    )
+    # static probed-cell pruning — see ivf_knn: a PartitionFilter on the
+    # persisted cell-partitioned code table, a no-op filter in RAM
+    coded = coded.filter(
+        F.col("cell").isin(sorted({c for _, c, _ in probe_rows}))
     )
 
     # per-query residual LUT, shipped as a task closure (model-scale)

@@ -205,12 +205,22 @@ class VersionedParquetTable:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(delta_dir)
+        # An EMPTY partitioned write creates no partition dirs and no
+        # part files (only _SUCCESS) — referencing it would make every
+        # later read fail schema inference on that dir. An empty delta
+        # (e.g. a fully-deduped replay) commits as a manifest pointing at
+        # the parent's files only; the version still advances.
+        has_files = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(delta_dir)
+            for f in fs
+        )
         manifest = {
             "version": version,
             "timestamp": time.time(),
             "operation": operation,
             "parameters": parameters or {},
-            "data_dirs": parent_dirs + [delta_dir],
+            "data_dirs": parent_dirs + ([delta_dir] if has_files else []),
         }
         self._commit_manifest(manifest, version)
         return version
@@ -292,10 +302,18 @@ class VersionedParquetTable:
         as_of_ts: float | None = None,
     ) -> DataFrame:
         """Current snapshot, or time travel by version / timestamp
-        (``VERSION AS OF`` / ``TIMESTAMP AS OF`` analogue)."""
-        return spark.read.parquet(
-            *self._data_dirs(self._resolve(version, as_of_ts))
-        )
+        (``VERSION AS OF`` / ``TIMESTAMP AS OF`` analogue). Append-chain
+        dirs are read ONE SCAN EACH and unioned by name: a single
+        multi-path read cannot mix hive-partitioned snapshot layouts
+        (CONFLICTING_DIRECTORY_STRUCTURES without a common basePath), and
+        per-dir scans keep partition pruning and column order independent
+        per snapshot. Chain length — and so the union width — is bounded
+        by ``append(max_chain=...)``."""
+        dirs = self._data_dirs(self._resolve(version, as_of_ts))
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
 
     def history(self, spark: SparkSession) -> DataFrame:
         """(version, timestamp, operation, parameters) — newest first, like

@@ -436,7 +436,8 @@ def test_interleaved_appends_do_not_lose_updates(spark, tmp_path, monkeypatch):
     real_append = ist._append_coded
     state = {"injected": False, "collisions": 0}
 
-    def racy_append(df, root_, op, parameters, version, parent_version):
+    def racy_append(df, root_, op, parameters, version, parent_version,
+                    **kw):
         # Writer B reached its commit point with a delta derived from v0;
         # writer A's whole append lands NOW — the exact interleaving that
         # lost A's rows before the CAS commit.
@@ -445,7 +446,7 @@ def test_interleaved_appends_do_not_lose_updates(spark, tmp_path, monkeypatch):
             ist.append_to_pq_index(spark, root, a_rows)
         try:
             return real_append(
-                df, root_, op, parameters, version, parent_version
+                df, root_, op, parameters, version, parent_version, **kw
             )
         except ist.ConcurrentCommitError:
             state["collisions"] += 1
@@ -469,3 +470,36 @@ def test_interleaved_appends_do_not_lose_updates(spark, tmp_path, monkeypatch):
     manifests = coded_t._manifests()
     assert [m["version"] for m in manifests] == [0, 1, 2]
     assert [m["parameters"].get("parent_version") for m in manifests[1:]] == [0, 1]
+
+
+def test_persisted_ivf_search_prunes_cell_partitions(spark, tmp_path):
+    """The persisted IVF coded table is hive-partitioned by cell, and the
+    search pushes its driver-side probed-cell set as a STATIC IN-filter —
+    so a search over the loaded index must show a cell PartitionFilter at
+    the parquet scan (unprobed cells never read: the storage regime where
+    growing n_cells pays), and return exactly the live index's rows."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 3")
+    live = build_ivf_index(emb, n_cells=8)
+    save_ivf_index(live, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+
+    res = ivf_knn(q, emb, k=3, n_probe=2, index=loaded)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_lines, "coded scan lost its hive partitioning"
+    assert any(
+        "cell" in ln and " IN " in ln for ln in part_lines
+    ), part_lines
+    assert _rows(res) == _rows(ivf_knn(q, emb, k=3, n_probe=2, index=live))
