@@ -131,22 +131,32 @@ def _load_coded(spark: SparkSession, root: str, version: int | None = None):
 def _pin_version(root: str, version: int | None) -> int | None:
     """Resolve the version BOTH tables are loaded at. An explicit version
     passes through (missing pieces raise, as they should). ``None`` pins
-    to min(model head, coded head) instead of each table's own head: the
-    two commits in save_*/append_* are not one transaction, so a crash or
-    lost commit race between them can leave the heads diverged — and a
-    head-of-each load would then pair NEW model arrays with the OLD coded
-    table (for a rebuild, codes decoded against the wrong codebooks:
-    silently wrong neighbors, not an error). min() always lands on the
-    newest PAIRED snapshot, whichever commit order the writer used."""
+    to the NEWEST VERSION PRESENT IN BOTH TABLES: the two commits in
+    save_*/append_* are not one transaction, so a crash or lost commit
+    race between them can leave the tables diverged — and a head-of-each
+    load would then pair NEW model arrays with the OLD coded table (for
+    a rebuild, codes decoded against the wrong codebooks: silently wrong
+    neighbors, not an error). The set intersection, not min(heads),
+    because crash sequences can leave HOLES: a crashed re-train (model
+    head = N+1) followed by an append that died between its coded and
+    model commits leaves coded versions {…, N, N+2} — min(heads) = N+1
+    names a coded version that never existed and every head load would
+    raise until the next successful append."""
     if version is not None:
         return version
-    heads = [
-        VersionedParquetTable(os.path.join(root, leaf)).latest_version()
-        for leaf in ("model", "coded")
-    ]
-    if any(h is None for h in heads):
+    mv = set(VersionedParquetTable(os.path.join(root, "model")).versions())
+    cv = set(VersionedParquetTable(os.path.join(root, "coded")).versions())
+    if not mv or not cv:
         return None  # let the table read raise its own not-found error
-    return min(heads)
+    paired = mv & cv
+    if not paired:
+        # both tables exist but share no version — loading head-of-each
+        # would pair codes with the wrong model, silently
+        raise FileNotFoundError(
+            f"no paired (model, coded) version at {root}: "
+            f"model has {sorted(mv)}, coded has {sorted(cv)}"
+        )
+    return max(paired)
 
 
 _APPEND_RETRIES = 5

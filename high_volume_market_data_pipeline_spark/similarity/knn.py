@@ -530,6 +530,41 @@ class IVFIndex(NamedTuple):
     coded: DataFrame
 
 
+def _fit_sample(
+    df: DataFrame,
+    id_col: str,
+    fit_fraction: float | None,
+    auto_target: int | None,
+) -> DataFrame:
+    """Training input for a quantizer fit — the one sampling discipline
+    every index builder shares (FAISS ``max_points_per_centroid``). An
+    explicit ``fit_fraction`` wins; otherwise sample down to
+    ~``auto_target`` rows (``None`` disables auto-sampling; the count is
+    one column-pruned pass, negligible next to the Lloyd iterations it
+    saves). Deterministic md5-bucket sample so fits are reproducible
+    across runs and appends; a sample that comes back EMPTY (tiny
+    corpus) falls back to the full input, because an empty training set
+    would silently fit an all-zero model."""
+    if fit_fraction is None and auto_target is not None:
+        n = df.count()
+        if n > auto_target:
+            fit_fraction = auto_target / n
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from high_volume_market_data_pipeline_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        n_buckets = 10_000
+        bound = max(1, int(round(fit_fraction * n_buckets)))
+        sampled = df.filter(
+            hash_bucket(F.col(id_col).cast("string"), n_buckets) < bound
+        )
+        if sampled.limit(1).count() == 0:
+            return df
+        return sampled
+    return df
+
+
 def build_ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -574,26 +609,12 @@ def build_ivf_index(
     # Coarse quantizer: a handful of Lloyd iterations is enough — cells
     # only need to be roughly balanced, not converged (FAISS uses 10-25 on
     # samples; recall is governed by n_probe, not centroid polish).
-    if fit_fraction is None and points_per_cell is not None:
-        n = ml.count()  # also materializes the persist for the fit passes
-        target = points_per_cell * n_cells
-        if n > target:
-            fit_fraction = target / n
-    fit_input = ml
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        from high_volume_market_data_pipeline_spark.operators.sampling import (
-            hash_bucket,
-        )
-
-        n_buckets = 10_000
-        bound = max(1, int(round(fit_fraction * n_buckets)))
-        fit_input = ml.filter(
-            hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
-        )
-        # empty-sample fallback (see fit_pq_codebooks): KMeans.fit throws
-        # on an empty dataset when no id hashes under the threshold
-        if fit_input.limit(1).count() == 0:
-            fit_input = ml
+    fit_input = _fit_sample(
+        ml,
+        "neighbor_id",
+        fit_fraction,
+        points_per_cell * n_cells if points_per_cell is not None else None,
+    )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="_features", predictionCol="cell",
@@ -774,32 +795,12 @@ def fit_pq_codebooks(
     else:
         v = raw
     c = corpus.select(F.col(id_col).alias("_id"), v.alias("v"))
-    if fit_fraction is None and points_per_code is not None:
-        # auto-sample: target points_per_code · n_codes training vectors.
-        # The count is one column-pruned pass over ids — negligible next
-        # to the Lloyd iterations it saves.
-        n = c.count()
-        target = points_per_code * n_codes
-        if n > target:
-            fit_fraction = target / n
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        from high_volume_market_data_pipeline_spark.operators.sampling import (
-            hash_bucket,
-        )
-
-        n_buckets = 10_000
-        bound = max(1, int(round(fit_fraction * n_buckets)))
-        sampled = c.filter(
-            hash_bucket(F.col("_id").cast("string"), n_buckets) < bound
-        )
-        # max(1, ...) bounds the THRESHOLD, not the sample: on a small
-        # corpus no id may hash under it, and an empty training set would
-        # silently yield an all-zero codebook (every vector coded 0, ADC
-        # scores all tie). Fall back to the full corpus — if the corpus
-        # is small enough to miss the sample, it is small enough to fit.
-        if sampled.limit(1).count() == 0:
-            sampled = c
-        c = sampled
+    c = _fit_sample(
+        c,
+        "_id",
+        fit_fraction,
+        points_per_code * n_codes if points_per_code is not None else None,
+    )
     subs = c.select(
         "_id",
         F.posexplode(
@@ -1098,27 +1099,12 @@ def build_ivf_pq_index(
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("_nv", unit(F.col("cv")))
     ml = c.withColumn("_features", array_to_vector("_nv")).persist()
-    coarse_fraction = fit_fraction
-    if coarse_fraction is None and points_per_cell is not None:
-        n = ml.count()
-        target = points_per_cell * n_cells
-        if n > target:
-            coarse_fraction = target / n
-    fit_input = ml
-    if coarse_fraction is not None and 0.0 < coarse_fraction < 1.0:
-        from high_volume_market_data_pipeline_spark.operators.sampling import (
-            hash_bucket,
-        )
-
-        n_buckets = 10_000
-        bound = max(1, int(round(coarse_fraction * n_buckets)))
-        fit_input = ml.filter(
-            hash_bucket(F.col("neighbor_id").cast("string"), n_buckets) < bound
-        )
-        # empty-sample fallback (see fit_pq_codebooks): KMeans.fit throws
-        # on an empty dataset when no id hashes under the threshold
-        if fit_input.limit(1).count() == 0:
-            fit_input = ml
+    fit_input = _fit_sample(
+        ml,
+        "neighbor_id",
+        fit_fraction,
+        points_per_cell * n_cells if points_per_cell is not None else None,
+    )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="_features", predictionCol="cell",

@@ -105,6 +105,10 @@ class VersionedParquetTable:
         ms = self._manifests()
         return ms[-1]["version"] if ms else None
 
+    def versions(self) -> list[int]:
+        """Every committed version number, ascending."""
+        return [m["version"] for m in self._manifests()]
+
     def exists(self) -> bool:
         """M5 — table existence probe (DeltaTable.isDeltaTable analogue)."""
         return self.latest_version() is not None
@@ -148,6 +152,10 @@ class VersionedParquetTable:
             "operation": operation,
             "parameters": parameters or {},
             "data_dir": data_dir,
+            # recorded so layout-preserving rewrites (compact/restore)
+            # can reproduce the snapshot's hive partitioning instead of
+            # silently flattening it
+            "partition_by": partition_by,
         }
         self._commit_manifest(manifest, version)
         return version
@@ -189,8 +197,14 @@ class VersionedParquetTable:
             version = (self.latest_version() or 0) + 1
         parent_dirs = self._data_dirs(parent)
         if max_chain is not None and len(parent_dirs) >= max_chain:
+            # read() unions the chain ONE SCAN PER DIR — a single
+            # multi-root read crashes with CONFLICTING_DIRECTORY_STRUCTURES
+            # when the dirs are hive-partitioned (the cell-partitioned
+            # index tables are exactly that).
             spark = df.sparkSession
-            merged = spark.read.parquet(*parent_dirs).unionByName(df)
+            merged = self.read(spark, version=parent["version"]).unionByName(
+                df
+            )
             return self.write(
                 merged,
                 operation,
@@ -221,6 +235,7 @@ class VersionedParquetTable:
             "operation": operation,
             "parameters": parameters or {},
             "data_dirs": parent_dirs + ([delta_dir] if has_files else []),
+            "partition_by": partition_by,
         }
         self._commit_manifest(manifest, version)
         return version
@@ -410,18 +425,31 @@ class VersionedParquetTable:
         """Fold the head's file set — possibly a long append chain — back
         into ONE full snapshot (OPTIMIZE for the manifest log): reading a
         table that took 10,000 micro-batch appends should not open 10,000
-        delta dirs forever. Old versions stay time-travelable until
-        vacuum retires them."""
-        head = self.latest_version()
+        delta dirs forever. The head's recorded hive partitioning is
+        PRESERVED — a compaction that silently flattened a cell-
+        partitioned index table would destroy its partition pruning with
+        no error. Old versions stay time-travelable until vacuum retires
+        them."""
+        head = self._resolve(None, None)
         return self.write(
-            self.read(spark), "COMPACT", {"compacted_from": head}
+            self.read(spark),
+            "COMPACT",
+            {"compacted_from": head["version"]},
+            partition_by=head.get("partition_by"),
         )
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: re-commit an old snapshot as
-        the new head (Delta-parity; keeps the log linear)."""
+        the new head (Delta-parity; keeps the log linear, preserves the
+        source version's hive partitioning)."""
+        src = self._resolve(version, None)
         df = self.read(spark, version=version)
-        return self.write(df, "RESTORE", {"restored_version": version})
+        return self.write(
+            df,
+            "RESTORE",
+            {"restored_version": version},
+            partition_by=src.get("partition_by"),
+        )
 
     # -- maintenance --------------------------------------------------------
 

@@ -384,3 +384,34 @@ def test_append_max_chain_absorbs_into_snapshot(spark, table):
     assert [table.read(spark, version=v).count() for v in range(6)] == [
         4, 5, 6, 7, 8, 9
     ]
+
+
+def test_partitioned_append_chain_absorbs_and_compacts(spark, table):
+    """The absorb and compact rewrites must work on HIVE-PARTITIONED
+    chains and preserve the partition layout: a single multi-root read
+    of partitioned dirs crashes (CONFLICTING_DIRECTORY_STRUCTURES), and
+    a compaction that silently flattened the layout would destroy
+    partition pruning with no error."""
+    table.write(_df(spark, 4, "a").withColumn("p", F.col("id") % 2),
+                partition_by="p")
+    for i in range(4):
+        # the 3rd append hits max_chain and must absorb, not crash
+        table.append(
+            _df(spark, 1, f"d{i}").withColumn("p", F.lit(i % 2)),
+            partition_by="p",
+            max_chain=3,
+        )
+    assert table.read(spark).count() == 8
+
+    v = table.compact(spark)
+    compacted = table._resolve(v, None)
+    assert compacted.get("partition_by") == "p"  # layout preserved
+    ddir = table._data_dirs(compacted)[0]
+    assert {d for d in os.listdir(ddir) if d.startswith("p=")} == {
+        "p=0", "p=1"
+    }
+    assert table.read(spark).count() == 8
+    # restore of a partitioned version keeps its layout too
+    rv = table.restore(spark, 0)
+    assert table._resolve(rv, None).get("partition_by") == "p"
+    assert table.read(spark).count() == 4

@@ -503,3 +503,47 @@ def test_persisted_ivf_search_prunes_cell_partitions(spark, tmp_path):
         "cell" in ln and " IN " in ln for ln in part_lines
     ), part_lines
     assert _rows(res) == _rows(ivf_knn(q, emb, k=3, n_probe=2, index=live))
+
+
+def test_head_load_survives_version_holes(spark, tmp_path):
+    """Crash sequences can leave HOLES in one table's version chain
+    (e.g. a crashed re-train puts the model a version ahead, then an
+    append dies between its coded and model commits). Head loads must
+    pin to the newest version present in BOTH tables — min(heads) would
+    name a version the coded table never committed and brick every
+    default-version load."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _save_model_arrays,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = build_pq_index(emb.limit(100), m_subspaces=8, n_codes=16)
+    root = str(tmp_path / "pq")
+    save_pq_index(idx, root)  # paired v0
+
+    # crashed re-train: model v1 committed, coded v1 never lands
+    _save_model_arrays(
+        spark, root, "PQ_MODEL", {"m_subspaces": 8, "n_codes": 16},
+        codebooks=idx.codebooks,
+    )
+    # append that died between its coded commit (v2) and model pairing
+    VersionedParquetTable(os.path.join(root, "coded")).append(
+        spark.createDataFrame(
+            [(999999, [0] * 8)], "neighbor_id long, pq_codes array<int>"
+        ),
+        "PQ_APPEND",
+        version=2,
+        parent_version=0,
+    )
+    # model versions {0,1}, coded versions {0,2}: newest PAIRED is 0
+    loaded = load_pq_index(spark, root)
+    np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
+    assert loaded.coded.count() == 100

@@ -244,9 +244,7 @@ def main() -> None:
             "batch_secs": batch_secs,
             "batch_sec_median": round(statistics.median(batch_secs), 3),
             "post_append_search_sec": fresh_sec,
-            "post_append_recall": _mean_recall(
-                pq_knn(q, emb, k=K, index=idx_after), exact
-            ),
+            "post_append_recall": _mean_recall(fresh, exact),
         }
 
         families = {
