@@ -67,6 +67,13 @@ def embedding_near_dup_pairs(
 
         pre_floor = threshold - _PREFILTER_EPS
 
+        # Budget for the in-flight score slab: the gram matrix of a hot
+        # bucket (a dominant label / degenerate block key) is quadratic —
+        # 100k vectors would be an 80 GB S on one executor. Chunking the
+        # ROWS keeps peak memory at one (chunk, n) slab regardless of
+        # bucket size; results are identical (same threshold, same pairs).
+        _SCREEN_BUDGET_BYTES = 128 << 20
+
         def _bucket_screen(pdf: "pd.DataFrame") -> "pd.DataFrame":
             if len(pdf) < 2:
                 return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
@@ -76,22 +83,33 @@ def embedding_near_dup_pairs(
             norms = np.linalg.norm(X, axis=1)
             norms[norms == 0.0] = 1.0
             Xn = X / norms[:, None]
-            S = Xn @ Xn.T
-            ia, ib = np.triu_indices(len(ids), 1)  # sorted ⇒ id_a ≤ id_b
-            keep = S[ia, ib] >= pre_floor
-            # triu pairs by POSITION: a duplicated id in one bucket would
-            # emit an id_a == id_b row the final cosine filter keeps,
-            # while the non-prefilter path's strict id_a < id_b join
-            # excludes it — mask equal-id pairs so both paths share the
-            # strict-inequality contract on duplicate-id input.
-            keep &= ids[ia] != ids[ib]
-            # ...and collapse positional duplicates to ID pairs HERE: a
-            # row's single-valued block key puts any (id_a, id_b) in
-            # exactly one bucket, so an in-bucket drop_duplicates fully
-            # replaces a global distinct (no extra shuffle) and keeps the
-            # rescore join from multiplying duplicate-id survivors.
+            n = len(ids)
+            chunk = max(1, _SCREEN_BUDGET_BYTES // (n * 8))
+            outs_a, outs_b = [], []
+            for s in range(0, n - 1, chunk):
+                e = min(n, s + chunk)
+                S = Xn[s:e] @ Xn.T  # (chunk, n) slab
+                rows, cols = np.nonzero(S >= pre_floor)
+                abs_rows = rows + s
+                # strictly-upper-triangle by POSITION (id-sorted frame ⇒
+                # id_a ≤ id_b), then mask equal-id pairs: a duplicated id
+                # in one bucket would emit an id_a == id_b row the final
+                # cosine filter keeps, while the non-prefilter path's
+                # strict id_a < id_b join excludes it — both paths share
+                # the strict-inequality contract on duplicate-id input.
+                keep = (cols > abs_rows) & (ids[abs_rows] != ids[cols])
+                outs_a.append(ids[abs_rows[keep]])
+                outs_b.append(ids[cols[keep]])
+            # Collapse positional duplicates to ID pairs HERE: a row's
+            # single-valued block key puts any (id_a, id_b) in exactly one
+            # bucket, so an in-bucket drop_duplicates fully replaces a
+            # global distinct (no extra shuffle) and keeps the rescore
+            # join from multiplying duplicate-id survivors.
             return pd.DataFrame(
-                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
+                {
+                    "id_a": np.concatenate(outs_a),
+                    "id_b": np.concatenate(outs_b),
+                }
             ).drop_duplicates()
 
         survivors = (

@@ -33,23 +33,10 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
     DEFAULT_BANDS,
     DEFAULT_K,
     DEFAULT_SHINGLE,
+    band_keys_column,
     lsh_candidate_pairs,
     minhash_signature,
 )
-
-
-def _band_keys(k: int, bands: int) -> F.Column:
-    r = k // bands
-    return F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
-            )
-            for b in range(bands)
-        ]
-    )
 
 
 class SignatureStore:
@@ -78,14 +65,21 @@ class SignatureStore:
         return sig.select(
             F.col(id_col).alias("doc_id"),
             "sig",
-            F.explode(_band_keys(self.k, self.bands)).alias("band_key"),
+            F.explode(band_keys_column(self.k, self.bands)).alias("band_key"),
         )
 
     def exists(self, spark: SparkSession) -> bool:
+        from pyspark.errors import AnalysisException
+
         try:
             spark.read.parquet(self.path).limit(1).collect()
             return True
-        except Exception:
+        except AnalysisException:
+            # path-not-found / empty-dir: the store genuinely isn't there.
+            # Anything else (IO, permissions, executor loss) must PROPAGATE:
+            # returning False tells callers to bootstrap(), and bootstrap
+            # overwrites — a transient error must never be converted into
+            # an instruction to destroy the corpus signature history.
             return False
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -158,6 +152,23 @@ class SignatureStore:
         caches: list[DataFrame],
         skip_existing_ids: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
+        from pyspark import StorageLevel
+
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            ensure_parallelism,
+        )
+
+        # The batch signatures feed THREE consumers (the within-batch pair
+        # path, the store probe, and the admitted-signature append), so
+        # compute them ONCE here and hand them to lsh_candidate_pairs
+        # explicitly — re-deriving from text per consumer would triple the
+        # most expensive step (~3 s each at the 10× tier).
+        batch_sig = minhash_signature(
+            ensure_parallelism(new_docs), text_col, id_col, self.k,
+            self.shingle,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(batch_sig)
+
         # 1. within-batch near-dups: a doc is a loser iff it near-dups any
         # smaller-id batch doc. The report keeps ONE row per loser (the
         # admission contract is one decision row per incoming doc): same
@@ -166,7 +177,7 @@ class SignatureStore:
         # partners emitted two rejected rows.
         batch_pairs = lsh_candidate_pairs(
             new_docs, text_col, id_col, self.k, self.bands, self.shingle,
-            max_bucket, cache_registry=caches,
+            max_bucket, cache_registry=caches, signatures=batch_sig,
         ).filter(F.col("est_jaccard") >= threshold)
         wb = Window.partitionBy("doc_id").orderBy(
             F.col("est_jaccard").desc(), F.col("matched_id")
@@ -200,31 +211,37 @@ class SignatureStore:
         ).localCheckpoint(eager=True)
 
         # 2. store probe: band-key equi-join, est_jaccard from signatures.
-        # The batch's minhash signatures were already computed (and
-        # persisted) inside lsh_candidate_pairs — re-deriving them from
-        # text for the probe and again for the append would triple the
-        # most expensive step (measured ~3 s each at the 10× tier), so
-        # both consumers semi-join the cached signature frame instead.
-        # select the signature frame by SCHEMA, not list position — the
-        # registry is append-ordered by lsh_candidate_pairs internals, and
-        # a future frame appended ahead of the signatures would otherwise
-        # silently substitute the wrong DataFrame into the store probe
-        batch_sig = next(
-            (c for c in caches if {id_col, "sig"} <= set(c.columns)), None
+        # The probe reuses the batch_sig computed above (explicit handoff —
+        # never fished back out of the unpersist registry by schema).
+        surv_sig = batch_sig.join(
+            survivors.select(id_col), id_col, "leftsemi"
         )
-        if batch_sig is not None:
-            surv_sig = batch_sig.join(
-                survivors.select(id_col), id_col, "leftsemi"
-            )
-            new_banded = surv_sig.select(
-                F.col(id_col).alias("doc_id"),
-                "sig",
-                F.explode(_band_keys(self.k, self.bands)).alias("band_key"),
-            )
-        else:
-            new_banded = self._banded_signatures(survivors, text_col, id_col)
+        new_banded = surv_sig.select(
+            F.col(id_col).alias("doc_id"),
+            "sig",
+            F.explode(band_keys_column(self.k, self.bands)).alias("band_key"),
+        )
         store = self.read(spark)
-        cand = new_banded.alias("n").join(store.alias("s"), "band_key")
+        # SYMMETRIC degenerate-bucket guard: the within-batch path drops
+        # buckets over max_bucket before pair expansion; the store probe
+        # must apply the SAME cap. Without it (a) a boilerplate band key
+        # whose store bucket only GROWS over batches eventually recreates
+        # the junk-pair blowup the within-batch guard exists for, and
+        # (b) replay convergence breaks: docs admitted on the first run
+        # because their oversized bucket was dropped within-batch would
+        # match each other THROUGH THE STORE on replay and flip to
+        # rejected.
+        oversized = (
+            store.groupBy("band_key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_key")
+        )
+        # the guard applies to the PROBE only — the replay-hygiene id
+        # anti-join below must still see every stored id, or a doc whose
+        # band keys are all oversized would re-append on replay
+        probe_store = store.join(oversized, "band_key", "left_anti")
+        cand = new_banded.alias("n").join(probe_store.alias("s"), "band_key")
         if skip_existing_ids:
             # replay-safe mode: a replayed doc's own signatures are in the
             # store; matching itself (est 1.0) would flip an admitted doc

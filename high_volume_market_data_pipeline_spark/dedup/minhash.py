@@ -138,6 +138,28 @@ def minhash_signature(
     )
 
 
+def band_keys_column(
+    k: int, bands: int, sig_col: str = "sig"
+) -> Column:
+    """array<string> of the ``bands`` LSH band keys derived from a
+    length-``k`` signature column — THE banding rule, defined once: the
+    persisted SignatureStore's band_key values and the pair paths' probe
+    keys are equi-joined, so two private copies of this expression would
+    silently desynchronize on any future change (recall loss, no
+    error)."""
+    r = k // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at(sig_col, b * r + i + 1) for i in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -147,6 +169,7 @@ def lsh_candidate_pairs(
     shingle: int = DEFAULT_SHINGLE,
     max_bucket: int = 1000,
     cache_registry: list | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band, with
     ``est_jaccard`` = fraction of equal signature components.
@@ -163,29 +186,29 @@ def lsh_candidate_pairs(
     the caller can ``unpersist()`` once its downstream results are
     materialized — otherwise each call leaks one cached block set for the
     session's lifetime.
+
+    ``signatures`` — a precomputed, already-materialized (id_col, sig)
+    frame — skips the signature pipeline entirely; pass it when the
+    caller needs the same signatures for OTHER joins too (the
+    SignatureStore's store probe and append), rather than fishing the
+    internal cache back out of the registry.
     """
     from high_volume_market_data_pipeline_spark.operators.layout import (
         ensure_parallelism,
     )
 
-    r = k // bands
-    sig = minhash_signature(
-        ensure_parallelism(df), text_col, id_col, k, shingle
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if cache_registry is not None:
-        cache_registry.append(sig)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
-            )
-            for b in range(bands)
-        ]
-    )
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_signature(
+            ensure_parallelism(df), text_col, id_col, k, shingle
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(sig)
     banded = sig.select(
-        F.col(id_col), F.col("sig"), F.explode(band_keys).alias("band_key")
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(band_keys_column(k, bands)).alias("band_key"),
     )
     # Degenerate-bucket guard: window count per band_key, bucket-local.
     counted = banded.withColumn(

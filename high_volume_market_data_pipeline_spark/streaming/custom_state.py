@@ -42,7 +42,19 @@ def running_user_totals(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming per-key running (count, sum) maintained in arbitrary state;
-    one snapshot row per key per micro-batch that touches the key."""
+    one snapshot row per key per micro-batch that touches the key.
+
+    ``key`` must be a bigint column (enforced, like timeout_sessions —
+    the output schema is typed and a mismatched handler value fails only
+    at runtime inside the streaming query); the output key column keeps
+    the input column name."""
+    from pyspark.sql.types import LongType
+
+    if not isinstance(sdf.schema[key].dataType, LongType):
+        raise TypeError(
+            f"running_user_totals requires a bigint key column; {key!r} is "
+            f"{sdf.schema[key].dataType.simpleString()}"
+        )
 
     def update(
         key_tuple: Any,
@@ -58,7 +70,7 @@ def running_user_totals(
         state.update((n, total))
         yield pd.DataFrame(
             {
-                "user_id": [key_tuple[0]],
+                key: [key_tuple[0]],
                 "n_events": [n],
                 "total_value": [total],
                 "batch_rows": [batch_rows],
@@ -71,7 +83,7 @@ def running_user_totals(
         .applyInPandasWithState(
             update,
             outputStructType=(
-                "user_id bigint, n_events bigint, "
+                f"{key} bigint, n_events bigint, "
                 "total_value double, batch_rows bigint"
             ),
             stateStructType="n bigint, total double",
@@ -222,6 +234,13 @@ def running_user_totals_tws(
     ``running_user_totals`` (applyInPandasWithState) is the executable
     twin in this environment.
     """
+    from pyspark.sql.types import LongType
+
+    if not isinstance(sdf.schema[key].dataType, LongType):
+        raise TypeError(
+            f"running_user_totals_tws requires a bigint key column; "
+            f"{key!r} is {sdf.schema[key].dataType.simpleString()}"
+        )
     try:  # fail fast with a clear message instead of a worker crash
         import google.protobuf  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
@@ -255,7 +274,7 @@ def running_user_totals_tws(
             self._totals.update((n, total))
             yield pd.DataFrame(
                 {
-                    "user_id": [key_tuple[0]],
+                    key: [key_tuple[0]],
                     "n_events": [n],
                     "total_value": [total],
                     "batch_rows": [batch_rows],
@@ -271,7 +290,7 @@ def running_user_totals_tws(
         .transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
             outputStructType=(
-                "user_id bigint, n_events bigint, "
+                f"{key} bigint, n_events bigint, "
                 "total_value double, batch_rows bigint"
             ),
             outputMode="append",

@@ -31,4 +31,14 @@ def streaming_dedup(
     marked = sdf.withWatermark(ts_col, watermark)
     if within_watermark:
         return marked.dropDuplicatesWithinWatermark(list(keys))
-    return marked.dropDuplicates(list(keys))
+    subset = list(keys)
+    if ts_col not in subset:
+        # Spark only EVICTS dropDuplicates state when the event-time
+        # column is part of the dedup subset — without it every key is
+        # retained forever (unbounded state on a long-running stream) and
+        # the watermark-eviction contract above is silently false. Plain
+        # dropDuplicates is exact-dup semantics, so ts belongs in the key
+        # anyway; callers who want ts-insensitive dedup want
+        # within_watermark=True.
+        subset.append(ts_col)
+    return marked.dropDuplicates(subset)

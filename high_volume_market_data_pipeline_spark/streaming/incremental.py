@@ -27,7 +27,6 @@ checkpointed incremental pulls) with MinHash dedup.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,28 +40,56 @@ from high_volume_market_data_pipeline_spark.dedup.incremental import (
 _SCHEMA_MARKER = "_ledger_schema.json"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through Spark's Hadoop conf — the
+    marker must live on the SAME filesystem the ledger parquet lands on
+    (s3a://, hdfs://, file://); driver-local ``os`` calls would write a
+    literal 's3a:/...' directory on the driver's disk and every other
+    reader would miss it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def _ensure_schema_marker(df: DataFrame, leaf_dir: str) -> None:
     """Persist the leaf's schema once, so a leaf whose every micro-batch
     wrote zero rows (e.g. no rejections all run) is still readable —
     an all-empty partitioned parquet dir has no schema-bearing files and
     a plain ``spark.read.parquet`` fails with 'unable to infer schema'.
     Underscore-prefixed, so Spark's parquet scan ignores it."""
-    os.makedirs(leaf_dir, exist_ok=True)
-    marker = os.path.join(leaf_dir, _SCHEMA_MARKER)
-    if not os.path.exists(marker):
-        with open(marker, "w") as fh:
-            fh.write(df.schema.json())
+    spark = df.sparkSession
+    fs, marker = _hadoop_fs(spark, f"{leaf_dir}/{_SCHEMA_MARKER}")
+    if fs.exists(marker):
+        return
+    fs.mkdirs(marker.getParent())
+    try:
+        out = fs.create(marker, False)  # create-if-absent
+    except Exception:
+        if fs.exists(marker):  # lost a (harmless) race: same content
+            return
+        raise
+    try:
+        out.write(bytearray(df.schema.json().encode("utf-8")))
+    finally:
+        out.close()
 
 
 def read_ledger(spark: SparkSession, out_root: str, leaf: str) -> DataFrame:
     """Read an admission-ledger leaf (``admitted`` | ``rejected``),
     tolerating a leaf that never received a row: schema comes from the
     marker the first micro-batch wrote."""
-    path = os.path.join(out_root, leaf)
-    marker = os.path.join(path, _SCHEMA_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            schema = StructType.fromJson(json.load(fh))
+    path = f"{out_root}/{leaf}"
+    fs, marker = _hadoop_fs(spark, f"{path}/{_SCHEMA_MARKER}")
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        schema = StructType.fromJson(json.loads(raw))
         return spark.read.schema(schema).parquet(path)
     return spark.read.parquet(path)
 
@@ -101,7 +128,7 @@ def stream_incremental_dedup(
         )
         for df, leaf in ((admitted, "admitted"), (rejected, "rejected")):
             out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            _ensure_schema_marker(out, os.path.join(out_root, leaf))
+            _ensure_schema_marker(out, f"{out_root}/{leaf}")
             # dynamic mode per-write: a replayed batch overwrites ONLY its
             # own batch_id partition (exactly-once ledger), without
             # flipping the session-wide overwrite default

@@ -613,3 +613,48 @@ def test_adaptive_recall_meets_committed_floor():
         assert r["recall"] is not None and (
             r["recall"] >= ADAPTIVE_RECALL_FLOOR
         ), f"{os.path.basename(path)} {key}: {r}"
+
+
+def test_store_probe_applies_bucket_guard_and_replay_converges(
+    spark, tmp_path
+):
+    """The store probe must apply the SAME max_bucket guard as the
+    within-batch path. Without it, docs admitted on the first run because
+    their oversized bucket was dropped within-batch would match each
+    other THROUGH THE STORE on replay and flip to rejected — breaking the
+    documented replay-convergence (at-least-once) contract."""
+    from high_volume_market_data_pipeline_spark.dedup import SignatureStore
+
+    # one unrelated doc seeds the store; the batch is 4 identical docs
+    # sharing every band key — bucket size 4 > max_bucket 3
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(
+        spark.createDataFrame(
+            [(1, "completely unrelated seed document text")],
+            "doc_id long, text string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim " * 3)
+         for i in (10, 11, 12, 13)],
+        "doc_id long, text string",
+    )
+
+    admitted, rejected = store.dedup_increment(
+        batch, threshold=0.5, max_bucket=3, skip_existing_ids=True
+    )
+    first_ids = {r.doc_id for r in admitted.select("doc_id").collect()}
+    # within-batch bucket (size 4) dropped by the guard -> all admitted
+    assert first_ids == {10, 11, 12, 13} and rejected.count() == 0
+
+    # replay the same batch: the store bucket for that band key is now
+    # size 4 > max_bucket — the probe must drop it too, so the decision
+    # set is IDENTICAL (convergence), not four vs_store rejections
+    admitted2, rejected2 = store.dedup_increment(
+        batch, threshold=0.5, max_bucket=3, skip_existing_ids=True
+    )
+    assert {r.doc_id for r in admitted2.select("doc_id").collect()} == first_ids
+    assert rejected2.count() == 0
+    # and signatures were not double-appended
+    n_rows = store.read(spark).count()
+    assert n_rows == (1 + 4) * store.bands
