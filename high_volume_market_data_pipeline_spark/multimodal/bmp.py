@@ -1,0 +1,190 @@
+"""Pure-numpy BMP encode/decode — a REAL image decode path with no codec
+library (the container has no PIL): BMP's uncompressed BI_RGB frames are a
+fixed header + a row-padded pixel grid, i.e. header parse + buffer reshape,
+which numpy does exactly. The PIL-gated ``decode_image`` in binary_ops
+stays the route for compressed codecs (JPEG/PNG); this module makes the
+decode STAGE itself executable and testable in this environment.
+
+Supported: 8-bit paletted grayscale (channels=1) and 24-bit BGR
+(channels=3), bottom-up or top-down, BITMAPINFOHEADER (40-byte DIB),
+BI_RGB (no compression). Exactly the subset a deterministic pipeline
+fixture needs; anything else reports ok=false per row (never a batch
+failure — same per-row validation contract as ``resize_raw``).
+
+Layout facts the decoder must honor (the classic BMP gotchas):
+- every pixel ROW is padded to a 4-byte boundary on disk;
+- a POSITIVE DIB height means bottom-up row order (the first disk row is
+  the bottom image row); negative height means top-down;
+- 24-bit pixels are B,G,R order, not RGB;
+- the pixel array starts at the offset named at byte 10, NOT right after
+  the headers (palettes and gap bytes sit in between).
+
+No reference counterpart (multimodal extension mandated by the driver).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res1, res2, px offset
+_DIB_HEADER = struct.Struct("<IiiHHIIiiII")  # size, w, h, planes, bpp, comp, ...
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 grayscale or (h, w, 3) uint8 RGB array as a
+    standard bottom-up BI_RGB BMP (8-bit with a 256-entry gray palette, or
+    24-bit BGR). Byte-deterministic — the fixture generator for the decode
+    query and tests."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        bpp, palette_n = 8, 256
+        rows = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w = px.shape[:2]
+        bpp, palette_n = 24, 0
+        rows = px[:, :, ::-1].reshape(h, w * 3)  # RGB -> disk BGR
+    else:
+        raise ValueError(f"encode_bmp: expected (h,w) or (h,w,3), got {px.shape}")
+    row_bytes = rows.shape[1]
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, :row_bytes] = rows
+    body = padded[::-1].tobytes()  # bottom-up: last image row first on disk
+    palette = (
+        np.repeat(np.arange(256, dtype=np.uint8), 4)
+        .reshape(256, 4)
+        .copy()
+        if palette_n
+        else np.empty((0, 4), dtype=np.uint8)
+    )
+    if palette_n:
+        palette[:, 3] = 0  # BGRA palette entries, alpha byte zero
+    px_offset = _FILE_HEADER.size + _DIB_HEADER.size + palette_n * 4
+    head = _FILE_HEADER.pack(b"BM", px_offset + len(body), 0, 0, px_offset)
+    dib = _DIB_HEADER.pack(
+        _DIB_HEADER.size, w, h, 1, bpp, 0, len(body), 2835, 2835, palette_n, 0
+    )
+    return head + dib + palette.tobytes() + body
+
+
+def decode_bmp_bytes(blob: bytes) -> "tuple[np.ndarray, int] | None":
+    """Parse one BMP payload → (pixel array, channels), or None when the
+    payload is not a BMP this decoder supports (wrong magic, compressed,
+    unsupported bpp, or truncated — per-row validation, never raise).
+    8-bit returns (h, w) palette indexes (identity-gray fixtures read as
+    intensities); 24-bit returns (h, w, 3) in RGB order."""
+    if blob is None or len(blob) < _FILE_HEADER.size + _DIB_HEADER.size:
+        return None
+    magic, _, _, _, px_offset = _FILE_HEADER.unpack_from(blob, 0)
+    if magic != b"BM":
+        return None
+    (dib_size, w, h, planes, bpp, comp, *_rest) = _DIB_HEADER.unpack_from(
+        blob, _FILE_HEADER.size
+    )
+    if dib_size < _DIB_HEADER.size or planes != 1 or comp != 0:
+        return None
+    if bpp not in (8, 24) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * (bpp // 8)
+    stride = (row_bytes + 3) & ~3
+    need = px_offset + stride * h
+    if len(blob) < need:
+        return None
+    grid = (
+        np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=px_offset)
+        .reshape(h, stride)[:, :row_bytes]
+    )
+    if not top_down:
+        grid = grid[::-1]
+    if bpp == 8:
+        return grid.copy(), 1
+    return grid.reshape(h, w, 3)[:, :, ::-1].copy(), 3  # disk BGR -> RGB
+
+
+def decode_bmp(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Real image decode over mapInPandas Arrow batches: BMP bytes →
+    (asset_id, width, height, channels, sum_pixels, ok). ``sum_pixels``
+    is the exact int64 sum over logical pixel bytes (padding excluded) —
+    the downstream-checkable witness that the decoder read the grid, not
+    just the header. Undecodable rows yield ok=false with NULL stats.
+
+    The production chain is decode → resize_raw → featurize; this stage
+    replaces the PIL-gated ``decode_image`` for uncompressed frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, sums, oks = [], [], [], [], [], []
+            for asset_id, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(asset_id)
+                parsed = decode_bmp_bytes(blob)
+                if parsed is None:
+                    ws.append(None), hs.append(None), cs.append(None)
+                    sums.append(None), oks.append(False)
+                    continue
+                px, channels = parsed
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                cs.append(channels)
+                sums.append(int(px.astype(np.int64).sum()))
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "sum_pixels": pd.array(sums, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="asset_id bigint, width int, height int, channels int,"
+        " sum_pixels bigint, ok boolean",
+    )
+
+
+def synthetic_bmp_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic BMP fixtures keyed on the id — REAL encoded files
+    (padding, palette, bottom-up rows), synthetic pixels: width/height/
+    channels from id arithmetic and pixel byte i ≡ i mod 256 in row-major
+    RGB/gray order. Both the dimensions and the pixel sum then have
+    closed-form integer SQL (the DuckDB oracle for the decode query):
+
+        n = w*h*channels
+        sum = (n // 256) * 32640 + (n % 256) * (n % 256 - 1) // 2
+
+    so a value-hash oracle can check a mapInPandas DECODE path end to
+    end without an image library on the oracle side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 9, 3 + i % 5
+                channels = 1 if i % 2 == 0 else 3
+                n = w * h * channels
+                flat = (np.arange(n, dtype=np.int64) % 256).astype(np.uint8)
+                px = flat.reshape((h, w) if channels == 1 else (h, w, 3))
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({"asset_id": pdf[id_col], "content": blobs})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="asset_id bigint, content binary"
+    )

@@ -174,18 +174,30 @@ def _append_coords(root: str) -> tuple[int, int, int]:
     """(model_load_version, coded_head, cas_target) for one append attempt.
 
     The merge base for an append is the CODED HEAD — never the paired
-    min() a reader would pin to — because the coded chain is what two
+    version a reader would pin to — because the coded chain is what two
     appenders race on: deriving from anything older silently drops the
     other writer's rows at commit time (the classic lost update). Model
-    arrays are append-invariant, so loading them at the newest PAIRED
-    version is always the stored codebooks/centroids. The CAS target sits
-    past BOTH heads so a crashed re-train's orphan model version can
-    never collide with an append's pairing commit."""
-    mh = VersionedParquetTable(os.path.join(root, "model")).latest_version()
-    ch = VersionedParquetTable(os.path.join(root, "coded")).latest_version()
-    if mh is None or ch is None:
+    arrays load at the newest PAIRED version — max(model ∩ coded), the
+    exact resolution ``_pin_version`` uses — NOT min(heads): a crashed
+    re-train (orphan model at N+1) followed by a crashed append (coded
+    {…, N, N+2}) makes min(heads) = N+1 select the orphan model, and an
+    append would then encode its delta with codebooks never paired with
+    the existing coded chain AND re-commit them as the paired model —
+    every pre-existing code would decode against the wrong codebooks
+    from then on, silently. The CAS target sits past BOTH heads so a
+    crashed re-train's orphan model version can never collide with an
+    append's pairing commit."""
+    mv = set(VersionedParquetTable(os.path.join(root, "model")).versions())
+    cv = set(VersionedParquetTable(os.path.join(root, "coded")).versions())
+    if not mv or not cv:
         raise FileNotFoundError(f"no persisted index at {root}")
-    return min(mh, ch), ch, max(mh, ch) + 1
+    paired = mv & cv
+    if not paired:
+        raise FileNotFoundError(
+            f"no paired (model, coded) version at {root}: "
+            f"model has {sorted(mv)}, coded has {sorted(cv)}"
+        )
+    return max(paired), max(cv), max(max(mv), max(cv)) + 1
 
 
 def _append_coded(

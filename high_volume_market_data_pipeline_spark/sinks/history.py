@@ -35,8 +35,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
+import warnings
 
 from typing import NamedTuple
 
@@ -44,6 +46,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "_log"
+_MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
+_LAST_CHECKPOINT = "_last_checkpoint"
 
 
 class VacuumResult(NamedTuple):
@@ -66,26 +71,89 @@ class ConcurrentCommitError(RuntimeError):
     case)."""
 
 
+class TornCommitError(RuntimeError):
+    """The version a CAS commit targeted is occupied by an UNPARSEABLE
+    manifest older than the in-flight grace window — a crashed O_EXCL-
+    fallback commit, not live contention. Retrying cannot succeed
+    (readers skip the torn tail, so every retry re-derives the same
+    target version and hits the same file); the table needs the torn
+    manifest removed (``repair_torn_tail()``). Distinct from
+    ConcurrentCommitError so retry loops fail fast with the real cause
+    instead of burning their retries and blaming contention."""
+
+
 class VersionedParquetTable:
     """Versioned snapshots of a parquet table with Delta-like history()."""
+
+    # A consolidated checkpoint manifest is written every this-many commits
+    # (Delta writes parquet checkpoints every 10 commits for the same
+    # reason): without one, every read replays the WHOLE commit log —
+    # O(total commits) driver-side file opens, the next bottleneck for a
+    # continuous-ingest table that keeps thousands of manifests for time
+    # travel. With it, a read opens ≤ pointer + checkpoint +
+    # checkpoint_interval tail manifests, regardless of table age.
+    checkpoint_interval = 10
+
+    # Unreferenced _v* dirs younger than this are NOT vacuumed: data dirs
+    # are written BEFORE their manifest commits, so a young orphan may be
+    # an in-flight write whose manifest is about to land — deleting it
+    # would poison the committed version (and, for append chains, every
+    # descendant that inherits the dir). Delta VACUUM's retention-window
+    # rule. Vacuum still must not be scheduled concurrently with writers
+    # that can stall longer than this grace.
+    orphan_grace_seconds = 3600.0
+
+    # An unparseable manifest OCCUPYING a CAS target is live contention
+    # (O_EXCL makes the file visible before its one write lands) only for
+    # about as long as a write+fsync takes; older than this it is a
+    # crashed commit that will never finish, and retrying is futile.
+    torn_grace_seconds = 60.0
 
     def __init__(self, root: str) -> None:
         self.root = root
         self.log_dir = os.path.join(root, _LOG)
+        # observability for tests/benches: log files opened by the most
+        # recent _manifests() call (the checkpointing contract is that
+        # this stays bounded by a constant as the table ages)
+        self.last_log_files_opened = 0
 
     # -- log plumbing -------------------------------------------------------
 
+    def _read_last_checkpoint(self) -> dict | None:
+        """The checkpoint the ``_last_checkpoint`` pointer names, or None.
+        Any failure (missing / torn pointer or checkpoint — both are
+        rename-published, so torn means external damage) falls back to a
+        full log replay: the checkpoint is a CACHE of the manifest log,
+        never the source of truth."""
+        ptr = os.path.join(self.log_dir, _LAST_CHECKPOINT)
+        try:
+            with open(ptr) as fh:
+                name = json.load(fh)["checkpoint"]
+            with open(os.path.join(self.log_dir, name)) as fh:
+                cp = json.load(fh)
+            self.last_log_files_opened += 2
+            return cp
+        except (OSError, ValueError, KeyError):
+            return None
+
     def _manifests(self) -> list[dict]:
+        self.last_log_files_opened = 0
         if not os.path.isdir(self.log_dir):
             return []
+        cp = self._read_last_checkpoint()
+        base: list[dict] = cp["manifests"] if cp else []
+        floor = cp["version"] if cp else -1
         names = sorted(
-            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+            f
+            for f in os.listdir(self.log_dir)
+            if _MANIFEST_RE.match(f) and int(f[:8]) > floor
         )
-        out = []
+        out = list(base)
         for i, f in enumerate(names):
             try:
                 with open(os.path.join(self.log_dir, f)) as fh:
                     out.append(json.load(fh))
+                self.last_log_files_opened += 1
             except (json.JSONDecodeError, ValueError) as exc:
                 # A torn TRAILING manifest is a crashed commit on a
                 # filesystem without hard links (the O_EXCL fallback makes
@@ -100,6 +168,42 @@ class VersionedParquetTable:
                     "the commit log is damaged beyond a torn tail"
                 ) from exc
         return sorted(out, key=lambda m: m["version"])
+
+    def checkpoint(self) -> str | None:
+        """Write a consolidated checkpoint of the current manifest log and
+        repoint ``_last_checkpoint`` at it (Delta's checkpoint-parquet +
+        ``_last_checkpoint`` pattern, as JSON). Reads then open the
+        pointer, the checkpoint, and only the manifests NEWER than it.
+        Called automatically every ``checkpoint_interval`` commits; safe
+        to call anytime. Both files publish via tmp + atomic rename —
+        a checkpoint is never contended for correctness (two racers write
+        supersets of the same log; the pointer's last writer wins, and a
+        stale pointer only costs extra tail reads, never wrong results).
+        Returns the checkpoint file name, or None on an empty log."""
+        return self._write_checkpoint(self._manifests())
+
+    def _write_checkpoint(self, ms: list[dict]) -> str | None:
+        if not ms:
+            return None
+        head = ms[-1]["version"]
+        name = f"{head:08d}.checkpoint.json"
+        cp_tmp = os.path.join(self.log_dir, f".cptmp_{uuid.uuid4().hex[:8]}")
+        with open(cp_tmp, "w") as fh:
+            json.dump({"version": head, "manifests": ms}, fh)
+        os.replace(cp_tmp, os.path.join(self.log_dir, name))
+        ptr_tmp = os.path.join(self.log_dir, f".ptmp_{uuid.uuid4().hex[:8]}")
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"checkpoint": name}, fh)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, _LAST_CHECKPOINT))
+        # older checkpoints are superseded caches — reclaim them now
+        for f in os.listdir(self.log_dir):
+            m = _CHECKPOINT_RE.match(f)
+            if m and f != name:
+                try:
+                    os.unlink(os.path.join(self.log_dir, f))
+                except OSError:
+                    pass
+        return name
 
     def latest_version(self) -> int | None:
         ms = self._manifests()
@@ -246,6 +350,63 @@ class VersionedParquetTable:
         ``data_dirs`` (parent chain + delta), full snapshots ``data_dir``."""
         return list(manifest.get("data_dirs") or [manifest["data_dir"]])
 
+    def _raise_occupied(self, final: str, version: int) -> None:
+        """The CAS target is occupied. Distinguish a real winner (or a
+        racer still mid-write — O_EXCL makes its file visible before the
+        single write lands) from a CRASHED commit's torn manifest: readers
+        skip a torn tail, so the next retry re-derives the SAME version
+        and hits the same file forever — without this check the retry
+        loop burns out and blames contention when the table needs repair."""
+        try:
+            with open(final) as fh:
+                json.load(fh)
+        except FileNotFoundError:
+            pass  # occupant vanished (repair raced us) — plain retry works
+        except (json.JSONDecodeError, ValueError):
+            try:
+                age = time.time() - os.path.getmtime(final)
+            except OSError:
+                age = 0.0
+            if age > self.torn_grace_seconds:
+                raise TornCommitError(
+                    f"version {version} at {self.root} is occupied by an "
+                    f"unparseable manifest untouched for {age:.0f}s — a "
+                    "crashed commit, not contention; remove it with "
+                    "repair_torn_tail() and retry"
+                ) from None
+        raise ConcurrentCommitError(
+            f"version {version} at {self.root} was committed by "
+            "another writer; re-read the head and retry"
+        )
+
+    def repair_torn_tail(self) -> str | None:
+        """Remove a torn TRAILING manifest (a crashed commit that readers
+        already treat as never committed) so its version number frees up
+        for writers. Refuses to touch a parseable manifest or anything
+        younger than the in-flight grace window. Returns the removed file
+        name, or None if there was nothing to repair."""
+        if not os.path.isdir(self.log_dir):
+            return None
+        names = sorted(
+            f for f in os.listdir(self.log_dir) if _MANIFEST_RE.match(f)
+        )
+        if not names:
+            return None
+        tail = os.path.join(self.log_dir, names[-1])
+        try:
+            with open(tail) as fh:
+                json.load(fh)
+            return None
+        except (OSError, ValueError):
+            pass
+        try:
+            if time.time() - os.path.getmtime(tail) <= self.torn_grace_seconds:
+                return None  # could still be a live writer's in-flight file
+            os.unlink(tail)
+        except OSError:
+            return None
+        return names[-1]
+
     def _commit_manifest(self, manifest: dict, version: int) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex[:8]}")
@@ -263,10 +424,7 @@ class VersionedParquetTable:
             try:
                 os.link(tmp, final)
             except FileExistsError:
-                raise ConcurrentCommitError(
-                    f"version {version} at {self.root} was committed by "
-                    "another writer; re-read the head and retry"
-                ) from None
+                self._raise_occupied(final, version)
             except OSError:
                 # Filesystem without hard links (some NFS/object-store/
                 # overlay mounts): O_CREAT|O_EXCL open keeps the same
@@ -279,10 +437,7 @@ class VersionedParquetTable:
                 try:
                     fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
                 except FileExistsError:
-                    raise ConcurrentCommitError(
-                        f"version {version} at {self.root} was committed by "
-                        "another writer; re-read the head and retry"
-                    ) from None
+                    self._raise_occupied(final, version)
                 try:
                     os.write(fd, json.dumps(manifest).encode())
                     os.fsync(fd)
@@ -291,6 +446,24 @@ class VersionedParquetTable:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        self._maybe_checkpoint(version)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Auto-checkpoint every ``checkpoint_interval`` commits. Best
+        effort: the commit above is already durable, so a checkpoint
+        failure must not make the caller believe the commit failed (it
+        would re-commit and hit ConcurrentCommitError on its own
+        version) — warn and move on; the next commit retries."""
+        try:
+            cp = self._read_last_checkpoint()
+            if version - (cp["version"] if cp else -1) >= self.checkpoint_interval:
+                self.checkpoint()
+        except Exception as exc:  # noqa: BLE001 — cache maintenance only
+            warnings.warn(
+                f"checkpoint after version {version} at {self.root} "
+                f"failed ({exc}); reads fall back to log replay",
+                stacklevel=2,
+            )
 
     # -- read path ----------------------------------------------------------
 
@@ -453,10 +626,28 @@ class VersionedParquetTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> "VacuumResult":
+    def vacuum(
+        self, keep_last: int = 2, orphan_grace_seconds: float | None = None
+    ) -> "VacuumResult":
         """Retire snapshot dirs older than the newest ``keep_last`` versions
-        (and any orphan ``_v*`` dirs with no manifest). Time travel below
+        (and stale orphan ``_v*`` dirs with no manifest). Time travel below
         the horizon stops working — same contract as Delta VACUUM.
+
+        Orphan dirs (referenced by NO manifest) are reclaimed only when
+        their newest file is older than ``orphan_grace_seconds`` (default:
+        the class attribute, 1h): an append writes its delta dir BEFORE
+        its manifest commits, so a young orphan may be an in-flight write —
+        deleting it would let the manifest commit referencing a missing
+        dir, and because append manifests inherit parent dirs the hole
+        poisons every descendant version. Delta VACUUM's retention-window
+        rule; like Delta, vacuum still must not run concurrently with a
+        writer that can stall longer than the grace. Dirs referenced by a
+        manifest being RETIRED are committed history and reclaim
+        immediately.
+
+        Retiring manifests also folds the log: a fresh checkpoint over the
+        kept manifests is written first, so the checkpoint never resurrects
+        a retired version whose files are gone.
 
         Returns ``VacuumResult(retired, removed_dirs)``: ``retired`` lists
         only versions whose MANIFEST was deleted (time travel to them is
@@ -466,28 +657,64 @@ class VersionedParquetTable:
         false 'version retired' signal."""
         import shutil
 
+        grace = (
+            self.orphan_grace_seconds
+            if orphan_grace_seconds is None
+            else orphan_grace_seconds
+        )
         ms = self._manifests()
         kept = ms[-keep_last:] if ms else []
         keep_dirs = {
             os.path.basename(d) for m in kept for d in self._data_dirs(m)
         }
         keep_versions = {m["version"] for m in kept}
+        retiring = [m for m in ms if m["version"] not in keep_versions]
+        # Dirs owned by retired history reclaim immediately; keyed on the
+        # dirs manifests actually reference, not parsed version numbers —
+        # a commit-losing writer's orphan dir can share a version number
+        # with the winner's kept snapshot.
+        retired_dirs = {
+            os.path.basename(d) for m in retiring for d in self._data_dirs(m)
+        } - keep_dirs
         removed_dirs: list[str] = []
         retired: list[int] = []
         if not os.path.isdir(self.root):
             return VacuumResult(retired, removed_dirs)
-        # Keyed on the dirs the kept manifests actually reference, not on
-        # parsed version numbers: a commit-losing writer's orphan dir can
-        # share a version number with the winner's kept snapshot.
+        # Fold the log BEFORE deleting anything: if this crashes mid-way,
+        # reads already resolve from the kept-only checkpoint and the
+        # leftover retired manifests/dirs are below its floor — consistent,
+        # and the next vacuum finishes the reclaim.
+        if retiring and kept:
+            self._write_checkpoint(kept)
+        for m in retiring:
+            mf = os.path.join(self.log_dir, f"{m['version']:08d}.json")
+            if os.path.exists(mf):
+                os.remove(mf)
+                retired.append(m["version"])
+        cutoff = time.time() - grace
         for d in os.listdir(self.root):
             if not d.startswith("_v") or d in keep_dirs:
                 continue
+            if d not in retired_dirs and self._newest_mtime(
+                os.path.join(self.root, d)
+            ) > cutoff:
+                continue  # young orphan — possibly an in-flight append
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
             removed_dirs.append(d)
-        for m in ms:
-            if m["version"] not in keep_versions:
-                mf = os.path.join(self.log_dir, f"{m['version']:08d}.json")
-                if os.path.exists(mf):
-                    os.remove(mf)
-                    retired.append(m["version"])
         return VacuumResult(retired, removed_dirs)
+
+    @staticmethod
+    def _newest_mtime(path: str) -> float:
+        try:
+            newest = os.path.getmtime(path)
+        except OSError:
+            return 0.0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, f))
+                    )
+                except OSError:
+                    pass
+        return newest

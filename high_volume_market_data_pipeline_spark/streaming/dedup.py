@@ -10,6 +10,8 @@ dedup-then-MERGE Silver stage).
 
 from __future__ import annotations
 
+import warnings
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -38,7 +40,17 @@ def streaming_dedup(
         # retained forever (unbounded state on a long-running stream) and
         # the watermark-eviction contract above is silently false. Plain
         # dropDuplicates is exact-dup semantics, so ts belongs in the key
-        # anyway; callers who want ts-insensitive dedup want
-        # within_watermark=True.
+        # anyway — but widening the subset is a SEMANTIC change for a
+        # caller deduping on keys alone (same key, different ts now passes
+        # through), so surface it instead of doing it silently; callers
+        # who want ts-insensitive dedup want within_watermark=True.
+        warnings.warn(
+            f"streaming_dedup: '{ts_col}' added to the dedup subset "
+            f"{subset} so watermark eviction can bound state — rows with "
+            "an equal key but a different timestamp are NOT duplicates "
+            "under this subset; pass within_watermark=True for "
+            "timestamp-insensitive dedup",
+            stacklevel=2,
+        )
         subset.append(ts_col)
     return marked.dropDuplicates(subset)

@@ -105,9 +105,17 @@ def test_crashed_writer_leaves_current_version_intact(spark, table):
     _df(spark, 2, "zz").write.parquet(orphan)
     assert table.latest_version() == 0
     assert table.read(spark).count() == 5
+    # A YOUNG orphan could be an in-flight append whose manifest is about
+    # to commit (data dirs land before manifests) — the default vacuum
+    # grace must leave it alone, or the commit would reference a deleted
+    # dir and poison every descendant version.
     result = table.vacuum(keep_last=1)
-    # the orphan dir is removed but NOT reported as a retired version —
-    # its parsed number could collide with a kept snapshot's
+    assert "_v00000042" not in result.removed_dirs
+    assert os.path.exists(orphan)
+    # Past the grace window (forced to 0 here) the orphan is a crashed
+    # writer's leftovers: removed, but NOT reported as a retired version —
+    # its parsed number could collide with a kept snapshot's.
+    result = table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
     assert "_v00000042" in result.removed_dirs
     assert 42 not in result.retired
     assert not os.path.exists(orphan)
@@ -415,3 +423,92 @@ def test_partitioned_append_chain_absorbs_and_compacts(spark, table):
     rv = table.restore(spark, 0)
     assert table._resolve(rv, None).get("partition_by") == "p"
     assert table.read(spark).count() == 4
+
+
+def test_checkpoint_bounds_log_opens_and_preserves_reads(spark, table):
+    """Every ``checkpoint_interval`` commits the log auto-folds into a
+    consolidated checkpoint (Delta's ``_last_checkpoint`` pattern): a
+    read opens pointer + checkpoint + at most ``interval`` tail
+    manifests, NOT O(total commits) — and history()/time-travel are
+    byte-for-byte unchanged, including versions below the fold."""
+    for i in range(25):
+        table.write(_df(spark, i + 1, f"t{i}"), "WRITE")
+    names = os.listdir(table.log_dir)
+    assert "_last_checkpoint" in names
+    assert sum(1 for n in names if n.endswith(".checkpoint.json")) == 1
+
+    assert table.latest_version() == 24
+    assert table.last_log_files_opened <= table.checkpoint_interval + 2
+    # time travel below the checkpoint floor resolves from the checkpoint
+    assert table.read(spark, version=3).count() == 4
+    hist = table.history(spark).collect()
+    assert [r["version"] for r in hist] == list(range(24, -1, -1))
+
+
+def test_checkpoint_thousand_commit_log_constant_opens(spark, table):
+    """A 1,000-commit table reads its log in a CONSTANT number of file
+    opens once checkpointed — the continuous-ingest scale contract.
+    Manifests are fabricated directly (this exercises only the log
+    layer; data-path reads are covered above)."""
+    os.makedirs(table.log_dir)
+    for v in range(1000):
+        with open(os.path.join(table.log_dir, f"{v:08d}.json"), "w") as fh:
+            fh.write(
+                '{"version": %d, "timestamp": %d.0, "operation": "WRITE",'
+                ' "parameters": {}, "data_dir": "/nope/_v%08d_x"}' % (v, v, v)
+            )
+    assert table.versions() == list(range(1000))
+    assert table.last_log_files_opened == 1000  # pre-checkpoint: full replay
+    table.checkpoint()
+    assert table.versions() == list(range(1000))
+    assert table.last_log_files_opened <= 3
+    # a torn trailing manifest past the checkpoint stays tolerated
+    with open(os.path.join(table.log_dir, "00001000.json"), "w") as fh:
+        fh.write('{"version": 1000, "time')
+    assert table.latest_version() == 999
+
+
+def test_vacuum_folds_checkpoint_and_never_resurrects(spark, table):
+    """vacuum() rewrites the checkpoint over the KEPT manifests before
+    deleting anything: a stale checkpoint must never resurrect a retired
+    version whose files are gone."""
+    for i in range(12):  # crosses the auto-checkpoint at v9
+        table.write(_df(spark, i + 1, f"t{i}"), "WRITE")
+    res = table.vacuum(keep_last=2, orphan_grace_seconds=0.0)
+    assert res.retired == list(range(10))
+    assert table.versions() == [10, 11]
+    assert table.read(spark, version=10).count() == 11
+    with pytest.raises(ValueError):
+        table.read(spark, version=5)
+    # exactly one checkpoint file remains and it covers only kept versions
+    cps = [
+        n for n in os.listdir(table.log_dir) if n.endswith(".checkpoint.json")
+    ]
+    assert len(cps) == 1
+    import json as _json
+
+    with open(os.path.join(table.log_dir, cps[0])) as fh:
+        cp = _json.load(fh)
+    assert [m["version"] for m in cp["manifests"]] == [10, 11]
+
+
+def test_stale_torn_manifest_raises_repair_needed(spark, table):
+    """A CAS commit landing on a STALE torn manifest (a crashed commit,
+    not live contention) must fail with the repair-needed error instead
+    of letting retry loops burn out blaming contention — and
+    repair_torn_tail() frees the version."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        TornCommitError,
+    )
+
+    table.write(_df(spark, 3, "a"), "WRITE")
+    assert table.repair_torn_tail() is None  # refuses a healthy tail
+    torn = os.path.join(table.log_dir, "00000001.json")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 1, "timestamp"')
+    table.torn_grace_seconds = -1.0  # stale immediately, for the test
+    with pytest.raises(TornCommitError, match="repair_torn_tail"):
+        table.write(_df(spark, 5, "b"), "WRITE")
+    assert table.repair_torn_tail() == "00000001.json"
+    assert table.write(_df(spark, 5, "b"), "WRITE") == 1
+    assert table.read(spark).count() == 5

@@ -547,3 +547,59 @@ def test_head_load_survives_version_holes(spark, tmp_path):
     loaded = load_pq_index(spark, root)
     np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
     assert loaded.coded.count() == 100
+
+
+def test_append_loads_paired_model_not_orphan(spark, tmp_path):
+    """The APPENDER must resolve its model the way readers do — newest
+    PAIRED version — never min(heads). In the version-hole state (crashed
+    re-train leaves orphan model v1; crashed append leaves coded {0, 2}),
+    min(heads)=1 selects the orphan: the append would encode its delta
+    with codebooks never paired with the existing chain AND re-commit
+    them as the paired model, silently corrupting every pre-existing
+    code's decode from then on."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_pq_index,
+        build_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _append_coords,
+        _save_model_arrays,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = build_pq_index(emb.filter("vec_id < 100"), m_subspaces=8, n_codes=16)
+    root = str(tmp_path / "pq")
+    save_pq_index(idx, root)  # paired v0
+
+    # crashed re-train: DIFFERENT codebooks at model v1, never paired
+    orphan = np.roll(idx.codebooks, 1, axis=1)
+    _save_model_arrays(
+        spark, root, "PQ_MODEL", {"m_subspaces": 8, "n_codes": 16},
+        codebooks=orphan,
+    )
+    # crashed append: coded v2 committed, its model pairing never landed
+    VersionedParquetTable(os.path.join(root, "coded")).append(
+        spark.createDataFrame(
+            [(999999, [0] * 8)], "neighbor_id long, pq_codes array<int>"
+        ),
+        "PQ_APPEND",
+        version=2,
+        parent_version=0,
+    )
+    # model {0,1}, coded {0,2}: model loads at paired 0, merge base is the
+    # coded head 2, CAS target clears both heads
+    assert _append_coords(root) == (0, 2, 3)
+
+    append_to_pq_index(
+        spark, root,
+        emb.filter("vec_id >= 100 and vec_id < 120"),
+    )
+    loaded = load_pq_index(spark, root)
+    # the orphan codebooks were never promoted to paired
+    np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
+    assert loaded.coded.count() == 121  # 100 base + crashed row + 20 new
