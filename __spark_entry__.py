@@ -33,73 +33,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator-distinct head queries; r3 = the next 50; r4 = late-r3 additions
 # + r2-green family representatives; r5 = the never-recorded promotion set
 # + changed queries + all 23 r2-stale rows — after which the r1∪…∪r5 union
-# covers every registered query (123 oracle-backed hash-green, 12
-# rows-only driver-run; verified in the round-5 verdict). Steady-state
-# policy from r6: (a) queries NEW or BEHAVIOR-CHANGED this round, then
-# (b) the queries whose most recent driver row is OLDEST (refresh the
-# stalest evidence first). Round 7 head = 9 changed (delta-file CAS
-# appends rework the persisted-index lifecycle and the history/versioned
-# -table queries; sampled quantizer fits change every built-index family;
-# embedding_near_dup dedups screen survivors; ngram_jaccard_adaptive's
-# pair generation was refactored) + 41 of the 42 queries whose latest
-# driver row is r4 (ngram_jaccard_blocked rolls to r8 — its family is
-# covered by the adaptive config in the changed block). Every query,
-# head and tail, is also verified locally by tools/verify_correctness.py
-# at sf0.01 AND sf0.1 each round. Never demote a query whose only green
-# row is the current window.
+# covers every registered query. Steady-state policy from r6:
+# (a) queries NEW or BEHAVIOR-CHANGED this round, then (b) the queries
+# whose most recent driver row is OLDEST (refresh the stalest evidence
+# first). Round 8 head = 7 new/changed (image_decode_stats and
+# stream_ivf_index_ingest are new; the history/versioned-table queries
+# changed with manifest-log checkpointing + vacuum grace + torn-commit
+# repair; the persisted-index lifecycle queries changed with the
+# paired-version append fix; ngram_jaccard_adaptive gains the OR-block
+# recall key) + ngram_jaccard_blocked (the one r4 row, rolled here from
+# r7 as planned) + the 42 queries whose latest driver row is r5. Every
+# query, head and tail, is also verified locally by
+# tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never
+# demote a query whose only green row is the current window.
 _HEAD = [
     # --- new or behavior-changed this round ---
-    "knn_pq_persisted",             # delta-file CAS appends in the store
-    "stream_pq_index_ingest",       # streaming appends now O(batch) commits
-    "knn_pq_adc",                   # sampled codebooks + per-subspace ADC
-    "knn_ivf_pq",                   # sampled coarse+residual fits
-    "knn_ivf_cells",                # sampled coarse fit
-    "embedding_near_dup",           # screen survivors distinct + id mask
-    "ngram_jaccard_adaptive",       # pair generation split for forced knobs
-    "table_history_ops",            # manifest log: torn-tail tolerance
-    "table_version_changes",        # manifest log: append/dirs resolution
-    # --- most recent driver row is r4 (41 of 42) ---
-    "approx_value_percentiles",
-    "asof_last_purchase_per_click",
-    "asof_next_purchase_within_hour",
-    "benchmark_contamination",
-    "bollinger_breakouts",
-    "cross_join_dense_grid",
-    "dedup_clusters",
-    "dedup_keep_best_quality",
-    "event_funnel_stages",
-    "event_type_correlations",
-    "events_typed_enrichment",
-    "ewma_event_rate",
-    "exact_dedup_documents",
-    "exact_percentiles_order_price",
-    "incremental_dedup_admission",
-    "knn_bruteforce_cosine",
-    "label_centroid_embeddings",
-    "lang_confusion_matrix",
-    "max_drawdown_user",
-    "multimodal_byte_features",
-    "ohlc_resample_events",
-    "range_join_events_to_windows",
-    "rollup_order_status",
-    "rsi_event_types",
-    "set_ops_user_cohorts",
-    "simhash_documents",
-    "source_reliability",
-    "stream_click_attribution",
-    "stream_quality_ledger",
-    "stream_session_windows",
-    "stream_tumbling_hourly",
-    "text_stats",
-    "tfidf_top_terms",
-    "top10_orders_by_price",
-    "twap_user_daily",
-    "union_high_low_value_events",
-    "user_event_run_features",
-    "user_event_type_sets",
-    "value_histogram",
-    "vwap_monthly_lineitem",
-    "weekly_cohort_retention",
+    "image_decode_stats",           # NEW: numpy BMP decode, full oracle
+    "stream_ivf_index_ingest",      # NEW: streaming appends, ivf family
+    "table_history_ops",            # manifest-log checkpointing + vacuum grace
+    "table_version_changes",        # checkpointed log resolution
+    "knn_pq_persisted",             # append loads paired model version
+    "stream_pq_index_ingest",       # shared stream bridge + paired appends
+    "ngram_jaccard_adaptive",       # OR-construction mid-prefix block key
+    # --- the one r4 row (rolled from r7 by plan) ---
+    "ngram_jaccard_blocked",
+    # --- most recent driver row is r5 (42 of 42) ---
+    "doc_quality_and_lang",
+    "doc_repetition_stats",
+    "pii_redact_documents",
+    "doc_fingerprints",
+    "substring_dup_spans",
+    "embedding_random_projection",
+    "embedding_quantize_stats",
+    "stream_sliding_counts",
+    "stream_dedup_events",
+    "stream_static_nation_counts",
+    "stream_distinct_sketch_state",
+    "shipping_priority_q3",
+    "revenue_by_nation_q5",
+    "order_counts_pivot",
+    "part_metrics_unpivot",
+    "segment_mode_median",
+    "session_chains_recursive",
+    "sessionize_events_batch",
+    "trailing_hour_user_stats",
+    "order_value_percentiles",
+    "hll_incremental_distinct",
+    "heavy_hitter_users",
+    "heavy_hitter_daily_rollup",
+    "user_peak_event",
+    "orders_above_customer_avg",
+    "salted_event_value_agg",
+    "hypertable_rollup",
+    "cheapest_supplier_per_part",
+    "parts_sales_coverage",
+    "priority_count_q4",
+    "returned_top_customers_q10",
+    "market_share_q8",
+    "large_volume_customers_q18",
+    "winsorized_value_stats",
+    "curation_funnel",
+    "hash_split_train_val",
+    "stratified_lang_sample",
+    "context_window_chunks",
+    "quality_weighted_sample",
+    "gapfill_nation_daily_revenue",
+    "event_rate_anomalies",
+    "dq_orders_expectations",
 ]
 
 

@@ -12,7 +12,7 @@ candidate pair, so prune candidates first (est_jaccard threshold).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from high_volume_market_data_pipeline_spark.dedup.minhash import (
@@ -27,17 +27,17 @@ PREFIX_CHARS = 32
 # exact width-8 twin on scale data (pair recall at the jaccard>=0.3
 # output, BENCH_SCALE ngram_recall rows; pinned by
 # tests/test_dedup_similarity.test_adaptive_recall_meets_committed_floor
-# against the newest committed sweep artifact). 0.75 is ACCEPTED, not a
-# target to grow: this operator is one layer of a multi-layer near-dup
-# stack — the pairs its two keys drop are precisely near-dups whose
-# token counts differ (width key) or whose first 32 chars diverge
-# (prefix key), and those are the pairs the ORDER-ROBUST layers
-# (MinHash shingle-set LSH, embedding sign-LSH) catch; the curation
-# funnel unions all three edge sets before clustering. Buying the last
-# ~0.2 recall inside THIS layer means widening blocks back toward the
-# measured quadratic (84x time on 10x data at width 8) for pairs the
-# stack already has.
-ADAPTIVE_RECALL_FLOOR = 0.75
+# against the newest committed sweep artifact). History: the original
+# single (exact-count, head-prefix) key measured 0.796 at sf1 and the
+# 0.75 floor was accepted as a layering trade; the round-8 miss
+# diagnosis showed 100% of dropped true pairs differed in TOKEN COUNT
+# (none in prefix), and the shifted coarse-count OR keys (w1/w2 in
+# block_pairs_with_knobs) recover exactly that failure mode — measured
+# recall 1.0 at sf1 (227,131/227,131 pairs) at 1.6x the prior adaptive
+# runtime and 2.5% candidate overhead, still ~5x under the exact
+# quadratic twin. The floor sits below the measured 1.0 to absorb
+# corpus drift, not to excuse regressions.
+ADAPTIVE_RECALL_FLOOR = 0.95
 
 
 def resolve_block_knobs(
@@ -111,20 +111,24 @@ def token_block_pairs(
     ∝ n·target (linear).
 
     Past the width-1 floor a SECOND block key takes over: a content-prefix
-    md5 bucket (first ``PREFIX_CHARS`` chars of the trimmed text, hashed,
-    mod ``n_prefix_buckets``). The bucket count n_prefix_buckets =
+    md5 bucket (mod ``n_prefix_buckets``), OR-constructed over TWO prefix
+    positions — head (first ``PREFIX_CHARS`` trimmed chars) and
+    mid-document (``PREFIX_CHARS`` chars from position len/2) — a pair is
+    a candidate if EITHER position co-blocks it (see
+    ``block_pairs_with_knobs``). The bucket count n_prefix_buckets =
     max(1, n // (spread·target)) is 1 exactly while width > 1 (n ≤
     spread·target / 2 there), so the key is constant until it is needed
     and splits residual occupancy back to ≈ target once width floors —
     integer arithmetic only, so a SQL oracle reproduces both knobs
     exactly. Recall trade of each key is explicit: width buckets drop
     near-dups whose token counts differ by ≥ width; prefix buckets drop
-    near-dups that diverge inside the first ``PREFIX_CHARS`` characters
-    (boilerplate-prefixed corpora keep recall; edits at the very start
-    lose it — measured in BASELINE.md's scale table). The registered
-    width-8 query pins the fixed config (its DuckDB oracle embeds the
-    literal); ``ngram_jaccard_adaptive`` registers this adaptive path
-    with a full oracle."""
+    near-dups whose text diverges at BOTH probed positions (a single
+    head-only key measured 0.796 pair recall at the 200k tier; the OR
+    construction recovers prefix-edited near-dups — current number in the
+    newest BENCH_SCALE ngram_recall row). The registered width-8 query
+    pins the fixed config (its DuckDB oracle embeds the literal);
+    ``ngram_jaccard_adaptive`` registers this adaptive path with a full
+    oracle."""
     width, n_prefix_buckets = resolve_block_knobs(
         docs,
         text_col=text_col,
@@ -161,28 +165,74 @@ def block_pairs_with_knobs(
         token_count,
     )
 
-    blk_parts = [
-        F.col(lang_col).cast("string"),
-        F.floor(token_count(F.col(text_col)) / width)
-        .cast("long")
-        .cast("string"),
-    ]
+    lang_s = F.col(lang_col).cast("string")
+    nt = token_count(F.col(text_col))
+    base = F.concat_ws(
+        "|", lang_s, F.floor(nt / width).cast("long").cast("string")
+    )
     if n_prefix_buckets > 1:
-        prefix_hash = F.conv(
-            F.substring(
-                F.md5(F.substring(F.trim(F.col(text_col)), 1, PREFIX_CHARS)),
-                1,
-                8,
+        # OR-construction over FOUR block keys (LSH-banding logic applied
+        # to blocking) — a pair is a candidate if ANY key co-blocks it.
+        # Each key targets one measured failure mode of a single
+        # (count-bucket, prefix-bucket) key:
+        #   h/m — exact count bucket × head / MID prefix bucket: the mid
+        #     probe recovers pairs whose edit is inside the first
+        #     PREFIX_CHARS characters (title lines, boilerplate).
+        #   w1/w2 — SHIFTED COARSE count grids (width 8·w, the second
+        #     offset by 4·w) × head prefix: the sf1 miss diagnosis showed
+        #     100% of dropped true pairs differ in token count (none in
+        #     prefix), i.e. the exact-count bucket was the whole recall
+        #     gap; two grids offset by half a cell guarantee any pair
+        #     within |Δnt| ≤ 4·w shares a bucket in one of them (the
+        #     shifted-grid lemma), which covered 100% of the measured
+        #     misses at sf1.
+        # Occupancy stays ≈ target per key: the coarse grids hold 8× the
+        # count-values per cell, so their prefix modulus is scaled 8× —
+        # candidate volume is ≤ 4 linear key families, never quadratic.
+        # Kind markers keep the four key spaces disjoint.
+        trimmed = F.trim(F.col(text_col))
+
+        def bucket(prefix: Column, modulus: int) -> Column:
+            return (
+                F.conv(F.substring(F.md5(prefix), 1, 8), 16, 10).cast("long")
+                % F.lit(modulus)
+            ).cast("string")
+
+        mid_pos = (F.floor(F.length(trimmed) / 2) + 1).cast("int")
+        head_pref = F.substring(trimmed, 1, PREFIX_CHARS)
+        mid_pref = F.substring(trimmed, mid_pos, F.lit(PREFIX_CHARS))
+        coarse = 8 * width
+        nt_c1 = F.floor(nt / coarse).cast("long").cast("string")
+        nt_c2 = F.floor((nt + 4 * width) / coarse).cast("long").cast("string")
+        b8 = 8 * n_prefix_buckets
+        keys = F.array(
+            F.concat_ws(
+                "|", base, F.lit("h"), bucket(head_pref, n_prefix_buckets)
             ),
-            16,
-            10,
-        ).cast("long")
-        blk_parts.append(
-            (prefix_hash % F.lit(n_prefix_buckets)).cast("string")
+            F.concat_ws(
+                "|", base, F.lit("m"), bucket(mid_pref, n_prefix_buckets)
+            ),
+            F.concat_ws(
+                "|", lang_s, nt_c1, F.lit("w1"), bucket(head_pref, b8)
+            ),
+            F.concat_ws(
+                "|", lang_s, nt_c2, F.lit("w2"), bucket(head_pref, b8)
+            ),
+        )
+        d = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(keys).alias("blk"),
+        )
+        return (
+            d.select(F.col("doc_id").alias("id_a"), "blk")
+            .join(d.select(F.col("doc_id").alias("id_b"), "blk"), "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            # a pair co-blocked by several keys must emit once, not N times
+            .distinct()
         )
     d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.concat_ws("|", *blk_parts).alias("blk"),
+        F.col(id_col).alias("doc_id"), base.alias("blk")
     )
     return (
         d.select(F.col("doc_id").alias("id_a"), "blk")

@@ -16,12 +16,20 @@ from high_volume_market_data_pipeline_spark.multimodal.binary_ops import (
     resize_raw,
     to_binary_assets,
 )
+from high_volume_market_data_pipeline_spark.multimodal.bmp import (
+    decode_bmp,
+    encode_bmp,
+    synthetic_bmp_assets,
+)
 
 __all__ = [
     "byte_features",
     "byte_features_arrow",
+    "decode_bmp",
     "decode_image",
+    "encode_bmp",
     "frame_sample",
     "resize_raw",
+    "synthetic_bmp_assets",
     "to_binary_assets",
 ]

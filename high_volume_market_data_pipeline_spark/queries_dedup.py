@@ -301,6 +301,10 @@ def _nj_adaptive_oracle() -> str:
     )
 
     ph = _hex_to_int_sql(f"md5(substr(trim(tc.text), 1, {PREFIX_CHARS}))")
+    pm = _hex_to_int_sql(
+        f"md5(substr(trim(tc.text), "
+        f"CAST(length(trim(tc.text)) // 2 AS INT) + 1, {PREFIX_CHARS}))"
+    )
     return f"""
     WITH {_SHINGLES_CTE},
     tc AS (
@@ -313,18 +317,28 @@ def _nj_adaptive_oracle() -> str:
                (GREATEST(1, COUNT(DISTINCT lang)
                   * (MAX(nt) - MIN(nt) + 1)) * {_NJ_TARGET})) AS b
       FROM tc
-    ), d AS (
+    ), keyed AS (
       SELECT s.doc_id,
-             tc.lang || '|' || CAST(tc.nt // k.w AS VARCHAR)
-               || CASE WHEN k.b > 1
-                       THEN '|' || CAST(({ph}) % k.b AS VARCHAR)
-                       ELSE '' END AS blk,
+             CASE WHEN k.b > 1 THEN [
+               tc.lang || '|' || CAST(tc.nt // k.w AS VARCHAR)
+                 || '|h|' || CAST(({ph}) % k.b AS VARCHAR),
+               tc.lang || '|' || CAST(tc.nt // k.w AS VARCHAR)
+                 || '|m|' || CAST(({pm}) % k.b AS VARCHAR),
+               tc.lang || '|' || CAST(tc.nt // (8 * k.w) AS VARCHAR)
+                 || '|w1|' || CAST(({ph}) % (8 * k.b) AS VARCHAR),
+               tc.lang || '|' || CAST((tc.nt + 4 * k.w) // (8 * k.w) AS VARCHAR)
+                 || '|w2|' || CAST(({ph}) % (8 * k.b) AS VARCHAR)
+             ] ELSE [
+               tc.lang || '|' || CAST(tc.nt // k.w AS VARCHAR)
+             ] END AS blks,
              list_distinct(
                list_transform(list_distinct(s.shingles), x -> {_NJ_HASH_SQL})
              ) AS shd
       FROM sh s JOIN tc USING (doc_id) CROSS JOIN knobs k
+    ), d AS (
+      SELECT doc_id, unnest(blks) AS blk, shd FROM keyed
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              ROUND(len(list_filter(a.shd, x -> list_contains(b.shd, x)))
                    / CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE), 6)
                AS jaccard
@@ -348,9 +362,11 @@ def ngram_jaccard_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         occupancy ≈ target (spread = #langs · token-count range), pair
         volume ∝ n·target instead of n²;
       prefix buckets b = max(1, n // (spread·target)) — the second block
-        key (content-prefix md5 of the first 32 trimmed chars, mod b)
-        that takes over once width floors at 1; b = 1 (constant key)
-        until that point by construction.
+        key that takes over once width floors at 1, OR-constructed over
+        two probe positions (head prefix and mid-document prefix, each
+        md5-bucketed mod b): a pair survives if either position
+        co-blocks it, recovering prefix-edited near-dups; b = 1
+        (constant key) until that point by construction.
 
     At sf0.01 (500 docs, spread 450) width resolves to 8 and b to 1 — the
     adaptive config degrades to the exact fixed-width result on small

@@ -586,3 +586,81 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("stream_ivf_index_ingest")
+def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion into the CELL-PARTITIONED IVF index
+    (streaming/vector_ingest.stream_append_index, family='ivf'): train +
+    persist on the first 300 embeddings, stream the rest in two
+    micro-batches — each batch is assigned to STORED centroids (no
+    refit) and CAS-committed as a hive-partitioned delta onto the coded
+    table, so the storage-pruned search family keeps its layout through
+    continuous ingest. Returns the commit trail (operation + coded
+    cardinality per version) plus a searched-rows summary row, like the
+    PQ twin.
+
+    Rows-only by nature: a stateful multi-commit lifecycle, not
+    single-statement SQL."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.vector_ingest import (
+        stream_append_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 300)
+    arriving = emb.filter(F.col("vec_id") >= 300)
+    scratch = tempfile.mkdtemp(prefix="hvmdp_ivf_ingest_")
+    try:
+        root = os.path.join(scratch, "ivf")
+        save_ivf_index(build_ivf_index(seed, n_cells=8), root)
+        arrivals = os.path.join(scratch, "arrivals")
+        arriving.repartition(2).write.parquet(arrivals)
+        sdf = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        q = stream_append_index(
+            sdf, root, checkpoint=os.path.join(scratch, "ckpt"),
+            family="ivf",
+        )
+        q.awaitTermination()
+
+        coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
+        versions = [
+            (
+                int(r["version"]),
+                r["operation"],
+                coded_tbl.read(spark, version=int(r["version"])).count(),
+            )
+            for r in coded_tbl.history(spark).collect()
+        ]
+        idx = load_ivf_index(spark, root)
+        searched = ivf_knn(
+            emb.filter(F.col("vec_id") >= 300).limit(5),
+            emb,
+            k=3,
+            n_cells=8,
+            index=idx,
+        ).count()
+        out = spark.createDataFrame(
+            [(v, op, n) for v, op, n in versions]
+            + [(-1, "SEARCHED_ROWS", searched)],
+            "version long, operation string, n_rows long",
+        ).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -478,6 +478,12 @@ def test_adaptive_blocking_prefix_buckets_cross_engine(spark, tmp_path):
     # last token differs -> trigram jaccard 5/7 >= 0.3, same token count
     rows.append((900, "en", "padder alpha bravo charlie delta echo0 fox0 golf0"))
     rows.append((901, "en", "padder alpha bravo charlie delta echo0 fox0 india9"))
+    # planted PREFIX-EDITED near-dup: FIRST token differs (head buckets 4
+    # vs 0 under b=6 — verified below), identical from char 8 on, equal
+    # length so the mid-document probe positions align -> only the
+    # OR-construction's MID key co-blocks this pair
+    rows.append((910, "en", "zebraa alpha bravo charlie delta echo0 fox0 golf0"))
+    rows.append((911, "en", "yankee alpha bravo charlie delta echo0 fox0 golf0"))
     pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet")
@@ -497,6 +503,19 @@ def test_adaptive_blocking_prefix_buckets_cross_engine(spark, tmp_path):
     }
     assert got == want
     assert any(a == 900 and b == 901 for a, b, _ in got)
+    # the head-divergent pair is recovered by the mid-prefix key; verify
+    # the head key alone would have split it (different head buckets)
+    assert any(a == 910 and b == 911 for a, b, _ in got)
+    import hashlib
+
+    def _head_bucket(text: str, b: int = 6) -> int:
+        return int(
+            hashlib.md5(text.strip()[:32].encode()).hexdigest()[:8], 16
+        ) % b
+
+    t910 = pdf.loc[pdf.doc_id == 910, "text"].iloc[0]
+    t911 = pdf.loc[pdf.doc_id == 911, "text"].iloc[0]
+    assert _head_bucket(t910) != _head_bucket(t911)
 
     from high_volume_market_data_pipeline_spark.dedup.ngram import (
         token_block_pairs,
@@ -582,11 +601,12 @@ def test_near_dup_prefilter_masks_duplicate_ids(spark):
 
 def test_adaptive_recall_meets_committed_floor():
     """The adaptive n-gram block key has a COMMITTED recall bar
-    (``ADAPTIVE_RECALL_FLOOR``; acceptance rationale in dedup/ngram.py:
-    the dropped pairs are the ones the order-robust MinHash/embedding
-    layers catch). Regress the NEWEST committed scale-sweep artifact
-    against it, so a knob or blocking change that silently decays recall
-    fails the suite instead of rotting in an unread JSON."""
+    (``ADAPTIVE_RECALL_FLOOR``; history in dedup/ngram.py — the four-key
+    OR construction measured recall 1.0 at sf1, and the floor sits just
+    below to absorb corpus drift). Regress the NEWEST committed
+    scale-sweep artifact against it, so a knob or blocking change that
+    silently decays recall fails the suite instead of rotting in an
+    unread JSON."""
     import glob
     import json
     import os
@@ -658,3 +678,53 @@ def test_store_probe_applies_bucket_guard_and_replay_converges(
     # and signatures were not double-appended
     n_rows = store.read(spark).count()
     assert n_rows == (1 + 4) * store.bands
+
+
+def test_adaptive_blocking_recovers_token_count_drift(spark, tmp_path):
+    """The shifted coarse-count keys (w1/w2) must recover near-dups whose
+    TOKEN COUNTS differ — the sf1 miss diagnosis showed 100% of the pairs
+    the exact-count key drops differ in count (none in prefix). Planted
+    pair: identical head prefix, 8 vs 9 tokens (trigram jaccard 6/7) —
+    the exact-count h/m keys can never co-block it; one of the two
+    shifted grids must. Spark and the DuckDB oracle must agree on the
+    full output in this regime too."""
+    import duckdb
+    import pandas as pd
+
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        ngram_jaccard_adaptive,
+    )
+    from high_volume_market_data_pipeline_spark.registry import ORACLE_SQL
+
+    rows = [
+        (
+            i,
+            "en",
+            f"doc{i:04d} alpha bravo charlie delta echo{i % 7} fox{i} golf{i * 3 % 11}",
+        )
+        for i in range(200)
+    ]
+    rows.append((920, "en", "padme0 alpha bravo charlie delta echo0 fox0 golf0"))
+    rows.append(
+        (921, "en", "padme0 alpha bravo charlie delta echo0 fox0 golf0 hotel7")
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # n=202, spread = 1 lang x count-range 2 => width 1, b = 202//64 = 3:
+    # the OR-construction regime with a real count spread
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_adaptive(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (a, b, j)
+        for a, b, j in con.execute(
+            ORACLE_SQL["ngram_jaccard_adaptive"]
+        ).fetchall()
+    }
+    assert got == want
+    assert any(a == 920 and b == 921 for a, b, _ in got)

@@ -603,3 +603,83 @@ def test_append_loads_paired_model_not_orphan(spark, tmp_path):
     # the orphan codebooks were never promoted to paired
     np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
     assert loaded.coded.count() == 121  # 100 base + crashed row + 20 new
+
+
+@pytest.mark.parametrize("family", ["ivf", "ivf_pq"])
+def test_stream_append_ivf_families_converge_on_replay(spark, tmp_path, family):
+    """Streaming append parity for the IVF-partitioned families (the
+    storage-pruned ones): arriving vectors are assigned to STORED
+    centroids (residual-PQ-encoded for ivf_pq), committed as versioned
+    CAS appends, and a full replay with a fresh checkpoint converges on
+    the id anti-join — the same contract the PQ stream pins."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_ivf_index,
+        build_ivf_pq_index,
+        ivf_knn,
+        ivf_pq_knn,
+        load_ivf_index,
+        load_ivf_pq_index,
+        save_ivf_index,
+        save_ivf_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.vector_ingest import (
+        stream_append_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seed = emb.filter("vec_id < 300")
+    arriving = emb.filter("vec_id >= 300")
+    n_total = emb.count()
+    root = str(tmp_path / family)
+    if family == "ivf":
+        save_ivf_index(build_ivf_index(seed, n_cells=8), root)
+    else:
+        save_ivf_pq_index(
+            build_ivf_pq_index(seed, n_cells=8, m_subspaces=8, n_codes=16),
+            root,
+        )
+
+    arrivals = str(tmp_path / "arrivals")
+    arriving.repartition(2).write.parquet(arrivals)
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        stream_append_index(
+            sdf, root, checkpoint=str(tmp_path / ckpt), family=family
+        ).awaitTermination()
+
+    run("ckpt1")
+    load = load_ivf_index if family == "ivf" else load_ivf_pq_index
+    idx = load(spark, root)
+    assert idx.coded.count() == n_total
+    assert idx.coded.select("neighbor_id").distinct().count() == n_total
+    # appended rows landed in stored cells only (no refit)
+    cells = {r["cell"] for r in idx.coded.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+    run("ckpt2")  # replay from scratch: converges, no double-coding
+    assert load(spark, root).coded.count() == n_total
+
+    q5 = emb.filter("vec_id >= 300 and vec_id < 305")
+    if family == "ivf":
+        out = ivf_knn(q5, emb, k=3, n_cells=8, index=idx)
+    else:
+        out = ivf_pq_knn(
+            q5, emb, k=3, n_cells=8, m_subspaces=8, n_codes=16, index=idx
+        )
+    assert out.count() == 5 * 3
+
+
+def test_stream_append_index_rejects_unknown_family(spark, tmp_path):
+    from high_volume_market_data_pipeline_spark.streaming.vector_ingest import (
+        stream_append_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sdf = spark.readStream.schema(emb.schema).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="unknown index family"):
+        stream_append_index(sdf, str(tmp_path / "x"), "c", family="hnsw")

@@ -124,6 +124,71 @@ spark.stop()
     return {"error": (proc.stderr or "no COLD line").splitlines()[-1][:200]}
 
 
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(n_parquet_files, total_bytes) under one snapshot dir."""
+    files = bytes_ = 0
+    for dirpath, _, names in os.walk(path):
+        for f in names:
+            if f.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(dirpath, f))
+    return files, bytes_
+
+
+def _cold_pruned_ivf_search(
+    part_root: str, flat_root: str, sf_dir: str, n_queries: int = 1
+) -> dict:
+    """The bytes-not-read proof for the cell-partitioned IVF store: a
+    FRESH process loads the index and searches with probe 4/16 — on the
+    hive-partitioned coded table the driver-known probed-cell set becomes
+    a PartitionFilter (pinned in tests/test_plan_properties.py), so the
+    scan should READ ≈ probed/total of the files; the identically-coded
+    FLAT twin scans everything. One query keeps the probed union at
+    n_probe cells (a batch of queries probes the union of their cells,
+    which approaches all cells and hides the effect). Bytes are reported
+    from the filesystem layout: what lives under the probed partitions
+    IS what the pruned scan opens."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+from pyspark.sql import functions as F
+from high_volume_market_data_pipeline_spark.catalog import load_table
+from high_volume_market_data_pipeline_spark.session import build_session
+from high_volume_market_data_pipeline_spark.similarity import ivf_knn, load_ivf_index
+spark = build_session(app_name="ann-cold-pruned")
+emb = load_table(spark, {sf_dir!r}, "embeddings")
+q = emb.filter(F.col("vec_id") < {n_queries})
+for tag, root in (("part", {part_root!r}), ("flat", {flat_root!r})):
+    t0 = time.perf_counter(); idx = load_ivf_index(spark, root)
+    t1 = time.perf_counter()
+    ivf_knn(q, emb, k=5, n_probe=4, index=idx).write.format("noop").mode("overwrite").save()
+    t2 = time.perf_counter()
+    print("ROW", tag, round(t1-t0, 3), round(t2-t1, 3))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    out: dict = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("ROW"):
+            _, tag, load_s, search_s = line.split()
+            out[tag] = {
+                "cold_load_sec": float(load_s),
+                "cold_search_sec": float(search_s),
+            }
+    if not out:
+        return {"error": (proc.stderr or "no ROW line").splitlines()[-1][:200]}
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".scale/sf10")
@@ -247,9 +312,74 @@ def main() -> None:
             "post_append_recall": _mean_recall(fresh, exact),
         }
 
+        # cell-pruned persisted IVF vs an unpartitioned twin of the SAME
+        # coded rows, both searched from fresh processes — the artifact
+        # the partitioned layout exists for: probe 4/16 must read ~4/16
+        # of the files, and the flat twin pays the full scan.
+        from high_volume_market_data_pipeline_spark.similarity.index_store import (
+            _save_coded,
+            _save_model_arrays,
+            save_ivf_index,
+        )
+        from high_volume_market_data_pipeline_spark.sinks.history import (
+            VersionedParquetTable,
+        )
+
+        part_root = os.path.join(idx_scratch, "ivf_part")
+        flat_root = os.path.join(idx_scratch, "ivf_flat")
+        save_ivf_index(ivf_idx, part_root)
+        _save_model_arrays(
+            spark,
+            flat_root,
+            "IVF_MODEL",
+            {"n_cells": len(ivf_idx.centroids)},
+            centroids=ivf_idx.centroids,
+        )
+        _save_coded(
+            ivf_idx.coded.select("neighbor_id", "cv", "cell"),
+            flat_root,
+            "IVF_CODED",
+        )
+        # the probed-cell set for the subprocess's single query (vec_id 0),
+        # replicated driver-side: nearest n_probe centroids of the
+        # normalized query under the same lexsort tie rule ivf_knn uses
+        import numpy as np
+
+        q0 = np.asarray(
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+            dtype=np.float64,
+        )
+        q0 = q0 / max(np.linalg.norm(q0), 1e-12)
+        d2 = ((q0[None, :] - ivf_idx.centroids) ** 2).sum(axis=1)
+        cells_ix = np.arange(len(ivf_idx.centroids))
+        probed = sorted(int(c) for c in np.lexsort((cells_ix, d2))[:4])
+        vt = VersionedParquetTable(os.path.join(part_root, "coded"))
+        part_dir = vt._data_dirs(vt._resolve(None, None))[0]
+        files_total, bytes_total = _dir_stats(part_dir)
+        files_probed = bytes_probed = 0
+        for c in probed:
+            fp, bp = _dir_stats(os.path.join(part_dir, f"cell={c}"))
+            files_probed += fp
+            bytes_probed += bp
+        pruned_cold = _cold_pruned_ivf_search(
+            part_root, flat_root, args.sf_dir, n_queries=1
+        )
+        pruned_row = {
+            "knobs": "cells=16, probe=4, ONE query (probed union = 4 cells); "
+            "partitioned store vs flat twin, each from a fresh process",
+            "probed_cells": probed,
+            "files_probed": files_probed,
+            "files_total": files_total,
+            "bytes_probed": bytes_probed,
+            "bytes_total": bytes_total,
+            "scan_fraction": round(bytes_probed / max(bytes_total, 1), 4),
+            **pruned_cold,
+        }
+
         families = {
             "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
             "pq_append_stream": (None, append_row),
+            "ivf_persisted_pruned": (None, pruned_row),
             "lsh_fixed4": (
                 lambda: lsh_bucketed_knn(q, emb, k=K, n_planes=4),
                 {"knobs": "planes=4 (old fixed default), tables=4"},

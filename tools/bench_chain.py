@@ -1,0 +1,105 @@
+"""Read latency vs append-chain length — the measurement behind the
+``max_chain`` absorption default (``index_store._CODED_MAX_CHAIN``).
+
+A delta-file append commits O(batch) but adds one more directory every
+reader must open; absorption folds the chain back to one snapshot at a
+cost of one full rewrite. The right bound is where chain-induced read
+overhead stops being noise: this sweep builds a PQ-coded-shaped table at
+the sf1 tier (20k base rows + 500-row deltas, the streaming-ingest
+shape), extends the chain WITHOUT absorption, and records the head
+read+count time at increasing chain lengths. Run SOLO (NOTES.md: host
+drifts under load).
+
+Usage: python tools/bench_chain.py [--out FILE] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from high_volume_market_data_pipeline_spark.session import build_session  # noqa: E402
+from high_volume_market_data_pipeline_spark.sinks.history import (  # noqa: E402
+    VersionedParquetTable,
+)
+
+PROBE_LENGTHS = [1, 2, 4, 8, 16, 32, 64, 96, 128]
+BASE_ROWS = 20_000
+DELTA_ROWS = 500
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="hvmdp-bench-chain")
+    scratch = tempfile.mkdtemp(prefix="hvmdp_chain_")
+    rows: dict[str, dict] = {}
+    try:
+        table = VersionedParquetTable(os.path.join(scratch, "coded"))
+
+        def fake_coded(n: int, start: int):
+            return spark.range(start, start + n).select(
+                F.col("id").alias("neighbor_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: ((F.col("id") + j) % 32).cast("int"),
+                ).alias("pq_codes"),
+            )
+
+        table.write(fake_coded(BASE_ROWS, 0), "PQ_CODED")
+        chain = 1
+        for target in PROBE_LENGTHS:
+            while chain < target:
+                table.append(
+                    fake_coded(DELTA_ROWS, BASE_ROWS + chain * DELTA_ROWS),
+                    "PQ_APPEND",
+                    max_chain=None,  # never absorb: we are measuring the chain
+                )
+                chain += 1
+            secs = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = table.read(spark).count()
+                secs.append(time.perf_counter() - t0)
+            rows[str(target)] = {
+                "read_count_sec": round(statistics.median(secs), 3),
+                "n_rows": n,
+                "n_dirs": len(
+                    table._data_dirs(table._resolve(None, None))
+                ),
+            }
+            print(f"# chain={target}: {rows[str(target)]}", file=sys.stderr)
+    finally:
+        spark.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    doc = {
+        "metric": "chain_read_curve",
+        "unit": "sec",
+        "base_rows": BASE_ROWS,
+        "delta_rows": DELTA_ROWS,
+        "runs_per_point": args.runs,
+        "lengths": rows,
+    }
+    line = json.dumps(doc)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
