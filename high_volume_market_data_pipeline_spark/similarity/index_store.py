@@ -164,10 +164,15 @@ _APPEND_RETRIES = 5
 # Bound on the coded table's append-chain length before a commit absorbs
 # the chain into one snapshot (log-structured compaction): continuous
 # streaming ingest must not make every later search open an unbounded
-# number of tiny delta dirs. 64 dirs ≈ the point where file-open
-# round-trips rival the scan itself on object stores; the absorb pass is
-# amortized O(1) extra reads per appended row.
-_CODED_MAX_CHAIN = 64
+# number of tiny delta dirs. MEASURED default (BENCH_CHAIN_r08, sf1-tier
+# table, coalesced one-file deltas): head-read cost is linear in chain
+# length at ~0.07 s/dir — each delta dir is its own scan stage in the
+# read union — so chain 64 costs ~5 s per read vs ~1.4 s at 16 against a
+# 0.14 s compact snapshot. 16 keeps the read penalty ~10x under the
+# chain-64 default while amortized absorb cost stays ≤ ~8 rewritten rows
+# per appended row at the 2k-batch / 200k-corpus tier; searches outnumber
+# appends in a vector store, so the trade favors readers.
+_CODED_MAX_CHAIN = 16
 
 
 def _append_coords(root: str) -> tuple[int, int, int]:
@@ -200,6 +205,9 @@ def _append_coords(root: str) -> tuple[int, int, int]:
     return max(paired), max(cv), max(max(mv), max(cv)) + 1
 
 
+_DELTA_FILES = 4
+
+
 def _append_coded(
     delta, root: str, operation: str, parameters: dict, version: int,
     parent_version: int, partition_by: str | None = None,
@@ -207,9 +215,18 @@ def _append_coded(
     """CAS-commit ONLY the delta rows on top of ``parent_version`` — the
     manifest references the parent's files plus one new delta dir, so a
     2k-vector micro-batch append against a 100M-vector index writes 2k
-    rows, never the corpus (measured flat per-batch in BENCH_ANN_TIER)."""
+    rows, never the corpus (measured flat per-batch in BENCH_ANN_TIER).
+
+    The delta is coalesced to ``_DELTA_FILES`` partitions first: an
+    append is micro-batch-scale by contract (bulk loads go through the
+    save_* full snapshots, which keep natural parallelism), but a
+    parallelism-width write turns a 500-row delta into 32 files and every
+    LATER READ of the chain pays scan-task fan-out per delta dir —
+    BENCH_CHAIN_r08 measures the one-file curve at ~4x less per-dir read
+    cost than the 32-file curve. A handful of files (not one) keeps the
+    encode pipeline parallel-ish and bounds single-file hotspots."""
     return VersionedParquetTable(os.path.join(root, "coded")).append(
-        delta, operation, parameters, version=version,
+        delta.coalesce(_DELTA_FILES), operation, parameters, version=version,
         parent_version=parent_version, max_chain=_CODED_MAX_CHAIN,
         partition_by=partition_by,
     )

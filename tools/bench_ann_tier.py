@@ -151,10 +151,17 @@ def _cold_pruned_ivf_search(
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = f"""
-import os, sys, time
+    out: dict = {}
+    # ONE subprocess PER root: a shared process would hand whichever root
+    # runs second a warmed JVM/JIT/Python-daemon (the ~4 s first-search
+    # premium decomposed in the r7 cold-session row), burying the layout
+    # effect under warmup ordering. Each root also runs a SECOND search in
+    # its own process so the steady-state (post-warmup) numbers are the
+    # comparable pair.
+    for tag, root in (("part", part_root), ("flat", flat_root)):
+        script = f"""
+import sys, time
 sys.path.insert(0, {repo!r})
-import numpy as np
 from pyspark.sql import functions as F
 from high_volume_market_data_pipeline_spark.catalog import load_table
 from high_volume_market_data_pipeline_spark.session import build_session
@@ -162,30 +169,34 @@ from high_volume_market_data_pipeline_spark.similarity import ivf_knn, load_ivf_
 spark = build_session(app_name="ann-cold-pruned")
 emb = load_table(spark, {sf_dir!r}, "embeddings")
 q = emb.filter(F.col("vec_id") < {n_queries})
-for tag, root in (("part", {part_root!r}), ("flat", {flat_root!r})):
-    t0 = time.perf_counter(); idx = load_ivf_index(spark, root)
-    t1 = time.perf_counter()
-    ivf_knn(q, emb, k=5, n_probe=4, index=idx).write.format("noop").mode("overwrite").save()
-    t2 = time.perf_counter()
-    print("ROW", tag, round(t1-t0, 3), round(t2-t1, 3))
+t0 = time.perf_counter(); idx = load_ivf_index(spark, {root!r})
+t1 = time.perf_counter()
+ivf_knn(q, emb, k=5, n_probe=4, index=idx).write.format("noop").mode("overwrite").save()
+t2 = time.perf_counter()
+ivf_knn(q, emb, k=5, n_probe=4, index=idx).write.format("noop").mode("overwrite").save()
+t3 = time.perf_counter()
+print("ROW", round(t1-t0, 3), round(t2-t1, 3), round(t3-t2, 3))
 spark.stop()
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
-    out: dict = {}
-    for line in proc.stdout.splitlines():
-        if line.startswith("ROW"):
-            _, tag, load_s, search_s = line.split()
-            out[tag] = {
-                "cold_load_sec": float(load_s),
-                "cold_search_sec": float(search_s),
-            }
-    if not out:
-        return {"error": (proc.stderr or "no ROW line").splitlines()[-1][:200]}
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("ROW"):
+                _, load_s, search_s, search2_s = line.split()
+                out[tag] = {
+                    "cold_load_sec": float(load_s),
+                    "cold_search_sec": float(search_s),
+                    "cold_second_search_sec": float(search2_s),
+                }
+    if len(out) < 2:
+        return {
+            "error": (proc.stderr or "no ROW line").splitlines()[-1][:200],
+            **out,
+        }
     return out
 
 

@@ -46,10 +46,8 @@ def main() -> None:
 
     spark = build_session(app_name="hvmdp-bench-chain")
     scratch = tempfile.mkdtemp(prefix="hvmdp_chain_")
-    rows: dict[str, dict] = {}
+    curves: dict[str, dict] = {}
     try:
-        table = VersionedParquetTable(os.path.join(scratch, "coded"))
-
         def fake_coded(n: int, start: int):
             return spark.range(start, start + n).select(
                 F.col("id").alias("neighbor_id"),
@@ -59,29 +57,44 @@ def main() -> None:
                 ).alias("pq_codes"),
             )
 
-        table.write(fake_coded(BASE_ROWS, 0), "PQ_CODED")
-        chain = 1
-        for target in PROBE_LENGTHS:
-            while chain < target:
-                table.append(
-                    fake_coded(DELTA_ROWS, BASE_ROWS + chain * DELTA_ROWS),
-                    "PQ_APPEND",
-                    max_chain=None,  # never absorb: we are measuring the chain
-                )
-                chain += 1
-            secs = []
-            for _ in range(args.runs):
-                t0 = time.perf_counter()
-                n = table.read(spark).count()
-                secs.append(time.perf_counter() - t0)
-            rows[str(target)] = {
-                "read_count_sec": round(statistics.median(secs), 3),
-                "n_rows": n,
-                "n_dirs": len(
-                    table._data_dirs(table._resolve(None, None))
-                ),
-            }
-            print(f"# chain={target}: {rows[str(target)]}", file=sys.stderr)
+        # Two curves: deltas written at the session's default parallelism
+        # (32 files per 500-row delta — what a naive caller gets) and
+        # coalesced to one file (what index_store now does for
+        # micro-batch appends). The gap decomposes the per-dir cost into
+        # scan-task fan-out vs the irreducible per-dir open.
+        for tag, n_files in (("default_files", None), ("one_file", 1)):
+            rows: dict[str, dict] = {}
+            table = VersionedParquetTable(os.path.join(scratch, tag))
+            table.write(fake_coded(BASE_ROWS, 0), "PQ_CODED")
+            chain = 1
+            for target in PROBE_LENGTHS:
+                while chain < target:
+                    delta = fake_coded(
+                        DELTA_ROWS, BASE_ROWS + chain * DELTA_ROWS
+                    )
+                    if n_files is not None:
+                        delta = delta.coalesce(n_files)
+                    table.append(
+                        delta,
+                        "PQ_APPEND",
+                        max_chain=None,  # never absorb: measuring the chain
+                    )
+                    chain += 1
+                secs = []
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    n = table.read(spark).count()
+                    secs.append(time.perf_counter() - t0)
+                rows[str(target)] = {
+                    "read_count_sec": round(statistics.median(secs), 3),
+                    "n_rows": n,
+                    "n_dirs": len(
+                        table._data_dirs(table._resolve(None, None))
+                    ),
+                }
+                print(f"# {tag} chain={target}: {rows[str(target)]}",
+                      file=sys.stderr)
+            curves[tag] = rows
     finally:
         spark.stop()
         shutil.rmtree(scratch, ignore_errors=True)
@@ -92,7 +105,7 @@ def main() -> None:
         "base_rows": BASE_ROWS,
         "delta_rows": DELTA_ROWS,
         "runs_per_point": args.runs,
-        "lengths": rows,
+        "curves": curves,
     }
     line = json.dumps(doc)
     print(line)
