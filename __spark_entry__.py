@@ -36,70 +36,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # covers every registered query. Steady-state policy from r6:
 # (a) queries NEW or BEHAVIOR-CHANGED this round, then (b) the queries
 # whose most recent driver row is OLDEST (refresh the stalest evidence
-# first). Round 8 head = 7 new/changed (image_decode_stats and
-# stream_ivf_index_ingest are new; the history/versioned-table queries
-# changed with manifest-log checkpointing + vacuum grace + torn-commit
-# repair; the persisted-index lifecycle queries changed with the
-# paired-version append fix; ngram_jaccard_adaptive gains the OR-block
-# recall key) + ngram_jaccard_blocked (the one r4 row, rolled here from
-# r7 as planned) + the 42 queries whose latest driver row is r5. Every
-# query, head and tail, is also verified locally by
-# tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never
-# demote a query whose only green row is the current window.
+# first). Round 9 head = 5 new/changed (table_changes_incremental is
+# NEW: pruned append-lineage CDF; image_decode_stats: BMP kernels now
+# pickle by value + 8-bit palettes applied; table_version_changes:
+# changes() prunes to exclusive dirs with pushed PartitionFilters;
+# table_history_ops: torn-grace default + checkpoint-counter fix;
+# stream_incremental_dedup_admission: ledger writes coalesced) + the 44
+# queries whose latest driver row is r6 + 2 r7 rows whose code paths
+# this round touched (tfidf_top_terms profiling; stream_quality_ledger
+# shares the ledger write shape). Exactly 50 entries; after this
+# rotation no query's latest driver row is older than r7. Every query, head and tail, is also
+# verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1
+# each round. Never demote a query whose only green row is the current
+# window.
 _HEAD = [
     # --- new or behavior-changed this round ---
-    "image_decode_stats",           # NEW: numpy BMP decode, full oracle
-    "stream_ivf_index_ingest",      # NEW: streaming appends, ivf family
-    "table_history_ops",            # manifest-log checkpointing + vacuum grace
-    "table_version_changes",        # checkpointed log resolution
-    "knn_pq_persisted",             # append loads paired model version
-    "stream_pq_index_ingest",       # shared stream bridge + paired appends
-    "ngram_jaccard_adaptive",       # OR-construction mid-prefix block key
-    # --- the one r4 row (rolled from r7 by plan) ---
-    "ngram_jaccard_blocked",
-    # --- most recent driver row is r5 (42 of 42) ---
-    "doc_quality_and_lang",
-    "doc_repetition_stats",
-    "pii_redact_documents",
-    "doc_fingerprints",
-    "substring_dup_spans",
-    "embedding_random_projection",
-    "embedding_quantize_stats",
-    "stream_sliding_counts",
-    "stream_dedup_events",
-    "stream_static_nation_counts",
-    "stream_distinct_sketch_state",
-    "shipping_priority_q3",
-    "revenue_by_nation_q5",
-    "order_counts_pivot",
-    "part_metrics_unpivot",
-    "segment_mode_median",
-    "session_chains_recursive",
-    "sessionize_events_batch",
-    "trailing_hour_user_stats",
-    "order_value_percentiles",
-    "hll_incremental_distinct",
-    "heavy_hitter_users",
-    "heavy_hitter_daily_rollup",
-    "user_peak_event",
-    "orders_above_customer_avg",
-    "salted_event_value_agg",
-    "hypertable_rollup",
-    "cheapest_supplier_per_part",
-    "parts_sales_coverage",
-    "priority_count_q4",
-    "returned_top_customers_q10",
-    "market_share_q8",
-    "large_volume_customers_q18",
-    "winsorized_value_stats",
-    "curation_funnel",
-    "hash_split_train_val",
-    "stratified_lang_sample",
-    "context_window_chunks",
-    "quality_weighted_sample",
-    "gapfill_nation_daily_revenue",
-    "event_rate_anomalies",
-    "dq_orders_expectations",
+    "table_changes_incremental",    # NEW: pruned append-lineage CDF
+    "image_decode_stats",
+    "table_version_changes",
+    "table_history_ops",
+    "stream_incremental_dedup_admission",
+    # --- most recent driver row is r6 (44 of 44) ---
+    "approx_distinct_users",
+    "broadcast_dim_join",
+    "bulk_part_suppliers_q20",
+    "cube_event_stats",
+    "customer_order_distribution_q13",
+    "customer_order_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_profile",
+    "dedup_keep_latest_events",
+    "discounted_bulk_revenue_q19",
+    "distinct_order_priorities",
+    "dormant_rich_customers_q22",
+    "event_type_audiences",
+    "fk_orphan_lineitems",
+    "forecast_revenue_q6",
+    "gold_daily_topk_stats",
+    "important_part_stock_q11",
+    "json_props_profile",
+    "knn_lsh_bucketed",
+    "lang_quota_sample",
+    "minhash_lsh_near_dup",
+    "nation_trade_volume_q7",
+    "order_price_rank_metrics",
+    "order_value_quartiles_ntile",
+    "paged_feed_rollup",
+    "parts_catalog_labels",
+    "pricing_summary",
+    "priority_shipping_modes_q12",
+    "product_type_profit_q9",
+    "profile_orders_columns",
+    "promo_revenue_share_q14",
+    "running_user_value",
+    "small_quantity_orders_q17",
+    "sql_grouping_sets_orders",
+    "sql_peak_revenue_day",
+    "stats_quantity_price",
+    "supplier_diversity_q16",
+    "token_budget_chunks",
+    "top1_order_by_price",
+    "top_supplier_q15",
+    "variant_props_buckets",
+    "waiting_supplier_q21",
+    # --- r7 rows on code paths touched this round ---
+    "tfidf_top_terms",
+    "stream_quality_ledger",
 ]
 
 

@@ -166,3 +166,58 @@ def table_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes(spark, 0, 1, key_cols=["o_orderkey"]).orderBy(
         "o_orderkey", "_change_type"
     )
+
+
+@query(
+    "table_changes_incremental",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice,
+           (o_orderkey // 100) % 4 AS bucket,
+           'insert' AS _change_type
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+      AND o_orderkey % 3 = 1
+      AND (o_orderkey // 100) % 4 = 2
+    ORDER BY o_orderkey
+    """,
+)
+def table_changes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF down an APPEND lineage — the metadata-pruned fast path of
+    ``VersionedParquetTable.changes``: the child version shares the
+    parent's data dirs, so the diff scans only the delta dir with a
+    pushed PartitionFilter for the touched partition (pytest pins the
+    plan; this query pins the VALUES through the driver hash). v0 is a
+    deterministic orders slice partitioned by ``bucket``; the appended
+    delta is a disjoint-key slice confined to bucket 2, so the change
+    set is exactly those rows as inserts — pure SQL state the oracle
+    recomputes relationally."""
+    root = os.path.join(tempfile.gettempdir(), "hvmdp_cdf_incr_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.expr("o_orderkey div 100") % 4).alias("bucket"),
+        )
+    )
+    table.write(
+        base.filter(F.col("o_orderkey") % 3 == 0), "WRITE",
+        partition_by="bucket",
+    )
+    table.append(
+        base.filter(
+            (F.col("o_orderkey") % 3 == 1) & (F.col("bucket") == 2)
+        ),
+        "APPEND",
+        partition_by="bucket",
+    )
+    return table.changes(spark, 0, 1, key_cols=["o_orderkey"]).orderBy(
+        "o_orderkey"
+    )

@@ -107,7 +107,16 @@ class VersionedParquetTable:
     # (O_EXCL makes the file visible before its one write lands) only for
     # about as long as a write+fsync takes; older than this it is a
     # crashed commit that will never finish, and retrying is futile.
-    torn_grace_seconds = 60.0
+    # SAFETY CONTRACT (same as vacuum's orphan grace): a writer stalled
+    # longer than this between its O_EXCL create and the write+fsync can
+    # have its in-flight manifest classified as dead — repair then unlinks
+    # it, a rival reuses the version, and the stalled writer finishes
+    # writing to the unlinked inode and reports success: an acknowledged-
+    # but-lost commit. Do not run repair_torn_tail() (or rely on
+    # TornCommitError classification) concurrently with writers that can
+    # stall longer than this; the default is sized well above any
+    # plausible single-small-file write stall (GC pause, NFS hiccup).
+    torn_grace_seconds = 300.0
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -179,7 +188,17 @@ class VersionedParquetTable:
         a checkpoint is never contended for correctness (two racers write
         supersets of the same log; the pointer's last writer wins, and a
         stale pointer only costs extra tail reads, never wrong results).
-        Returns the checkpoint file name, or None on an empty log."""
+        Returns the checkpoint file name, or None on an empty log.
+
+        Byte-cost caveat: each checkpoint embeds the ENTIRE kept manifest
+        log (Delta's checkpoint parquet does the same — full add-file
+        state per checkpoint), so file OPENS per read stay O(1) but bytes
+        parsed per read grow with kept history, and cumulative checkpoint
+        write volume is O(commits²/interval) on a table whose history is
+        never truncated. vacuum() is the intended horizon bound — it folds
+        the checkpoint down to the kept manifests; a table that must keep
+        very deep time travel should raise ``checkpoint_interval`` to
+        amortize the rewrite instead."""
         return self._write_checkpoint(self._manifests())
 
     def _write_checkpoint(self, ms: list[dict]) -> str | None:
@@ -384,7 +403,15 @@ class VersionedParquetTable:
         already treat as never committed) so its version number frees up
         for writers. Refuses to touch a parseable manifest or anything
         younger than the in-flight grace window. Returns the removed file
-        name, or None if there was nothing to repair."""
+        name, or None if there was nothing to repair.
+
+        Mtime age is the only liveness signal available, so — like
+        vacuum's orphan grace — repair must not run concurrently with a
+        writer that can stall longer than ``torn_grace_seconds`` between
+        creating its manifest and finishing the write: unlinking a merely
+        stalled writer's file lets a rival reuse the version while the
+        stalled write completes against the unlinked inode and returns
+        success (an acknowledged-but-lost commit)."""
         if not os.path.isdir(self.log_dir):
             return None
         names = sorted(
@@ -455,7 +482,13 @@ class VersionedParquetTable:
         would re-commit and hit ConcurrentCommitError on its own
         version) — warn and move on; the next commit retries."""
         try:
+            # The pointer probe must not pollute last_log_files_opened:
+            # the counter is documented as "files opened by the most
+            # recent _manifests() call" and tests/benches read it right
+            # after a write path.
+            saved = self.last_log_files_opened
             cp = self._read_last_checkpoint()
+            self.last_log_files_opened = saved
             if version - (cp["version"] if cp else -1) >= self.checkpoint_interval:
                 self.checkpoint()
         except Exception as exc:  # noqa: BLE001 — cache maintenance only
@@ -503,6 +536,53 @@ class VersionedParquetTable:
             out = out.unionByName(spark.read.parquet(d))
         return out
 
+    def _read_dirs(
+        self, spark: SparkSession, dirs: list[str], fallback_version: int
+    ) -> DataFrame:
+        """Per-dir union of a SUBSET of a version's data dirs (same
+        one-scan-per-dir rule as ``read``). An empty subset still needs
+        the version's schema for the diff join, so it reads the version
+        under limit(0) — Catalyst collapses that to an empty relation."""
+        if not dirs:
+            return self.read(spark, version=fallback_version).limit(0)
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
+
+    def _touched_partitions(self, pre_m: dict, post_m: dict) -> list:
+        """Partition VALUES whose parquet file sets differ between two
+        manifests — a pure file-listing computation (the manifests name
+        whole dirs; shared dirs contribute identical file sets by
+        construction, so only partitions reached by an exclusive dir can
+        differ). Hive dir names decode via unquote; the null-partition
+        sentinel maps to None."""
+        from urllib.parse import unquote
+
+        def inventory(m: dict) -> dict:
+            inv: dict[str, set] = {}
+            for d in self._data_dirs(m):
+                for dirpath, _, files in os.walk(d):
+                    pqs = [f for f in files if f.endswith(".parquet")]
+                    if not pqs:
+                        continue
+                    rel = os.path.relpath(dirpath, d)
+                    inv.setdefault(rel, set()).update(
+                        os.path.join(dirpath, f) for f in pqs
+                    )
+            return inv
+
+        a, b = inventory(pre_m), inventory(post_m)
+        out = []
+        for rel in set(a) | set(b):
+            if a.get(rel) == b.get(rel):
+                continue
+            val = rel.split("=", 1)[1] if "=" in rel else rel
+            out.append(
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
+        return sorted(out, key=lambda v: (v is None, str(v)))
+
     def history(self, spark: SparkSession) -> DataFrame:
         """(version, timestamp, operation, parameters) — newest first, like
         ``DeltaTable.history()`` (view_delta_history.py:57-59)."""
@@ -543,9 +623,48 @@ class VersionedParquetTable:
 
         ``key_cols`` must uniquely identify rows within each snapshot
         (the same precondition Delta MERGE enforces); duplicate keys fan
-        the diff join out and the classification is undefined."""
-        pre = self.read(spark, version=v_from)
-        post = self.read(spark, version=v_to)
+        the diff join out and the classification is undefined.
+
+        Pruning: the two manifests usually SHARE data dirs (append commits
+        inherit the parent's dirs), and a shared dir contributes byte-
+        identical rows to both snapshots — under the unique-key
+        precondition those rows can never produce a diff row (a key living
+        in a shared dir on one side and a changed dir on the other would
+        be a duplicate key within a snapshot). Each side therefore scans
+        only its EXCLUSIVE dirs — metadata-sized for an append lineage
+        instead of two full-table scans — and on a hive-partitioned table
+        the partitions actually present in those exclusive dirs are pushed
+        as PartitionFilters on both scans, keeping the job bounded by the
+        touched data even if a future commit shape shares dirs across
+        partition rewrites. Version pairs with no shared dirs (full
+        rewrites) fall back to the full keyed diff — with rewritten file
+        names there is no metadata signal for which partitions changed."""
+        pre_m = self._resolve(v_from, None)
+        post_m = self._resolve(v_to, None)
+        pre_dirs, post_dirs = self._data_dirs(pre_m), self._data_dirs(post_m)
+        shared = set(pre_dirs) & set(post_dirs)
+        pre = self._read_dirs(
+            spark, [d for d in pre_dirs if d not in shared], v_from
+        )
+        post = self._read_dirs(
+            spark, [d for d in post_dirs if d not in shared], v_to
+        )
+        part_by = pre_m.get("partition_by")
+        if shared and part_by and part_by == post_m.get("partition_by"):
+            touched = self._touched_partitions(pre_m, post_m)
+            # Literals are cast to the PARTITION COLUMN's type: a mixed-
+            # type IN would coerce the column to string and the predicate
+            # would no longer push as a PartitionFilter.
+            dt = pre.schema[part_by].dataType
+            cond = F.lit(False)
+            for v in touched:
+                term = (
+                    F.col(part_by).isNull()
+                    if v is None
+                    else F.col(part_by) == F.lit(v).cast(dt)
+                )
+                cond = cond | term
+            pre, post = pre.filter(cond), post.filter(cond)
         data_cols = [c for c in pre.columns if c not in key_cols]
         if set(pre.columns) != set(post.columns):
             raise ValueError(

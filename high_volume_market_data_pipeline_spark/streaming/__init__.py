@@ -30,6 +30,11 @@ from high_volume_market_data_pipeline_spark.streaming.quality import (
 from high_volume_market_data_pipeline_spark.streaming.sketch_state import (
     stream_hll_state,
 )
+from high_volume_market_data_pipeline_spark.streaming.incremental import (
+    compact_ledger,
+    read_ledger,
+    stream_incremental_dedup,
+)
 from high_volume_market_data_pipeline_spark.streaming.custom_state import (
     running_user_totals,
     running_user_totals_tws,
@@ -37,6 +42,7 @@ from high_volume_market_data_pipeline_spark.streaming.custom_state import (
 )
 
 __all__ = [
+    "compact_ledger",
     "interval_join_streams",
     "monitor_expectations",
     "read_parquet_stream",
@@ -44,10 +50,12 @@ __all__ = [
     "running_user_totals",
     "timeout_sessions",
     "running_user_totals_tws",
+    "read_ledger",
     "run_to_memory_sink",
     "session_window_agg",
     "sliding_window_agg",
     "stream_hll_state",
+    "stream_incremental_dedup",
     "streaming_dedup",
     "tumbling_window_agg",
 ]

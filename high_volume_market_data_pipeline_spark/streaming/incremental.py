@@ -39,6 +39,15 @@ from high_volume_market_data_pipeline_spark.dedup.incremental import (
 
 _SCHEMA_MARKER = "_ledger_schema.json"
 
+# Ledger micro-batches write at most this many files per batch_id
+# partition. BENCH_CHAIN_r08 measured head-read cost LINEAR in file
+# count (~2× at parallelism-width vs coalesced deltas) — the same
+# trade index_store makes for its delta appends: batches are
+# micro-batch-scale by contract, so capping the final write stage at 4
+# tasks costs nothing while a week of 30s batches (~20k partitions)
+# stays ~4 files each instead of shuffle-partition-many.
+_LEDGER_MAX_FILES_PER_BATCH = 4
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` through Spark's Hadoop conf — the
@@ -128,6 +137,7 @@ def stream_incremental_dedup(
         )
         for df, leaf in ((admitted, "admitted"), (rejected, "rejected")):
             out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            out = out.coalesce(_LEDGER_MAX_FILES_PER_BATCH)
             _ensure_schema_marker(out, f"{out_root}/{leaf}")
             # dynamic mode per-write: a replayed batch overwrites ONLY its
             # own batch_id partition (exactly-once ledger), without
@@ -143,3 +153,77 @@ def stream_incremental_dedup(
         .trigger(**trigger_kwargs)
         .start()
     )
+
+
+def compact_ledger(
+    spark: SparkSession,
+    out_root: str,
+    leaf: str,
+    keep_last_batches: int = 8,
+) -> dict:
+    """File-compact old ledger partitions to ONE file each — the ledger's
+    absorption bound. Every micro-batch adds a ``batch_id=N`` partition
+    (up to ``_LEDGER_MAX_FILES_PER_BATCH`` files), so a long-lived stream
+    grows the ledger's file count without limit and read cost is linear
+    in files (BENCH_CHAIN); this folds everything older than the newest
+    ``keep_last_batches`` partitions down to one file per partition,
+    IN PLACE (partition values unchanged — a replayed batch still
+    overwrites exactly its own partition, so exactly-once ledger
+    semantics survive compaction).
+
+    Crash-safe: dynamic partition overwrite publishes at job commit, so
+    an aborted compaction leaves the original files; a partially applied
+    one (some partitions swapped) is content-identical and a rerun
+    converges. The rewrite reads only the target partitions (pushed
+    PartitionFilters) through localCheckpoint — Spark refuses to
+    overwrite a path it is concurrently reading, and old ledger
+    partitions are micro-batch-sized by construction. Run it from
+    maintenance (e.g. alongside SignatureStore.compact()), not
+    concurrently with a stream that may still REPLAY one of the target
+    partitions — the keep_last_batches horizon exists to keep live and
+    compacted partitions disjoint.
+
+    Returns {"compacted_partitions", "files_before", "files_after"}."""
+    path = f"{out_root}/{leaf}"
+    fs, root = _hadoop_fs(spark, path)
+    stats = {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+    if not fs.exists(root):
+        return stats
+
+    def parquet_files(p) -> int:
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    part_files: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            part_files[int(name.split("=", 1)[1])] = parquet_files(st.getPath())
+    horizon = set(sorted(part_files)[-keep_last_batches:]) if part_files else set()
+    targets = sorted(
+        b for b, n in part_files.items() if b not in horizon and n > 1
+    )
+    if not targets:
+        return stats
+    stats["files_before"] = sum(part_files[b] for b in targets)
+    df = (
+        read_ledger(spark, out_root, leaf)
+        .filter(F.col("batch_id").isin(targets))
+        .localCheckpoint(eager=True)  # cut lineage: source == sink path
+    )
+    (
+        df.repartition("batch_id")  # one task per value → one file per dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+    stats["compacted_partitions"] = len(targets)
+    stats["files_after"] = sum(
+        parquet_files(_hadoop_fs(spark, f"{path}/batch_id={b}")[1])
+        for b in targets
+    )
+    return stats

@@ -101,3 +101,66 @@ def test_synthetic_assets_match_closed_form(spark):
         n = w * h * ch
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
         assert r["sum_pixels"] == (n // 256) * 32640 + (n % 256) * (n % 256 - 1) // 2
+
+
+def test_colored_palette_applied_as_rgb():
+    """An 8-bit BMP with a NON-gray color table must decode to (h, w, 3)
+    RGB intensities — raw palette indexes are wrong pixel values for any
+    palette that is not identity gray (the r8 ADVICE finding)."""
+    import struct
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4) * 10
+    blob = bytearray(encode_bmp(px))
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = np.arange(256)  # B = i
+    pal[:, 1] = 255 - np.arange(256)  # G = 255 - i
+    pal[:, 2] = np.arange(256) // 2  # R = i // 2
+    blob[54 : 54 + 1024] = pal.tobytes()
+    got, ch = decode_bmp_bytes(bytes(blob))
+    assert ch == 3 and got.shape == (3, 4, 3)
+    np.testing.assert_array_equal(got[:, :, 0], px // 2)  # R
+    np.testing.assert_array_equal(got[:, :, 1], 255 - px)  # G
+    np.testing.assert_array_equal(got[:, :, 2], px)  # B
+    # and a truncated color table: indexes beyond colors_used are corrupt
+    struct.pack_into("<I", blob, 46, 4)  # DIB colors_used = 4, px max = 110
+    assert decode_bmp_bytes(bytes(blob)) is None
+    small = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    blob2 = bytearray(encode_bmp(small))
+    struct.pack_into("<I", blob2, 46, 4)  # 4-entry gray table covers 0..3
+    got2, ch2 = decode_bmp_bytes(bytes(blob2))
+    assert ch2 == 1
+    np.testing.assert_array_equal(got2, small)
+
+
+def test_kernels_pickle_by_value_for_foreign_cwd_workers():
+    """The codec pair must deserialize WITHOUT importing this repo package
+    — Python workers inherit the driver cwd, and a driver launched outside
+    the repo root cannot re-import repo modules referenced by name. The
+    factory gives the kernels <locals> qualnames so cloudpickle ships them
+    by value (the r8 image_decode_stats portability defect)."""
+    from pyspark import cloudpickle
+
+    assert "<locals>" in encode_bmp.__qualname__
+    assert "<locals>" in decode_bmp_bytes.__qualname__
+    payload = cloudpickle.dumps((encode_bmp, decode_bmp_bytes))
+    # Reconstructing must not import the repo package: hide it and load.
+    import subprocess
+    import sys
+
+    with open("/tmp/_bmp_kernel_payload.pkl", "wb") as f:
+        f.write(payload)
+    code = (
+        "import sys\n"
+        "sys.path = [p for p in sys.path if 'repo' not in p]\n"
+        "sys.modules.pop('high_volume_market_data_pipeline_spark', None)\n"
+        "from pyspark import cloudpickle\n"
+        "import numpy as np\n"
+        "enc, dec = cloudpickle.load(open('/tmp/_bmp_kernel_payload.pkl','rb'))\n"
+        "px = (np.arange(24) % 256).astype(np.uint8).reshape(4, 6)\n"
+        "got, ch = dec(enc(px))\n"
+        "assert ch == 1 and (got == px).all()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stderr

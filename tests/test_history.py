@@ -187,6 +187,66 @@ def test_changes_plan_is_single_equi_join(spark, tmp_path):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_changes_append_lineage_prunes_to_exclusive_dirs(spark, tmp_path):
+    """CDF between an append child and its parent must be metadata-sized:
+    shared dirs contribute byte-identical rows to both snapshots, so the
+    diff scans only the EXCLUSIVE dirs — on a partitioned table the plan
+    carries real PartitionFilters for the touched partition, and the
+    parent snapshot is never re-scanned (its side collapses to an empty
+    relation)."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf_prune"))
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (3, 3, "c"), (4, 1, "d")],
+        "id long, p int, s string",
+    )
+    t.write(base, partition_by="p")
+    delta = spark.createDataFrame([(10, 3, "x"), (11, 3, "y")],
+                                  "id long, p int, s string")
+    t.append(delta, partition_by="p")
+
+    diff = t.changes(spark, 0, 1, key_cols=["id"])
+    got = sorted((r["id"], r["_change_type"]) for r in diff.collect())
+    assert got == [(10, "insert"), (11, "insert")]
+
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    # only the touched partition is admitted, as a pushed partition filter
+    import re
+
+    assert "PartitionFilters" in plan
+    assert "PartitionFilters: []" not in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*p#\d+L? = 3", plan), plan
+    # the parent's full-snapshot dir must not be scanned: v0's dir appears
+    # in no FileScan (the pre side is an empty relation after limit(0))
+    import json, os
+
+    with open(os.path.join(t.log_dir, "00000000.json")) as fh:
+        v0_dir = json.load(fh)["data_dir"]
+    assert os.path.basename(v0_dir) not in plan
+
+
+def test_changes_reverse_append_diff_is_deletes_only(spark, tmp_path):
+    """Diffing DOWN an append lineage (v_from newer) emits the delta rows
+    as deletes — same exclusive-dir reduction, opposite side."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf_rev"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    got = sorted(
+        (r["id"], r["_change_type"])
+        for r in t.changes(spark, 1, 0, key_cols=["id"]).collect()
+    )
+    assert got == [(2, "delete")]
+    # identical versions: every dir shared, diff is empty
+    assert t.changes(spark, 1, 1, key_cols=["id"]).count() == 0
+
+
 def test_concurrent_commit_is_create_if_absent(spark, table):
     """Version allocation is read-then-increment, so two writers can both
     pick the same next version; the manifest commit must then FAIL for the

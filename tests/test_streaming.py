@@ -1089,3 +1089,68 @@ def test_stream_incremental_dedup_empty_leaf_readable(spark, tmp_path):
 
     with _pytest.raises(AnalysisException):
         spark.read.parquet(str(tmp_path / "ledger" / "rejected")).collect()
+
+
+def test_compact_ledger_folds_old_partitions(spark, tmp_path):
+    """The admission ledger's absorption bound: partitions older than the
+    keep-horizon fold to ONE file each, in place — content identical,
+    batch_id values unchanged (so a replayed batch still overwrites
+    exactly its own partition after compaction)."""
+    import os
+
+    from high_volume_market_data_pipeline_spark.streaming.incremental import (
+        _ensure_schema_marker,
+        compact_ledger,
+        read_ledger,
+    )
+
+    root = str(tmp_path / "ledger")
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"d{b}_{i}", b) for i in range(8)],
+            "doc_id long, text string, batch_id long",
+        ).repartition(4)  # the naive many-files-per-batch shape
+        _ensure_schema_marker(df, f"{root}/admitted")
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(f"{root}/admitted")
+
+    def files(b):
+        d = f"{root}/admitted/batch_id={b}"
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    before = sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in read_ledger(spark, root, "admitted").collect()
+    )
+    assert all(len(files(b)) > 1 for b in range(5))
+
+    stats = compact_ledger(spark, root, "admitted", keep_last_batches=2)
+    assert stats["compacted_partitions"] == 3  # batches 0,1,2
+    assert stats["files_after"] == 3  # one file each
+    for b in range(3):
+        assert len(files(b)) == 1
+    for b in (3, 4):  # horizon partitions untouched
+        assert len(files(b)) > 1
+    after = sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in read_ledger(spark, root, "admitted").collect()
+    )
+    assert after == before
+
+    # idempotent: nothing left above 1 file below the horizon
+    again = compact_ledger(spark, root, "admitted", keep_last_batches=2)
+    assert again["compacted_partitions"] == 0
+
+    # a replay of a COMPACTED batch still overwrites only its partition
+    replay = spark.createDataFrame(
+        [(10 + i, f"d1_{i}", 1) for i in range(8)],
+        "doc_id long, text string, batch_id long",
+    )
+    replay.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(f"{root}/admitted")
+    assert sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in read_ledger(spark, root, "admitted").collect()
+    ) == before

@@ -95,6 +95,58 @@ def main() -> None:
                 print(f"# {tag} chain={target}: {rows[str(target)]}",
                       file=sys.stderr)
             curves[tag] = rows
+
+        # Ledger curve: the admission ledger adds one batch_id partition
+        # per micro-batch (capped at _LEDGER_MAX_FILES_PER_BATCH files by
+        # the wired default) — measure read cost vs batch count, and what
+        # compact_ledger (1 file/partition below the horizon) buys back.
+        from high_volume_market_data_pipeline_spark.streaming.incremental import (
+            _LEDGER_MAX_FILES_PER_BATCH,
+            compact_ledger,
+            read_ledger,
+        )
+
+        ledger_root = os.path.join(scratch, "ledger")
+        ledger_rows: dict[str, dict] = {}
+
+        def read_ledger_sec() -> tuple[float, int]:
+            secs = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = read_ledger(spark, ledger_root, "admitted").count()
+                secs.append(time.perf_counter() - t0)
+            return round(statistics.median(secs), 3), n
+
+        built = 0
+        targets = [8, 32, 128, 256]
+        for target in targets:
+            while built < target:
+                (
+                    fake_coded(200, built * 200)
+                    .withColumn("batch_id", F.lit(built).cast("long"))
+                    .coalesce(_LEDGER_MAX_FILES_PER_BATCH)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{ledger_root}/admitted")
+                )
+                built += 1
+            sec, n = read_ledger_sec()
+            ledger_rows[str(target)] = {"capped_read_sec": sec, "n_rows": n}
+            print(f"# ledger batches={target}: {ledger_rows[str(target)]}",
+                  file=sys.stderr)
+        # one maintenance pass at the deepest point: what absorption buys
+        stats = compact_ledger(
+            spark, ledger_root, "admitted", keep_last_batches=8
+        )
+        sec, n = read_ledger_sec()
+        ledger_rows[str(targets[-1])].update(
+            compacted_read_sec=sec,
+            files_folded=stats["files_before"] - stats["files_after"],
+        )
+        print(f"# ledger compacted: {ledger_rows[str(targets[-1])]}",
+              file=sys.stderr)
+        curves["ledger"] = ledger_rows
     finally:
         spark.stop()
         shutil.rmtree(scratch, ignore_errors=True)
