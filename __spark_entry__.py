@@ -36,22 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # covers every registered query. Steady-state policy from r6:
 # (a) queries NEW or BEHAVIOR-CHANGED this round, then (b) the queries
 # whose most recent driver row is OLDEST (refresh the stalest evidence
-# first). Round 9 head = 5 new/changed (table_changes_incremental is
-# NEW: pruned append-lineage CDF; image_decode_stats: BMP kernels now
-# pickle by value + 8-bit palettes applied; table_version_changes:
-# changes() prunes to exclusive dirs with pushed PartitionFilters;
+# first). Round 9 head = 6 new/changed (table_changes_incremental NEW:
+# pruned append-lineage CDF; stream_table_appends NEW: readStream over
+# the versioned table; image_decode_stats: BMP kernels now pickle by
+# value + 8-bit palettes applied; table_version_changes: changes()
+# prunes to exclusive dirs with pushed PartitionFilters;
 # table_history_ops: torn-grace default + checkpoint-counter fix;
-# stream_incremental_dedup_admission: ledger writes coalesced) + the 44
-# queries whose latest driver row is r6 + 2 r7 rows whose code paths
-# this round touched (tfidf_top_terms profiling; stream_quality_ledger
-# shares the ledger write shape). Exactly 50 entries; after this
-# rotation no query's latest driver row is older than r7. Every query, head and tail, is also
+# stream_incremental_dedup_admission: ledger writes coalesced) + the 43
+# other queries whose latest driver row is r6 + tfidf_top_terms (r7 row,
+# un-persisted this round). Exactly 50 entries; after this rotation no
+# query's latest driver row is older than r7. Every query, head and tail, is also
 # verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1
 # each round. Never demote a query whose only green row is the current
 # window.
 _HEAD = [
     # --- new or behavior-changed this round ---
     "table_changes_incremental",    # NEW: pruned append-lineage CDF
+    "stream_table_appends",         # NEW: versioned table as stream source
     "image_decode_stats",
     "table_version_changes",
     "table_history_ops",
@@ -100,9 +101,8 @@ _HEAD = [
     "top_supplier_q15",
     "variant_props_buckets",
     "waiting_supplier_q21",
-    # --- r7 rows on code paths touched this round ---
+    # --- r7 row on a code path changed this round ---
     "tfidf_top_terms",
-    "stream_quality_ledger",
 ]
 
 

@@ -664,3 +664,52 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_table_appends",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the VERSIONED TABLE (sources/table_datasource.py) —
+    Delta streaming-source parity on the manifest log: the initial
+    snapshot is emitted in full, each append emits exactly its delta
+    dirs' rows (executor-side pyarrow reads, offsets = version numbers),
+    and the COMPACT in the middle is structurally detected as a change
+    commit and skipped. The fixture splits a deterministic orders slice
+    into snapshot + two appends around a compaction, so the availableNow
+    end state equals the whole slice exactly once — double-emission of
+    compacted rows or a missed delta both break the driver hash."""
+    import shutil
+    import tempfile
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        register_table_stream,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "hvmdp_table_stream_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table.write(base.filter(F.col("o_orderkey") % 3 == 0), "WRITE")
+    table.append(base.filter(F.col("o_orderkey") % 3 == 1), "APPEND")
+    table.compact(spark)  # change commit: rewrites rows already streamed
+    table.append(base.filter(F.col("o_orderkey") % 3 == 2), "APPEND")
+
+    register_table_stream(spark)
+    sdf = spark.readStream.format("table_stream").option("root", root).load()
+    out = run_to_memory_sink(sdf, output_mode="append")
+    return out.orderBy("o_orderkey")

@@ -170,15 +170,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.lower("raw").alias("token"))
     )
-    # tf feeds both the df derivation and the scored join — persist so the
-    # tokenize+explode+shuffle pipeline runs once.
-    from pyspark.storagelevel import StorageLevel
-
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # tf feeds both the df derivation and the scored join. Deliberately
+    # NOT persisted: caching tf was measured 2.6× SLOWER end-to-end at
+    # sf0.1 (2.52 s → 0.96 s median after removal) — the MEMORY_AND_DISK
+    # materialization + InMemoryTableScan cost more than re-running the
+    # columnar tokenize/explode/partial-agg pipeline, which stays inside
+    # whole-stage codegen. The df branch's input is the already-combined
+    # (doc_id, token) partials, so the duplicated work is map-side only.
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -32,14 +32,6 @@ from high_volume_market_data_pipeline_spark.functions.vectors import (
 )
 
 
-def _cosine_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
-    a = np.asarray(qv.tolist(), dtype=np.float64)
-    b = np.asarray(cv.tolist(), dtype=np.float64)
-    num = np.einsum("ij,ij->i", a, b)
-    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return pd.Series(num / den)
-
-
 _MAX_CLOSURE_QUERIES = 100_000
 # Bound on any single in-flight (query-chunk × corpus-batch) float64 score
 # matrix inside a closure kernel. The scans chunk the query matrix so that
@@ -47,6 +39,83 @@ _MAX_CLOSURE_QUERIES = 100_000
 # query count — without it, 100k queries × a 10k-row Arrow batch would
 # materialize an ~8 GB matrix per in-flight task.
 _CLOSURE_BUDGET_BYTES = 128 << 20
+
+
+def _build_vector_kernels():
+    """The numpy helpers every executor-shipped kernel in this family
+    calls, built as <locals> closures so cloudpickle ships their BODIES
+    into the UDF/mapInArrow closures (the NOTES cwd-portability rule: a
+    module-level def pickles by reference and Python workers — which
+    inherit the driver cwd — would have to re-import this repo package).
+    They may reference only numpy/pandas and closure constants."""
+    budget_default = _CLOSURE_BUDGET_BYTES
+
+    def _cosine_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.asarray(qv.tolist(), dtype=np.float64)
+        b = np.asarray(cv.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    def _normalize_rows(X: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return X / n
+
+    def _query_chunks(nq: int, batch_rows: int, budget: int | None = None):
+        """Yield (start, stop) query-row slices sized so a (chunk,
+        batch_rows) float64 matrix stays under the byte budget (default
+        _CLOSURE_BUDGET_BYTES, frozen into the closure at import).
+        ``budget`` is an explicit parameter so a caller-chosen value
+        rides the closure to the workers (the chunk-identity test
+        relies on this)."""
+        if budget is None:
+            budget = budget_default
+        chunk = max(1, budget // (max(1, batch_rows) * 8))
+        for s in range(0, nq, chunk):
+            yield s, min(nq, s + chunk)
+
+    def _per_batch_topr(
+        qids: "np.ndarray",
+        ids: "np.ndarray",
+        S: "np.ndarray",
+        r: int,
+    ):
+        """Deterministic per-batch top-r per query from a (nq, B) score
+        matrix: order by (-score, neighbor_id) — the same tie rule as the
+        global rank window, so the batch-level cut can never drop a row
+        the global cut would have kept. -inf scores (masked self-pairs)
+        never emit. Returns (query_id, neighbor_id, score) flat arrays.
+
+        One vectorized argpartition prunes each row to its top-r score
+        tier (plus every boundary tie, so the id tie rule stays exact);
+        the per-query lexsort then runs over ~r candidates, not the full
+        batch — the old full-row lexsort loop was O(nq · B log B) and
+        dominated at large query counts."""
+        r = min(r, S.shape[1])
+        n, B = S.shape
+        kth = min(r - 1, B - 1)
+        part = np.argpartition(-S, kth, axis=1)[:, : kth + 1]
+        thresh = S[np.arange(n)[:, None], part].min(axis=1)
+        qs, ns, cs = [], [], []
+        for qi in range(n):
+            t = thresh[qi]
+            if np.isfinite(t):
+                cand = np.nonzero(S[qi] >= t)[0]
+            else:  # fewer than r finite scores in the row
+                cand = np.nonzero(np.isfinite(S[qi]))[0]
+            sel = cand[np.lexsort((ids[cand], -S[qi][cand]))][:r]
+            qs.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            ns.append(ids[sel])
+            cs.append(S[qi][sel])
+        return np.concatenate(qs), np.concatenate(ns), np.concatenate(cs)
+
+    return _cosine_batch, _normalize_rows, _query_chunks, _per_batch_topr
+
+
+_cosine_batch, _normalize_rows, _query_chunks, _per_batch_topr = (
+    _build_vector_kernels()
+)
 
 
 def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
@@ -86,56 +155,6 @@ def _query_matrix(q: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
         )
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
     return qids, _normalize_rows(mat)
-
-
-def _query_chunks(nq: int, batch_rows: int, budget: int | None = None):
-    """Yield (start, stop) query-row slices sized so a (chunk, batch_rows)
-    float64 matrix stays under the byte budget (default
-    _CLOSURE_BUDGET_BYTES). ``budget`` is an explicit parameter — not
-    only the module global — so a caller-captured value reaches executor
-    workers, which re-import this module and never see driver-side
-    monkeypatching (the chunk-identity test relies on this)."""
-    if budget is None:
-        budget = _CLOSURE_BUDGET_BYTES
-    chunk = max(1, budget // (max(1, batch_rows) * 8))
-    for s in range(0, nq, chunk):
-        yield s, min(nq, s + chunk)
-
-
-def _per_batch_topr(
-    qids: "np.ndarray",
-    ids: "np.ndarray",
-    S: "np.ndarray",
-    r: int,
-):
-    """Deterministic per-batch top-r per query from a (nq, B) score
-    matrix: order by (-score, neighbor_id) — the same tie rule as the
-    global rank window, so the batch-level cut can never drop a row the
-    global cut would have kept. -inf scores (masked self-pairs) never
-    emit. Returns (query_id, neighbor_id, score) flat arrays.
-
-    One vectorized argpartition prunes each row to its top-r score tier
-    (plus every boundary tie, so the id tie rule stays exact); the
-    per-query lexsort then runs over ~r candidates, not the full batch —
-    the old full-row lexsort loop was O(nq · B log B) and dominated at
-    large query counts."""
-    r = min(r, S.shape[1])
-    n, B = S.shape
-    kth = min(r - 1, B - 1)
-    part = np.argpartition(-S, kth, axis=1)[:, : kth + 1]
-    thresh = S[np.arange(n)[:, None], part].min(axis=1)
-    qs, ns, cs = [], [], []
-    for qi in range(n):
-        t = thresh[qi]
-        if np.isfinite(t):
-            cand = np.nonzero(S[qi] >= t)[0]
-        else:  # fewer than r finite scores in the row
-            cand = np.nonzero(np.isfinite(S[qi]))[0]
-        sel = cand[np.lexsort((ids[cand], -S[qi][cand]))][:r]
-        qs.append(np.full(len(sel), qids[qi], dtype=np.int64))
-        ns.append(ids[sel])
-        cs.append(S[qi][sel])
-    return np.concatenate(qs), np.concatenate(ns), np.concatenate(cs)
 
 
 def _rank_topk(cand: DataFrame, k: int, score_col: str = "_cos") -> DataFrame:
@@ -855,12 +874,6 @@ def fit_pq_codebooks(
         if 0 < filled[j] < n_codes:
             cb[j, filled[j]:] = cb[j, 0]
     return cb
-
-
-def _normalize_rows(X: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(X, axis=1, keepdims=True)
-    n[n == 0.0] = 1.0
-    return X / n
 
 
 def pq_encode(

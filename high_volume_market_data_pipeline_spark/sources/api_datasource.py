@@ -206,5 +206,17 @@ class PagedFeedDataSource(DataSource):
 def register_paged_feed(spark) -> None:
     """Idempotent registration: after this,
     ``spark.read.format("paged_feed")`` and
-    ``spark.readStream.format("paged_feed")`` work session-wide."""
+    ``spark.readStream.format("paged_feed")`` work session-wide.
+
+    Registered for BY-VALUE pickling first: Spark unpickles the
+    DataSource class and runs its plan-time methods in a fresh python
+    runner process that inherits the driver's cwd — a by-reference
+    pickle would need this repo package importable there (the NOTES
+    cwd-portability rule). Everything in this module is stdlib-only, so
+    shipping it by value is sufficient and complete."""
+    from pyspark import cloudpickle
+
+    import high_volume_market_data_pipeline_spark.sources.api_datasource as m
+
+    cloudpickle.register_pickle_by_value(m)
     spark.dataSource.register(PagedFeedDataSource)

@@ -19,7 +19,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # entry() plus the Arrow-kernel queries: every mapInPandas/mapInArrow/
 # pandas_udf family in the tree has one representative here, with the
-# r8 offender (image_decode_stats) first.
+# r8 offender (image_decode_stats) first. The two Python-DataSource
+# queries pin the OTHER foreign-cwd trap: Spark runs DataSource
+# plan-time methods (schema/offsets/partitions) in a fresh python
+# runner process that inherits the driver cwd, so the sources must
+# pickle by value and parse their formats without repo imports.
+_QUERIES = (
+    "image_decode_stats",
+    "multimodal_byte_features",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc",
+    "paged_feed_rollup",
+    "stream_table_appends",
+)
+
 _DRIVER_CODE = """
 import importlib.util, sys
 sys.path.insert(0, {repo!r})
@@ -35,8 +48,7 @@ spark = (SparkSession.builder.master("local[2]")
 sf = "/root/testdata/sf0.001"
 assert len(mod.entry(spark).collect()) >= 0
 qs = mod.queries()
-for name in ("image_decode_stats", "multimodal_byte_features",
-             "knn_bruteforce_cosine"):
+for name in {queries!r}:
     rows = qs[name](spark, sf).collect()
     assert rows, name + " returned no rows"
     print(name, "ok", len(rows))
@@ -46,7 +58,7 @@ spark.stop()
 
 def test_entry_and_arrow_kernels_run_from_foreign_cwd():
     proc = subprocess.run(
-        [sys.executable, "-c", _DRIVER_CODE.format(repo=REPO)],
+        [sys.executable, "-c", _DRIVER_CODE.format(repo=REPO, queries=_QUERIES)],
         cwd="/tmp",
         capture_output=True,
         text=True,
@@ -57,6 +69,5 @@ def test_entry_and_arrow_kernels_run_from_foreign_cwd():
         f"driver run from /tmp failed\nstdout:\n{proc.stdout[-4000:]}\n"
         f"stderr:\n{proc.stderr[-4000:]}"
     )
-    for name in ("image_decode_stats", "multimodal_byte_features",
-                 "knn_bruteforce_cosine"):
+    for name in _QUERIES:
         assert f"{name} ok" in proc.stdout
