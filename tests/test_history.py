@@ -572,3 +572,45 @@ def test_stale_torn_manifest_raises_repair_needed(spark, table):
     assert table.repair_torn_tail() == "00000001.json"
     assert table.write(_df(spark, 5, "b"), "WRITE") == 1
     assert table.read(spark).count() == 5
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """merge_schema=False rejects column drift (a typo must not become an
+    all-null column); merge_schema=True evolves: added columns read back
+    null on old rows, omitted columns null on delta rows, and a retyped
+    column is always rejected."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "evo"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, s string"))
+
+    extra = spark.createDataFrame([(2, "b", 0.5)], "id long, s string, q double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(extra)
+    t.append(extra, merge_schema=True)
+    rows = {r["id"]: (r["s"], r["q"]) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+    # delta OMITTING a column also evolves (null on the delta rows)
+    t.append(spark.createDataFrame([(3,)], "id long"), merge_schema=True)
+    rows = {r["id"]: (r["s"], r["q"]) for r in t.read(spark).collect()}
+    assert rows[3] == (None, None)
+
+    # same name, different type: never allowed, even with merge_schema
+    retyped = spark.createDataFrame([(4, 9, 1.0)], "id long, s int, q double")
+    with pytest.raises(ValueError, match="never retypes"):
+        t.append(retyped, merge_schema=True)
+
+    # time travel still sees each version's own column set semantics
+    assert set(t.read(spark, version=0).columns) == {"id", "s"}
+
+    # absorb path unions with missing columns allowed
+    t.append(
+        spark.createDataFrame([(5, "e", 2.5)], "id long, s string, q double"),
+        merge_schema=True,
+        max_chain=2,
+    )
+    rows = {r["id"]: (r["s"], r["q"]) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5), 3: (None, None), 5: ("e", 2.5)}

@@ -165,3 +165,20 @@ def test_starting_version_tails_from_later_snapshot(spark, tmp_path):
     rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     # version 1 = snapshot {1,2} (emitted in full), version 2 adds 3
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_schema_evolution_null_fills_via_head_schema(spark, tmp_path):
+    """A merge-schema append adds a column; the stream plans against the
+    HEAD schema, so rows from pre-evolution files come back with the new
+    column null (pyarrow casts each file to the planned schema)."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "etbl"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 0.5)], "id long, s string, q double"),
+        merge_schema=True,
+    )
+    rows = _drain_to_parquet(
+        spark, t.root, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert rows == [(1, "a", None), (2, "b", 0.5)]
