@@ -103,19 +103,26 @@ class VersionedParquetTable:
     # that can stall longer than this grace.
     orphan_grace_seconds = 3600.0
 
+    # Fault-injection point for the stalled-writer race test: called (when
+    # set) between the O_EXCL manifest create and its write+fsync — the
+    # exact window a repair_torn_tail() racer can misclassify as a crashed
+    # commit. Production value is always None.
+    _test_stall_after_manifest_create = None
+
     # An unparseable manifest OCCUPYING a CAS target is live contention
     # (O_EXCL makes the file visible before its one write lands) only for
     # about as long as a write+fsync takes; older than this it is a
     # crashed commit that will never finish, and retrying is futile.
-    # SAFETY CONTRACT (same as vacuum's orphan grace): a writer stalled
-    # longer than this between its O_EXCL create and the write+fsync can
-    # have its in-flight manifest classified as dead — repair then unlinks
-    # it, a rival reuses the version, and the stalled writer finishes
-    # writing to the unlinked inode and reports success: an acknowledged-
-    # but-lost commit. Do not run repair_torn_tail() (or rely on
-    # TornCommitError classification) concurrently with writers that can
-    # stall longer than this; the default is sized well above any
-    # plausible single-small-file write stall (GC pause, NFS hiccup).
+    # A writer stalled longer than this between its O_EXCL create and the
+    # write+fsync can have its in-flight manifest classified as dead —
+    # repair then unlinks it and a rival may reuse the version. The
+    # stalled writer is PROTECTED by the post-fsync self-check in
+    # _commit_manifest (it re-stats its manifest path and raises
+    # ConcurrentCommitError instead of acknowledging a commit that was
+    # unlinked mid-write), so the worst case is a spurious retry, never a
+    # silently lost commit. The default is still sized well above any
+    # plausible single-small-file write stall (GC pause, NFS hiccup) so
+    # repair rarely fires against a live writer at all.
     torn_grace_seconds = 300.0
 
     def __init__(self, root: str) -> None:
@@ -129,104 +136,166 @@ class VersionedParquetTable:
     # -- log plumbing -------------------------------------------------------
 
     def _read_last_checkpoint(self) -> dict | None:
-        """The checkpoint the ``_last_checkpoint`` pointer names, or None.
-        Any failure (missing / torn pointer or checkpoint — both are
-        rename-published, so torn means external damage) falls back to a
-        full log replay: the checkpoint is a CACHE of the manifest log,
-        never the source of truth."""
+        """The checkpoint the ``_last_checkpoint`` pointer names (with its
+        file name injected as ``_name``), or None. Any failure (missing /
+        torn pointer or checkpoint — both are rename-published, so torn
+        means external damage) falls back to a full log replay: the
+        checkpoint is a CACHE of the manifest log, never the source of
+        truth."""
         ptr = os.path.join(self.log_dir, _LAST_CHECKPOINT)
         try:
             with open(ptr) as fh:
                 name = json.load(fh)["checkpoint"]
             with open(os.path.join(self.log_dir, name)) as fh:
                 cp = json.load(fh)
+            cp["_name"] = name
             self.last_log_files_opened += 2
             return cp
         except (OSError, ValueError, KeyError):
             return None
 
-    def _manifests(self) -> list[dict]:
-        self.last_log_files_opened = 0
-        if not os.path.isdir(self.log_dir):
-            return []
-        cp = self._read_last_checkpoint()
-        base: list[dict] = cp["manifests"] if cp else []
-        floor = cp["version"] if cp else -1
+    def _tail_manifests(self, floor: int) -> list[dict]:
+        """Parse the loose manifest files with version > ``floor``,
+        ascending. A torn TRAILING manifest is a crashed commit on a
+        filesystem without hard links (the O_EXCL fallback makes the file
+        visible before its single write lands) — treated as never
+        committed so one torn commit cannot brick every later read of the
+        table. A torn manifest in the MIDDLE of the log means real
+        corruption: fail loudly."""
         names = sorted(
             f
             for f in os.listdir(self.log_dir)
             if _MANIFEST_RE.match(f) and int(f[:8]) > floor
         )
-        out = list(base)
+        out: list[dict] = []
         for i, f in enumerate(names):
             try:
                 with open(os.path.join(self.log_dir, f)) as fh:
                     out.append(json.load(fh))
                 self.last_log_files_opened += 1
             except (json.JSONDecodeError, ValueError) as exc:
-                # A torn TRAILING manifest is a crashed commit on a
-                # filesystem without hard links (the O_EXCL fallback makes
-                # the file visible before its single write lands) — treat
-                # it as never committed so one torn commit cannot brick
-                # every later read of the table. A torn manifest in the
-                # MIDDLE of the log means real corruption: fail loudly.
                 if i == len(names) - 1:
                     continue
                 raise RuntimeError(
                     f"corrupt non-trailing manifest {f} at {self.root}; "
                     "the commit log is damaged beyond a torn tail"
                 ) from exc
-        return sorted(out, key=lambda m: m["version"])
+        return out
+
+    def _chunks(self):
+        """Yield the log as (floor, manifests-ascending) chunks, NEWEST
+        FIRST: the loose tail above the latest checkpoint, then each
+        checkpoint chunk down the parent chain. Auto-checkpoints are
+        INCREMENTAL (they embed only the manifests above their parent's
+        floor plus a pointer to it — Delta-style full-state checkpoints
+        measured O(commits²/interval) cumulative write volume on a
+        continuously-ingesting table), so head reads stop after the first
+        chunk while history/time-travel walk as deep as they need. Any
+        damage in the chain (missing parent, cycle, garbage) falls back
+        to replaying every loose manifest file — checkpoints are caches;
+        the manifest files stay the source of truth."""
+        self.last_log_files_opened = 0
+        if not os.path.isdir(self.log_dir):
+            return
+        try:
+            cp = self._read_last_checkpoint()
+            floor = cp["version"] if cp else -1
+            yield floor, self._tail_manifests(floor)
+            seen_floors = set()
+            while cp is not None:
+                pfloor = cp.get("floor", -1)
+                if pfloor in seen_floors or pfloor >= cp["version"]:
+                    raise ValueError("checkpoint chain cycle")
+                seen_floors.add(pfloor)
+                yield pfloor, list(cp["manifests"])
+                parent = cp.get("parent")
+                if parent is None:
+                    return
+                with open(os.path.join(self.log_dir, parent)) as fh:
+                    cp = json.load(fh)
+                cp["_name"] = parent
+                self.last_log_files_opened += 1
+        except RuntimeError:
+            raise  # non-trailing corruption: a replay would hit it too
+        except (OSError, ValueError, KeyError):
+            yield -1, self._tail_manifests(-1)
+
+    def _manifests(self) -> list[dict]:
+        by_version: dict[int, dict] = {}
+        for _, chunk in self._chunks():
+            for m in chunk:
+                by_version.setdefault(m["version"], m)
+        return [by_version[v] for v in sorted(by_version)]
 
     def checkpoint(self) -> str | None:
-        """Write a consolidated checkpoint of the current manifest log and
+        """FOLD the whole manifest log into ONE full checkpoint and
         repoint ``_last_checkpoint`` at it (Delta's checkpoint-parquet +
-        ``_last_checkpoint`` pattern, as JSON). Reads then open the
-        pointer, the checkpoint, and only the manifests NEWER than it.
-        Called automatically every ``checkpoint_interval`` commits; safe
-        to call anytime. Both files publish via tmp + atomic rename —
-        a checkpoint is never contended for correctness (two racers write
+        ``_last_checkpoint`` pattern, as JSON), deleting the superseded
+        chain. Head reads then open pointer + checkpoint + loose tail
+        only. Safe to call anytime; vacuum() calls it over the kept
+        manifests so retired versions never resurrect. Auto-checkpoints
+        (every ``checkpoint_interval`` commits) are INCREMENTAL instead —
+        see ``_maybe_checkpoint`` — so a continuously-ingesting table's
+        cumulative checkpoint write volume stays O(commits), not
+        O(commits²/interval); an explicit fold is the way to collapse a
+        long chain when full-history scans (``history()``/``versions()``)
+        matter more than fold cost. Returns the checkpoint file name, or
+        None on an empty log. Both files publish via tmp + atomic rename —
+        a checkpoint is never contended for correctness (racers write
         supersets of the same log; the pointer's last writer wins, and a
-        stale pointer only costs extra tail reads, never wrong results).
-        Returns the checkpoint file name, or None on an empty log.
-
-        Byte-cost caveat: each checkpoint embeds the ENTIRE kept manifest
-        log (Delta's checkpoint parquet does the same — full add-file
-        state per checkpoint), so file OPENS per read stay O(1) but bytes
-        parsed per read grow with kept history, and cumulative checkpoint
-        write volume is O(commits²/interval) on a table whose history is
-        never truncated. vacuum() is the intended horizon bound — it folds
-        the checkpoint down to the kept manifests; a table that must keep
-        very deep time travel should raise ``checkpoint_interval`` to
-        amortize the rewrite instead."""
+        stale or orphaned chain only costs extra reads — any damage falls
+        back to full manifest replay, never wrong results)."""
         return self._write_checkpoint(self._manifests())
 
-    def _write_checkpoint(self, ms: list[dict]) -> str | None:
+    def _write_checkpoint(
+        self,
+        ms: list[dict],
+        parent: str | None = None,
+        floor: int = -1,
+    ) -> str | None:
+        """Publish ``ms`` as a checkpoint. With ``parent`` set the file is
+        an incremental link (covers only versions in (floor, head]); bare
+        it is a full fold and every other checkpoint file is a superseded
+        cache, reclaimed here."""
         if not ms:
             return None
         head = ms[-1]["version"]
         name = f"{head:08d}.checkpoint.json"
+        body = {"version": head, "manifests": ms}
+        if parent is not None:
+            body["parent"] = parent
+            body["floor"] = floor
         cp_tmp = os.path.join(self.log_dir, f".cptmp_{uuid.uuid4().hex[:8]}")
         with open(cp_tmp, "w") as fh:
-            json.dump({"version": head, "manifests": ms}, fh)
+            json.dump(body, fh)
         os.replace(cp_tmp, os.path.join(self.log_dir, name))
         ptr_tmp = os.path.join(self.log_dir, f".ptmp_{uuid.uuid4().hex[:8]}")
         with open(ptr_tmp, "w") as fh:
             json.dump({"checkpoint": name}, fh)
         os.replace(ptr_tmp, os.path.join(self.log_dir, _LAST_CHECKPOINT))
-        # older checkpoints are superseded caches — reclaim them now
-        for f in os.listdir(self.log_dir):
-            m = _CHECKPOINT_RE.match(f)
-            if m and f != name:
-                try:
-                    os.unlink(os.path.join(self.log_dir, f))
-                except OSError:
-                    pass
+        if parent is None:
+            # a full fold supersedes the whole chain — reclaim it now
+            for f in os.listdir(self.log_dir):
+                m = _CHECKPOINT_RE.match(f)
+                if m and f != name:
+                    try:
+                        os.unlink(os.path.join(self.log_dir, f))
+                    except OSError:
+                        pass
         return name
 
+    def _head(self) -> dict | None:
+        for _, chunk in self._chunks():
+            if chunk:
+                return chunk[-1]
+        return None
+
     def latest_version(self) -> int | None:
-        ms = self._manifests()
-        return ms[-1]["version"] if ms else None
+        """Head version. Opens pointer + latest checkpoint + loose tail
+        only — O(checkpoint_interval) bytes regardless of table age (the
+        chunk walk stops at the first non-empty chunk)."""
+        head = self._head()
+        return head["version"] if head else None
 
     def versions(self) -> list[int]:
         """Every committed version number, ascending."""
@@ -377,21 +446,6 @@ class VersionedParquetTable:
             list(pschema.fields)
             + [f for f in df.schema.fields if f.name not in pnames]
         )
-        if max_chain is not None and len(parent_dirs) >= max_chain:
-            # read() unions the chain ONE SCAN PER DIR — a single
-            # multi-root read crashes with CONFLICTING_DIRECTORY_STRUCTURES
-            # when the dirs are hive-partitioned (the cell-partitioned
-            # index tables are exactly that).
-            merged = self.read(spark, version=parent["version"]).unionByName(
-                df, allowMissingColumns=True
-            )
-            return self.write(
-                merged,
-                operation,
-                {**(parameters or {}), "absorbed_chain": len(parent_dirs)},
-                partition_by=partition_by,
-                version=version,
-            )
         delta_dir = os.path.join(
             self.root, f"_v{version:08d}_{uuid.uuid4().hex[:8]}"
         )
@@ -409,14 +463,51 @@ class VersionedParquetTable:
             for _, _, fs in os.walk(delta_dir)
             for f in fs
         )
+        parameters = dict(parameters or {})
+        if max_chain is not None and len(parent_dirs) >= max_chain:
+            # Absorb the PARENT CHAIN into one folded snapshot dir while
+            # the fresh delta keeps ITS OWN dir: the manifest then
+            # references [folded, delta] and fresh_dirs names exactly the
+            # new rows, so the table_stream source can emit the delta and
+            # skip the rewrite instead of (pre-r10) silently dropping a
+            # fold commit's new rows under skip_change_commits. read()
+            # unions the chain ONE SCAN PER DIR — a single multi-root
+            # read crashes with CONFLICTING_DIRECTORY_STRUCTURES when the
+            # dirs are hive-partitioned (the cell-partitioned index
+            # tables are exactly that) — so the fold costs one parent
+            # read + write, same as the old merged rewrite, and later
+            # reads open ≤ 2 dirs.
+            folded_dir = os.path.join(
+                self.root, f"_v{version:08d}_{uuid.uuid4().hex[:8]}"
+            )
+            fw = self.read(spark, version=parent["version"]).write.mode(
+                "overwrite"
+            )
+            if partition_by:
+                fw = fw.partitionBy(partition_by)
+            fw.parquet(folded_dir)
+            parameters["absorbed_chain"] = len(parent_dirs)
+            data_dirs = [folded_dir] + ([delta_dir] if has_files else [])
+        else:
+            data_dirs = parent_dirs + ([delta_dir] if has_files else [])
         manifest = {
             "version": version,
             "timestamp": time.time(),
             "operation": operation,
-            "parameters": parameters or {},
-            "data_dirs": parent_dirs + ([delta_dir] if has_files else []),
+            "parameters": parameters,
+            "data_dirs": data_dirs,
+            # dirs holding rows NEW at this version (vs rewrites of data
+            # older versions already reference) — the streaming source's
+            # exactly-once signal; [] on an empty delta
+            "fresh_dirs": [delta_dir] if has_files else [],
             "partition_by": partition_by,
-            "schema": merged_schema.jsonValue(),
+            # an empty delta contributes no files, so its columns must
+            # not enter the recorded schema either (they would exist in
+            # no data dir: phantom columns that later appends would
+            # validate against)
+            "schema": (
+                merged_schema if has_files else pschema
+            ).jsonValue(),
         }
         self._commit_manifest(manifest, version)
         return version
@@ -463,13 +554,12 @@ class VersionedParquetTable:
         younger than the in-flight grace window. Returns the removed file
         name, or None if there was nothing to repair.
 
-        Mtime age is the only liveness signal available, so — like
-        vacuum's orphan grace — repair must not run concurrently with a
-        writer that can stall longer than ``torn_grace_seconds`` between
-        creating its manifest and finishing the write: unlinking a merely
-        stalled writer's file lets a rival reuse the version while the
-        stalled write completes against the unlinked inode and returns
-        success (an acknowledged-but-lost commit)."""
+        Mtime age is the only liveness signal available, so repair CAN
+        unlink a writer stalled longer than ``torn_grace_seconds``
+        between creating its manifest and finishing the write — that
+        writer's post-fsync self-check (see ``_commit_manifest``) then
+        raises ConcurrentCommitError instead of acknowledging the lost
+        commit, so the race degrades to a retry, never silent loss."""
         if not os.path.isdir(self.log_dir):
             return None
         names = sorted(
@@ -524,8 +614,35 @@ class VersionedParquetTable:
                 except FileExistsError:
                     self._raise_occupied(final, version)
                 try:
+                    if self._test_stall_after_manifest_create is not None:
+                        self._test_stall_after_manifest_create()
                     os.write(fd, json.dumps(manifest).encode())
                     os.fsync(fd)
+                    # Post-fsync self-check: a writer stalled between the
+                    # O_EXCL create and this write can have its in-flight
+                    # (empty ⇒ unparseable) manifest unlinked by
+                    # repair_torn_tail() and the version reused by a rival
+                    # — without this re-stat the stalled writer would
+                    # finish writing to the UNLINKED inode and report
+                    # success: an acknowledged-but-lost commit. The window
+                    # closes here because repair only ever removes
+                    # UNPARSEABLE files and after fsync ours is complete.
+                    st_fd = os.fstat(fd)
+                    try:
+                        st_path = os.stat(final)
+                    except FileNotFoundError:
+                        st_path = None
+                    if st_path is None or (
+                        st_path.st_dev,
+                        st_path.st_ino,
+                    ) != (st_fd.st_dev, st_fd.st_ino):
+                        raise ConcurrentCommitError(
+                            f"version {version} at {self.root}: this "
+                            "writer's manifest was unlinked mid-commit "
+                            "(repair_torn_tail classified the stalled "
+                            "write as crashed); the commit did NOT land — "
+                            "re-read the head and retry"
+                        )
                 finally:
                     os.close(fd)
         finally:
@@ -534,21 +651,37 @@ class VersionedParquetTable:
         self._maybe_checkpoint(version)
 
     def _maybe_checkpoint(self, version: int) -> None:
-        """Auto-checkpoint every ``checkpoint_interval`` commits. Best
-        effort: the commit above is already durable, so a checkpoint
-        failure must not make the caller believe the commit failed (it
-        would re-commit and hit ConcurrentCommitError on its own
-        version) — warn and move on; the next commit retries."""
+        """Auto-checkpoint every ``checkpoint_interval`` commits. The
+        auto path writes an INCREMENTAL checkpoint — only the manifests
+        above the previous checkpoint's floor, plus a pointer to it — so
+        checkpoint bytes per write are O(interval) and cumulative write
+        volume O(commits), independent of table age (a full-state fold
+        per interval re-wrote the entire kept log every time:
+        O(commits²/interval) cumulative on a continuous-ingest ledger).
+        Head reads still stop at the first chunk; only full-history scans
+        walk the chain, and vacuum()/checkpoint() fold it back to one
+        file. Best effort: the commit above is already durable, so a
+        checkpoint failure must not make the caller believe the commit
+        failed (it would re-commit and hit ConcurrentCommitError on its
+        own version) — warn and move on; the next commit retries."""
         try:
             # The pointer probe must not pollute last_log_files_opened:
             # the counter is documented as "files opened by the most
-            # recent _manifests() call" and tests/benches read it right
+            # recent log-read call" and tests/benches read it right
             # after a write path.
             saved = self.last_log_files_opened
+            self.last_log_files_opened = 0
             cp = self._read_last_checkpoint()
+            floor = cp["version"] if cp else -1
+            if version - floor >= self.checkpoint_interval:
+                chunk = self._tail_manifests(floor)
+                if chunk:
+                    self._write_checkpoint(
+                        chunk,
+                        parent=cp["_name"] if cp else None,
+                        floor=floor,
+                    )
             self.last_log_files_opened = saved
-            if version - (cp["version"] if cp else -1) >= self.checkpoint_interval:
-                self.checkpoint()
         except Exception as exc:  # noqa: BLE001 — cache maintenance only
             warnings.warn(
                 f"checkpoint after version {version} at {self.root} "
@@ -731,12 +864,49 @@ class VersionedParquetTable:
                 )
                 cond = cond | term
             pre, post = pre.filter(cond), post.filter(cond)
-        data_cols = [c for c in pre.columns if c not in key_cols]
-        if set(pre.columns) != set(post.columns):
+        # Schema evolution (append(merge_schema=True)) lets the two
+        # versions differ by ADDED/OMITTED columns; diff over the union
+        # of columns with the missing side null-filled — Delta CDF's
+        # semantics (a column added between v_from and v_to shows up as
+        # null→value updates). Retyped columns cannot exist (the write
+        # path rejects them); raise if an out-of-band rewrite made one.
+        missing_keys = [
+            k
+            for k in key_cols
+            if k not in pre.columns or k not in post.columns
+        ]
+        if missing_keys:
             raise ValueError(
-                "changes() requires identical schemas; got "
-                f"{pre.columns} vs {post.columns}"
+                f"changes() key columns {missing_keys} missing from one "
+                f"side: {pre.columns} vs {post.columns}"
             )
+        types: dict[str, object] = {}
+        for side in (pre, post):
+            for f in side.schema:
+                if f.name in types and types[f.name] != f.dataType:
+                    raise ValueError(
+                        f"changes() column '{f.name}' has conflicting "
+                        f"types across versions ({types[f.name].simpleString()}"
+                        f" vs {f.dataType.simpleString()}); schema "
+                        "evolution never retypes a column"
+                    )
+                types.setdefault(f.name, f.dataType)
+        all_cols = pre.columns + [
+            c for c in post.columns if c not in pre.columns
+        ]
+
+        def with_all(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c)
+                    if c in df.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in all_cols
+                ]
+            )
+
+        pre, post = with_all(pre), with_all(post)
+        data_cols = [c for c in all_cols if c not in key_cols]
 
         def tagged(df: DataFrame, tag: str) -> DataFrame:
             renamed = df.select(

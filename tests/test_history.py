@@ -432,20 +432,31 @@ def test_vacuum_keeps_shared_parent_dirs(spark, table):
 
 def test_append_max_chain_absorbs_into_snapshot(spark, table):
     """Continuous ingest must not grow read fan-in without bound:
-    append(max_chain=k) absorbs chain + delta into ONE full snapshot
-    once the parent references k dirs — same version numbering, same
-    rows, and every later read opens at most k dirs."""
+    append(max_chain=k) folds the PARENT CHAIN into one snapshot dir once
+    it reaches k dirs, while the fresh delta keeps its own dir (so the
+    streaming source can emit exactly the new rows — see
+    test_table_stream) — same version numbering, same rows, and every
+    later read opens at most k dirs."""
     table.write(_df(spark, 4, "a"))
     for i in range(5):
         table.append(_df(spark, 1, f"d{i}"), max_chain=3)
 
-    # chain lengths per version: v0=1, v1=2, v2=3, v3 absorbed to 1,
-    # v4=2, v5=3 — never above the bound
+    # chain lengths per version: v0=1, v1=2, v2=3, v3 folds the 3-dir
+    # parent + keeps its delta = 2, v4=3, v5 folds again = 2 — never
+    # above the bound
     lens = [
         len(table._data_dirs(table._resolve(v, None))) for v in range(6)
     ]
-    assert lens == [1, 2, 3, 1, 2, 3]
-    assert table._resolve(3, None)["parameters"]["absorbed_chain"] == 3
+    assert lens == [1, 2, 3, 2, 3, 2]
+    fold = table._resolve(3, None)
+    assert fold["parameters"]["absorbed_chain"] == 3
+    # the fold's fresh_dirs names exactly the delta dir — the one dir the
+    # parent chain's fold did not rewrite
+    assert len(fold["fresh_dirs"]) == 1
+    assert fold["fresh_dirs"][0] in fold["data_dirs"]
+    assert set(table._data_dirs(table._resolve(2, None))).isdisjoint(
+        fold["fresh_dirs"]
+    )
     assert table.read(spark).count() == 9
     # absorption is invisible to readers: every version's content is the
     # prefix-sum of appends
@@ -486,23 +497,41 @@ def test_partitioned_append_chain_absorbs_and_compacts(spark, table):
 
 
 def test_checkpoint_bounds_log_opens_and_preserves_reads(spark, table):
-    """Every ``checkpoint_interval`` commits the log auto-folds into a
-    consolidated checkpoint (Delta's ``_last_checkpoint`` pattern): a
-    read opens pointer + checkpoint + at most ``interval`` tail
-    manifests, NOT O(total commits) — and history()/time-travel are
-    byte-for-byte unchanged, including versions below the fold."""
+    """Every ``checkpoint_interval`` commits the log auto-writes an
+    INCREMENTAL checkpoint (chunk above the previous floor + parent
+    pointer — Delta's ``_last_checkpoint`` pattern with O(commits)
+    cumulative write volume instead of a full-state rewrite per fold): a
+    HEAD read opens pointer + newest checkpoint + at most ``interval``
+    tail manifests, NOT O(total commits) — and history()/time-travel are
+    byte-for-byte unchanged, including versions below the newest floor
+    (they resolve down the chain)."""
     for i in range(25):
         table.write(_df(spark, i + 1, f"t{i}"), "WRITE")
     names = os.listdir(table.log_dir)
     assert "_last_checkpoint" in names
-    assert sum(1 for n in names if n.endswith(".checkpoint.json")) == 1
+    # two auto-checkpoints landed (v9 full, v19 incremental chained to it)
+    cps = sorted(n for n in names if n.endswith(".checkpoint.json"))
+    assert cps == ["00000009.checkpoint.json", "00000019.checkpoint.json"]
+    import json as _json
+
+    with open(os.path.join(table.log_dir, cps[1])) as fh:
+        inc = _json.load(fh)
+    assert inc["parent"] == cps[0] and inc["floor"] == 9
+    assert [m["version"] for m in inc["manifests"]] == list(range(10, 20))
 
     assert table.latest_version() == 24
     assert table.last_log_files_opened <= table.checkpoint_interval + 2
-    # time travel below the checkpoint floor resolves from the checkpoint
+    # time travel below the newest floor resolves down the chain
     assert table.read(spark, version=3).count() == 4
     hist = table.history(spark).collect()
     assert [r["version"] for r in hist] == list(range(24, -1, -1))
+    # an explicit checkpoint() FOLDS the chain back to one full file
+    table.checkpoint()
+    names = os.listdir(table.log_dir)
+    assert sum(1 for n in names if n.endswith(".checkpoint.json")) == 1
+    assert [r["version"] for r in table.history(spark).collect()] == list(
+        range(24, -1, -1)
+    )
 
 
 def test_checkpoint_thousand_commit_log_constant_opens(spark, table):
@@ -526,6 +555,44 @@ def test_checkpoint_thousand_commit_log_constant_opens(spark, table):
     with open(os.path.join(table.log_dir, "00001000.json"), "w") as fh:
         fh.write('{"version": 1000, "time')
     assert table.latest_version() == 999
+    os.unlink(os.path.join(table.log_dir, "00001000.json"))
+
+    # 100 MORE commits on top: every auto-checkpoint is INCREMENTAL —
+    # each embeds exactly one interval's manifests (bounded bytes per
+    # checkpoint, O(commits) cumulative write volume), never the whole
+    # 1,000-commit history again; head reads stay constant-opens and the
+    # full log is still exact down the chain.
+    import json as _json
+
+    for v in range(1000, 1100):
+        table._commit_manifest(
+            {
+                "version": v,
+                "timestamp": float(v),
+                "operation": "WRITE",
+                "parameters": {},
+                "data_dir": f"/nope/_v{v:08d}_x",
+            },
+            v,
+        )
+    cps = sorted(
+        n for n in os.listdir(table.log_dir) if n.endswith(".checkpoint.json")
+    )
+    assert len(cps) == 11  # the v999 fold + 10 incrementals
+    sizes = []
+    for n in cps[1:]:
+        with open(os.path.join(table.log_dir, n)) as fh:
+            cp = _json.load(fh)
+        assert len(cp["manifests"]) == table.checkpoint_interval
+        assert "parent" in cp
+        sizes.append(os.path.getsize(os.path.join(table.log_dir, n)))
+    # bounded: every incremental within 2x of the smallest, and an order
+    # of magnitude below the full fold
+    assert max(sizes) <= 2 * min(sizes)
+    assert max(sizes) < os.path.getsize(os.path.join(table.log_dir, cps[0])) / 10
+    assert table.latest_version() == 1099
+    assert table.last_log_files_opened <= 3
+    assert table.versions() == list(range(1100))
 
 
 def test_vacuum_folds_checkpoint_and_never_resurrects(spark, table):
@@ -614,3 +681,117 @@ def test_append_schema_evolution(spark, tmp_path):
     )
     rows = {r["id"]: (r["s"], r["q"]) for r in t.read(spark).collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.5), 3: (None, None), 5: ("e", 2.5)}
+
+
+def test_stalled_writer_self_check_never_loses_commit(spark, table, monkeypatch):
+    """The torn-commit race closed for real: a writer stalled between its
+    O_EXCL manifest create and the write+fsync gets its in-flight file
+    repaired away and its version reused by a rival — the stalled writer
+    must then raise ConcurrentCommitError from its post-fsync self-check,
+    NEVER report success for a commit that is not the one readers see."""
+    import re as _re
+
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    table.write(_df(spark, 2, "base"))
+
+    # force the O_EXCL fallback (the path with the create→write window)
+    monkeypatch.setattr(os, "link", _raise_oserror)
+
+    rival = VersionedParquetTable(table.root)
+    rival.torn_grace_seconds = 0.01
+    rival_df = _df(spark, 3, "rival")
+
+    def stall():
+        # while the writer is stalled: its freshly created (empty ⇒
+        # unparseable) manifest ages past the grace window, a repair
+        # unlinks it, and the rival commits the same version number
+        tail = sorted(
+            f
+            for f in os.listdir(table.log_dir)
+            if _re.match(r"^\d{8}\.json$", f)
+        )[-1]
+        os.utime(os.path.join(table.log_dir, tail), (1, 1))
+        assert rival.repair_torn_tail() == tail
+        assert rival.write(rival_df) == 1
+
+    table._test_stall_after_manifest_create = stall
+    with pytest.raises(ConcurrentCommitError, match="unlinked mid-commit"):
+        table.write(_df(spark, 5, "stalled"))
+
+    # the table head is the rival's commit, intact and readable
+    table._test_stall_after_manifest_create = None
+    assert table.latest_version() == 1
+    assert table.read(spark).count() == 3
+
+
+def _raise_oserror(*_a, **_k):
+    raise OSError("filesystem without hard links")
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """changes() across a merge_schema append boundary diffs over the
+    UNION of columns with the missing side null-filled (Delta CDF
+    semantics): pre-evolution rows whose new column stays null are
+    unchanged; a row that gains a value shows as a null→value update."""
+    t = VersionedParquetTable(str(tmp_path / "cevo"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    # v1 adds column q and a new row
+    t.append(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, s string, q double"),
+        merge_schema=True,
+    )
+    ch = {
+        (r["id"], r["_change_type"]): (r["s"], r["q"])
+        for r in t.changes(spark, 0, 1, ["id"]).collect()
+    }
+    # rows 1/2: q is null-filled on the v0 side and null in v1 ⇒ unchanged
+    assert ch == {(3, "insert"): ("c", 1.5)}
+
+    # v2 rewrites row 1 giving q a value: null→value update across the
+    # evolution boundary, diffed against v0 (non-adjacent pair)
+    v1 = t.read(spark)
+    t.write(
+        v1.replace(  # noqa: PD010 — DataFrame.replace not pandas pivot
+            to_replace=float("nan"), value=None
+        ).selectExpr(
+            "id", "s", "case when id = 1 then 9.9 else q end as q"
+        )
+    )
+    rows = t.changes(spark, 0, 2, ["id"]).collect()
+    byid = {(r["id"], r["_change_type"]): (r["s"], r["q"]) for r in rows}
+    assert byid[(1, "update_preimage")] == ("a", None)
+    assert byid[(1, "update_postimage")] == ("a", 9.9)
+    assert byid[(3, "insert")] == ("c", 1.5)
+    assert (2, "update_preimage") not in byid
+
+
+def test_empty_merge_schema_append_records_parent_schema(spark, tmp_path):
+    """An EMPTY delta with merge_schema=True must not evolve the recorded
+    schema: its columns exist in no data dir, so recording them would
+    declare phantom columns that read() lacks and later appends would
+    validate against."""
+    from pyspark.sql.types import StructType
+
+    t = VersionedParquetTable(str(tmp_path / "phantom"))
+    t.write(
+        spark.createDataFrame([(1, "a", 0)], "id long, s string, p int"),
+        partition_by="p",
+    )
+    # an empty PARTITIONED write creates no partition dirs and no part
+    # files — the has_files=False commit path
+    empty = spark.createDataFrame(
+        [], "id long, s string, p int, q double"
+    ).filter("1=0")
+    v = t.append(empty, merge_schema=True, partition_by="p")
+    rec = StructType.fromJson(t._resolve(v, None)["schema"])
+    assert {f.name for f in rec} == {"id", "s", "p"}  # no phantom q
+    assert set(t.read(spark).columns) == {"id", "s", "p"}
+    # a later append matching the REAL table schema still validates
+    t.append(
+        spark.createDataFrame([(2, "b", 1)], "id long, s string, p int"),
+        partition_by="p",
+    )
+    assert t.read(spark).count() == 2
