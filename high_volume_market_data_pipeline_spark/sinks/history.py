@@ -721,7 +721,8 @@ class VersionedParquetTable:
         per-dir scans keep partition pruning and column order independent
         per snapshot. Chain length — and so the union width — is bounded
         by ``append(max_chain=...)``."""
-        dirs = self._data_dirs(self._resolve(version, as_of_ts))
+        m = self._resolve(version, as_of_ts)
+        dirs = self._data_dirs(m)
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
             # allowMissingColumns: merge-schema appends (see append()) may
@@ -731,6 +732,26 @@ class VersionedParquetTable:
             out = out.unionByName(
                 spark.read.parquet(d), allowMissingColumns=True
             )
+        # The hive PARTITION column's on-disk form is only a dir-name
+        # string, so scan inference can disagree with the table's logical
+        # schema (long written as ``p=3`` reads back int). Cast it back to
+        # the manifest-RECORDED type so batch reads, the table_stream
+        # source, and the writer all agree on types. Partition pruning
+        # survives the cast: Catalyst's UnwrapCastInBinaryComparison
+        # rewrites ``cast(p as bigint) = 3L`` back to ``p = 3``.
+        rec = m.get("schema")
+        part = m.get("partition_by")
+        if rec is not None and part and part in out.columns:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(rec)
+            if (
+                part in st.fieldNames()
+                and out.schema[part].dataType != st[part].dataType
+            ):
+                out = out.withColumn(
+                    part, F.col(part).cast(st[part].dataType)
+                )
         return out
 
     def _read_dirs(

@@ -64,38 +64,62 @@ _PARTITIONING = "hive"
 _MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
 
 
-def _read_manifests(root: str) -> dict[int, dict]:
-    log_dir = os.path.join(root, "_log")
-    if not os.path.isdir(log_dir):
-        return {}
-    base: list[dict] = []
-    floor = -1
-    try:
-        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
-            name = json.load(fh)["checkpoint"]
-        with open(os.path.join(log_dir, name)) as fh:
-            cp = json.load(fh)
-        base, floor = cp["manifests"], cp["version"]
-    except (OSError, ValueError, KeyError):
-        pass  # checkpoint is a cache; fall back to full log replay
+def _tail_manifests(log_dir: str, floor: int) -> list[dict]:
     names = sorted(
         f
         for f in os.listdir(log_dir)
         if _MANIFEST_RE.match(f) and int(f[:8]) > floor
     )
-    out = {m["version"]: m for m in base}
+    out: list[dict] = []
     for i, f in enumerate(names):
         try:
             with open(os.path.join(log_dir, f)) as fh:
-                m = json.load(fh)
-            out[m["version"]] = m
+                out.append(json.load(fh))
         except (json.JSONDecodeError, ValueError):
             if i == len(names) - 1:
                 continue  # torn trailing manifest: not committed yet
             raise RuntimeError(
-                f"corrupt non-trailing manifest {f} at {root}"
+                f"corrupt non-trailing manifest {f} at {log_dir}"
             ) from None
     return out
+
+
+def _read_manifests(root: str, min_version: int = 0) -> dict[int, dict]:
+    """Manifests with version >= ``min_version`` (older ones may also be
+    returned — callers filter). Auto-checkpoints are INCREMENTAL since
+    r10 (a chunk above the parent checkpoint's floor + ``parent``
+    pointer; full folds carry no ``parent``): the walk descends the
+    chain only until it covers ``min_version``, so planning a tail batch
+    parses O(lag) metadata, not the table's whole history. Chain damage
+    falls back to replaying every loose manifest file — the checkpoint
+    is a cache; manifest files are the source of truth."""
+    log_dir = os.path.join(root, "_log")
+    if not os.path.isdir(log_dir):
+        return {}
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            name = json.load(fh)["checkpoint"]
+        with open(os.path.join(log_dir, name)) as fh:
+            cp = json.load(fh)
+        out = {m["version"]: m for m in _tail_manifests(log_dir, cp["version"])}
+        seen_floors: set[int] = set()
+        while cp is not None:
+            floor = cp.get("floor", -1)
+            if floor in seen_floors or floor >= cp["version"]:
+                raise ValueError("checkpoint chain cycle")
+            seen_floors.add(floor)
+            for m in cp["manifests"]:
+                out.setdefault(m["version"], m)
+            parent = cp.get("parent")
+            if parent is None or floor < min_version:
+                break
+            with open(os.path.join(log_dir, parent)) as fh:
+                cp = json.load(fh)
+        return out
+    except RuntimeError:
+        raise  # non-trailing corruption: a replay would hit it too
+    except (OSError, ValueError, KeyError):
+        return {m["version"]: m for m in _tail_manifests(log_dir, -1)}
 
 
 def _manifest_dirs(manifest: dict) -> list[str]:
@@ -143,12 +167,34 @@ class TableStreamReader(DataSourceStreamReader):
         self.skip_change_commits = str(
             options.get("skip_change_commits", "true")
         ).lower() in ("1", "true", "yes")
+        mvb = options.get("max_versions_per_batch")
+        self.max_versions_per_batch = None if mvb is None else int(mvb)
+        if self.max_versions_per_batch is not None and (
+            self.max_versions_per_batch < 1
+        ):
+            raise ValueError("max_versions_per_batch must be >= 1")
         self._spark_schema = schema
+        # Rate-limit state (see latestOffset). Spark's offset LOG is the
+        # durable truth; these are per-runner admission hints:
+        #   _cursor — newest offset this runner has planned or committed
+        #   _probe  — newest offset latestOffset has RETURNED (advances
+        #             the admission window when the engine plans nothing
+        #             because the return coincided with its committed
+        #             offset — otherwise a restarted lagging stream could
+        #             idle forever)
+        #   _floor  — highest batch START the engine has handed to
+        #             partitions(); everything at or below it is known
+        #             emitted, so a later batch never re-emits those
+        #             versions even if the engine's committed offset
+        #             briefly regressed through a restart admission guess
+        self._cursor = self.starting_version - 1
+        self._probe = self.starting_version - 1
+        self._floor = self.starting_version - 1
 
     # -- offsets (plan runner, metadata-sized) -----------------------------
 
-    def _manifest_map(self) -> dict[int, dict]:
-        return _read_manifests(self.root)
+    def _manifest_map(self, min_version: int = 0) -> dict[int, dict]:
+        return _read_manifests(self.root, min_version=min_version)
 
     def initialOffset(self) -> dict:
         # One version BELOW the starting snapshot: the first batch then
@@ -156,17 +202,41 @@ class TableStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        # Always the head: per-batch version bounds would need the last
-        # COMMITTED offset, which this API revision only surfaces through
-        # checkpoint state Spark keeps to itself — an in-memory floor
-        # would go stale on restart and plan a non-monotonic offset. A
-        # long-idle consumer therefore catches up in one (replayable)
-        # batch whose size is bounded by the table's append rate × lag.
-        ms = self._manifest_map()
-        return {"version": max(ms) if ms else self.starting_version - 1}
+        """The head — or, with ``max_versions_per_batch`` set, a bounded
+        step past the admission cursor (Delta's ``maxFilesPerTrigger``
+        shape: a lagging or freshly-started stream over a long table
+        emits bounded micro-batches instead of the whole backlog in
+        one). The engine calls this BEFORE initialOffset on a fresh
+        start, so the cursor is seeded from starting_version at
+        construction; on a restart whose committed offset is ahead of
+        that seed, the first window(s) fall at-or-below the committed
+        offset and plan empty batches while ``_probe`` walks the window
+        forward — bounded, monotonic, and duplicate-free (``_floor``
+        keeps re-planned ranges from re-emitting known-committed
+        versions). Under Trigger.AvailableNow (which falls back to
+        single-batch for Python sources) one run drains at most one
+        window; a processing-time trigger drains the backlog in bounded
+        steps."""
+        # head discovery needs only the newest chunk — a huge min_version
+        # stops the chain walk right after it
+        ms = self._manifest_map(min_version=1 << 62)
+        if not ms:
+            return {"version": self.starting_version - 1}
+        head = max(ms)
+        if self.max_versions_per_batch is None:
+            return {"version": head}
+        out = min(
+            head,
+            max(self._cursor, self._probe) + self.max_versions_per_batch,
+        )
+        self._probe = max(self._probe, out)
+        return {"version": out}
 
     def commit(self, end: dict) -> None:
-        pass  # offsets resolve from the persistent manifest log
+        # offsets resolve from the persistent manifest log; track the
+        # committed end as the rate-limit admission floor
+        v = int(end["version"])
+        self._cursor = max(self._cursor, v)
 
     # -- batch planning (plan runner) ---------------------------------------
 
@@ -189,23 +259,50 @@ class TableStreamReader(DataSourceStreamReader):
         parent = set(_manifest_dirs(ms[v - 1]))
         fresh = [d for d in dirs if d not in parent]
         if parent - set(dirs) or (fresh and "data_dirs" not in ms[v]):
-            # dirs were dropped (overwrite/compact/restore) — a change
-            # commit, not an append
-            if self.skip_change_commits:
-                return []
-            raise ValueError(
-                f"version {v} of {self.root} rewrites existing data "
-                "(overwrite/compact/restore); set skip_change_commits=true "
-                "to tail only appends"
-            )
+            # dirs were dropped (overwrite / compact / restore / chain
+            # fold) — the commit rewrites data the stream already emitted
+            if not self.skip_change_commits:
+                raise ValueError(
+                    f"version {v} of {self.root} rewrites existing data "
+                    "(overwrite/compact/restore); set "
+                    "skip_change_commits=true to tail only appends"
+                )
+            if "fresh_dirs" in ms[v]:
+                # a FOLD commit (append hitting max_chain) mixes a rewrite
+                # of the parent chain with genuinely NEW delta rows; the
+                # manifest records the delta dirs so exactly those are
+                # emitted while the rewrite is skipped
+                return list(ms[v]["fresh_dirs"])
+            if ms[v].get("parameters", {}).get("absorbed_chain") is not None:
+                # legacy (pre-r10) fold commit: its new rows are fused
+                # into the rewritten snapshot and CANNOT be separated —
+                # skipping would silently drop them (permanent data loss),
+                # so fail loudly even under skip_change_commits
+                raise ValueError(
+                    f"version {v} of {self.root} is a legacy fold commit "
+                    "(absorbed_chain without fresh_dirs): its new rows "
+                    "are inseparable from the rewrite; re-commit the "
+                    "table with the current writer or start a fresh "
+                    "stream from a later snapshot"
+                )
+            return []
+        if "fresh_dirs" in ms[v]:
+            return list(ms[v]["fresh_dirs"])
         return fresh
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[TableFilesPartition]:
-        ms = self._manifest_map()
+        v_start, v_end = int(start["version"]), int(end["version"])
+        # rate-limit bookkeeping: the engine only hands out ranges whose
+        # start is committed, so start is a safe emitted-floor and end a
+        # safe admission cursor even when this batch is a restart replay
+        self._cursor = max(self._cursor, v_start, v_end)
+        lo = max(v_start, self._floor)
+        self._floor = max(self._floor, v_start)
+        ms = self._manifest_map(min_version=max(0, lo))
         out: list[TableFilesPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(lo + 1, v_end + 1):
             for d in self._new_dirs(v, ms):
                 out.extend(
                     TableFilesPartition(f, d) for f in _parquet_files(d)
@@ -252,15 +349,34 @@ class TableStreamDataSource(DataSource):
         # authoritative schema, and a resumed stream must be plannable
         # even after its starting snapshot was vacuumed away (only the
         # versions the resume actually READS need to be retained).
-        from pyspark.sql.pandas.types import from_arrow_schema
-
+        # The manifest-RECORDED schema (Delta's metaData action) is
+        # preferred over pyarrow hive inference: inference types a
+        # partition column from its dir-name strings (long written as
+        # ``p=3`` reads back int32), so stream and batch reads of the
+        # same table would disagree on column types. The partition
+        # column moves to the END to match the batch read's hive column
+        # order. Legacy manifests without a recorded schema fall back to
+        # inference.
         root = self.options.get("root")
         if not root:
             raise ValueError("table_stream requires option 'root'")
-        ms = _read_manifests(root)
+        ms = _read_manifests(root, min_version=1 << 62)
         if not ms:
             raise ValueError(f"no committed versions at {root}")
-        return from_arrow_schema(_arrow_schema(_manifest_dirs(ms[max(ms)])))
+        head = ms[max(ms)]
+        if head.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(head["schema"])
+            part = head.get("partition_by")
+            if part and part in st.fieldNames():
+                fields = [f for f in st.fields if f.name != part]
+                fields.append(st[part])
+                st = StructType(fields)
+            return st
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(_arrow_schema(_manifest_dirs(head)))
 
     def streamReader(self, schema):
         return TableStreamReader(self.options, schema=schema)

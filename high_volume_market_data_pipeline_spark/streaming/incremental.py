@@ -103,6 +103,16 @@ def read_ledger(spark: SparkSession, out_root: str, leaf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Auto-compaction cadence for the admission ledgers: every this-many
+# micro-batches the foreachBatch sink folds old batch_id partitions to
+# one file each (compact_ledger below). 16 comes from the BENCH_CHAIN
+# ledger curve: at ≤4 files/batch, 16 batches ≈ 64 files of read cost —
+# past the point where the linear file-count penalty dominates — while a
+# keep_last_batches=16 horizon keeps live/replayable partitions disjoint
+# from the fold.
+_LEDGER_COMPACT_EVERY = 16
+
+
 def stream_incremental_dedup(
     sdf: DataFrame,
     store: SignatureStore,
@@ -112,11 +122,20 @@ def stream_incremental_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     trigger: dict | None = None,
+    compact_every_batches: int | None = _LEDGER_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Admit a document stream against ``store``; returns the started
     query. Ledgers land at ``{out_root}/admitted`` (full admitted rows)
     and ``{out_root}/rejected`` (doc_id, matched_id, est_jaccard,
     reason), both partitioned by ``batch_id``.
+
+    Every ``compact_every_batches`` micro-batches the sink ALSO folds
+    ledger partitions older than that horizon to one file each
+    (``compact_ledger``), so a long-lived stream never needs an operator
+    to schedule ledger maintenance — running it inside foreachBatch is
+    sequential with batch processing, and the horizon equals the cadence
+    so a replayed batch can never target a partition mid-fold. Pass
+    ``None`` to manage compaction externally.
 
     The store must exist (``bootstrap`` it first, possibly from an empty
     frame for a cold start); requiring that explicitly beats silently
@@ -145,6 +164,17 @@ def stream_incremental_dedup(
             out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("batch_id").parquet(f"{out_root}/{leaf}")
+            if (
+                compact_every_batches
+                and batch_id > 0
+                and batch_id % compact_every_batches == 0
+            ):
+                compact_ledger(
+                    spark,
+                    out_root,
+                    leaf,
+                    keep_last_batches=compact_every_batches,
+                )
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (

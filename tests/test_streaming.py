@@ -1154,3 +1154,93 @@ def test_compact_ledger_folds_old_partitions(spark, tmp_path):
         (r["doc_id"], r["text"], r["batch_id"])
         for r in read_ledger(spark, root, "admitted").collect()
     ) == before
+
+
+def test_stream_auto_compacts_ledger_partitions(spark, tmp_path):
+    """The foreachBatch sink auto-folds ledger partitions older than the
+    compaction horizon every ``compact_every_batches`` micro-batches —
+    a long-lived stream needs no external maintenance schedule — and a
+    full replay against the folded ledger still converges (a replayed
+    batch dynamically overwrites its whole batch_id partition regardless
+    of file layout)."""
+    import os
+
+    from high_volume_market_data_pipeline_spark.dedup.incremental import (
+        SignatureStore,
+    )
+    from high_volume_market_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    arrivals = str(tmp_path / "arrivals")
+    ledger = str(tmp_path / "ledger")
+
+    def doc(i):
+        # token sets fully DISJOINT across docs: true pairwise Jaccard 0,
+        # so minhash-estimate noise can never reject one (this test is
+        # about ledger compaction, not admission decisions)
+        return " ".join(f"w{i}x{j}" for j in range(10))
+
+    next_id = [0]
+
+    def land(n):
+        rows = [(next_id[0] + k, doc(next_id[0] + k)) for k in range(n)]
+        next_id[0] += n
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(arrivals)
+
+    for _ in range(6):
+        land(8)
+
+    def run(checkpoint):
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+        )
+        q = stream_incremental_dedup(
+            sdf,
+            store,
+            out_root=ledger,
+            checkpoint=checkpoint,
+            threshold=0.95,
+            compact_every_batches=2,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt"))
+
+    def files_per_partition(leaf):
+        root = f"{ledger}/{leaf}"
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("batch_id="):
+                out[int(d.split("=")[1])] = sum(
+                    1
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    fpp = files_per_partition("admitted")
+    assert sorted(fpp) == [0, 1, 2, 3, 4, 5]
+    # the last fold ran at batch 4 with keep_last=2: batches ≤ 2 are
+    # single-file
+    assert all(fpp[b] == 1 for b in (0, 1, 2)), fpp
+    admitted = {
+        r["doc_id"] for r in spark.read.parquet(f"{ledger}/admitted").collect()
+    }
+    assert admitted == set(range(48))
+
+    # full replay with a fresh checkpoint over the FOLDED ledger:
+    # decisions converge, partition layout irrelevant to exactness
+    run(str(tmp_path / "ckpt2"))
+    admitted2 = {
+        r["doc_id"] for r in spark.read.parquet(f"{ledger}/admitted").collect()
+    }
+    assert admitted2 == admitted

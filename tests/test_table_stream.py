@@ -60,7 +60,9 @@ def test_snapshot_then_appends_skipping_change_commits(spark, tmp_path):
 def test_partitioned_deltas_fill_partition_columns(spark, tmp_path):
     """Hive-partitioned delta files carry their partition value in the
     DIR NAME, not the file; the pyarrow scan must fill it back per the
-    planned schema."""
+    planned schema — and the planned schema comes from the manifest's
+    RECORDED (logical) schema, so the partition column keeps its written
+    type (long), not the int32 hive inference would produce."""
     register_table_stream(spark)
     t = VersionedParquetTable(str(tmp_path / "ptbl"))
     t.write(
@@ -73,14 +75,13 @@ def test_partitioned_deltas_fill_partition_columns(spark, tmp_path):
         spark.createDataFrame([(3, "c", 1)], "id long, s string, p long"),
         partition_by="p",
     )
+    sdf = spark.readStream.format("table_stream").option("root", t.root).load()
+    # stream and batch reads agree on types AND hive column order
+    assert sdf.schema == t.read(spark).schema
     rows = _drain_to_parquet(
         spark, t.root, str(tmp_path / "out"), str(tmp_path / "ckpt")
     )
-    assert [(r[0], r[1], int(r[2])) for r in rows] == [
-        (1, "a", 0),
-        (2, "b", 1),
-        (3, "c", 1),
-    ]
+    assert rows == [(1, "a", 0), (2, "b", 1), (3, "c", 1)]
 
 
 def test_change_commit_raises_unless_skipped(spark, tmp_path):
@@ -182,3 +183,186 @@ def test_schema_evolution_null_fills_via_head_schema(spark, tmp_path):
         spark, t.root, str(tmp_path / "out"), str(tmp_path / "ckpt")
     )
     assert rows == [(1, "a", None), (2, "b", 0.5)]
+
+
+def test_fold_commit_emits_exactly_the_new_rows(spark, tmp_path):
+    """An append that hits max_chain folds the parent chain into one dir
+    WHILE its fresh delta keeps its own dir (manifest ``fresh_dirs``):
+    the stream must emit exactly the fold's new rows and skip the
+    rewrite — pre-r10 the fold was classified as a pure change commit
+    and its new rows were silently dropped (permanent data loss)."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "ftbl"))
+    t.write(spark.createDataFrame([(0, "s")], "id long, s string"))
+    for i in range(1, 6):
+        # max_chain=3 ⇒ versions 3 and 5 are fold commits
+        t.append(
+            spark.createDataFrame([(i, f"d{i}")], "id long, s string"),
+            max_chain=3,
+        )
+    assert t._resolve(3, None)["parameters"]["absorbed_chain"] == 3
+
+    rows = _drain_to_parquet(
+        spark, t.root, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # every row exactly once — the fold versions' deltas included
+    assert rows == [(i, "s" if i == 0 else f"d{i}") for i in range(6)]
+
+
+def test_legacy_fold_commit_fails_loudly(spark, tmp_path):
+    """A pre-r10 fold commit (absorbed_chain recorded, no fresh_dirs) has
+    its new rows fused into the rewritten snapshot — the stream must
+    RAISE rather than skip it as a change commit and silently lose
+    them."""
+    import json
+    import os
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "ltbl"))
+    t.write(spark.createDataFrame([(0, "s")], "id long, s string"))
+    t.append(spark.createDataFrame([(1, "d1")], "id long, s string"))
+    # fabricate the legacy fold shape: a full-write manifest carrying
+    # absorbed_chain (what pre-r10 append(max_chain) committed)
+    t.write(
+        spark.createDataFrame(
+            [(0, "s"), (1, "d1"), (2, "d2")], "id long, s string"
+        ),
+        operation="APPEND",
+        parameters={"absorbed_chain": 2},
+    )
+    mf = os.path.join(t.log_dir, "00000002.json")
+    with open(mf) as fh:
+        m = json.load(fh)
+    assert m["parameters"]["absorbed_chain"] == 2
+
+    sdf = spark.readStream.format("table_stream").option("root", t.root).load()
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="legacy fold"):
+        q.awaitTermination()
+
+
+def test_max_versions_per_batch_bounds_catchup(spark, tmp_path):
+    """``max_versions_per_batch`` (Delta ``maxFilesPerTrigger`` parity):
+    a fresh start against a long table emits the backlog as MULTIPLE
+    bounded micro-batches — exactly-once union, >1 batch — instead of
+    one batch holding the entire history. (Python stream sources fall
+    back to single-batch under Trigger.AvailableNow, so the bound is
+    exercised with a processing-time trigger — the long-lived-stream
+    shape the option exists for.)"""
+    import time
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "rtbl"))
+    t.write(spark.createDataFrame([(0, "s")], "id long, s string"))
+    for i in range(1, 9):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    sdf = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("max_versions_per_batch", "2")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    batch_sizes = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out)
+        # record AFTER the write: the poll loop below keys on this
+        batch_sizes.append(len(rows))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while sum(batch_sizes) < 9 and time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(i, "s" if i == 0 else f"d{i}") for i in range(9)]
+    # 9 versions at ≤2 versions per batch ⇒ at least 5 non-empty batches,
+    # each bounded: the backlog never lands as one giant batch
+    assert len([b for b in batch_sizes if b > 0]) >= 5
+    assert max(batch_sizes) <= 2
+
+
+def test_max_versions_per_batch_restart_catchup_exact_once(spark, tmp_path):
+    """A RESTARTED rate-limited stream whose committed offset is far
+    ahead of the admission seed must neither duplicate already-emitted
+    versions (the probe window briefly regresses below the committed
+    offset) nor stall: the window walks forward in bounded steps until
+    it passes the committed offset, then drains the backlog exactly
+    once."""
+    import time
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "rstbl"))
+    t.write(spark.createDataFrame([(0, "s")], "id long, s string"))
+    for i in range(1, 5):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # first run: drain versions 0..4 (unbounded), committed offset = 4
+    assert _drain_to_parquet(spark, t.root, out, ckpt) == [
+        (i, "s" if i == 0 else f"d{i}") for i in range(5)
+    ]
+    # the restarted run appends to its OWN dir: the first run's
+    # FileStreamSink left a _spark_metadata log in `out`, which would
+    # hide plain parquet appends from readers
+    out2 = str(tmp_path / "out2")
+    os.makedirs(out2)
+
+    # the table advances while the stream is down
+    for i in range(5, 11):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    sdf = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("max_versions_per_batch", "2")
+        .load()
+    )
+    batch_sizes = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out2)
+        batch_sizes.append(len(rows))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while sum(batch_sizes) < 6 and time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    # versions 5..10 exactly once — no re-emission of the first run's 0..4
+    assert got == [(i, f"d{i}") for i in range(5, 11)]
+    assert max(batch_sizes) <= 2
