@@ -20,6 +20,7 @@ from high_volume_market_data_pipeline_spark.multimodal.bmp import (
     decode_bmp,
     encode_bmp,
     synthetic_bmp_assets,
+    synthetic_palette_bmp_assets,
 )
 
 __all__ = [
@@ -31,5 +32,6 @@ __all__ = [
     "frame_sample",
     "resize_raw",
     "synthetic_bmp_assets",
+    "synthetic_palette_bmp_assets",
     "to_binary_assets",
 ]

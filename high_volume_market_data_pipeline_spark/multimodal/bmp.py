@@ -58,19 +58,32 @@ def _build_bmp_kernels():
     file_fmt, dib_fmt = _FILE_FMT, _DIB_FMT
     file_sz, dib_sz = struct.calcsize(_FILE_FMT), struct.calcsize(_DIB_FMT)
 
-    def encode_bmp(pixels: "np.ndarray") -> bytes:
-        """Encode a (h, w) uint8 grayscale or (h, w, 3) uint8 RGB array as
-        a standard bottom-up BI_RGB BMP (8-bit with a 256-entry identity
-        gray palette, or 24-bit BGR). Byte-deterministic — the fixture
-        generator for the decode query and tests."""
+    def encode_bmp(
+        pixels: "np.ndarray", palette: "np.ndarray | None" = None
+    ) -> bytes:
+        """Encode a (h, w) uint8 index/grayscale or (h, w, 3) uint8 RGB
+        array as a standard bottom-up BI_RGB BMP (8-bit paletted, or
+        24-bit BGR). For 2-D input, ``palette`` is an optional (k, 3)
+        uint8 RGB color table written verbatim (``colors_used`` = k, the
+        short-table form); None keeps the 256-entry identity-gray table.
+        Byte-deterministic — the fixture generator for the decode
+        queries and tests."""
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2:
             h, w = px.shape
-            bpp, palette_n = 8, 256
+            bpp = 8
+            if palette is None:
+                pal_rgb = np.repeat(
+                    np.arange(256, dtype=np.uint8), 3
+                ).reshape(256, 3)
+            else:
+                pal_rgb = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+            palette_n = pal_rgb.shape[0]
             rows = px
         elif px.ndim == 3 and px.shape[2] == 3:
             h, w = px.shape[:2]
             bpp, palette_n = 24, 0
+            pal_rgb = np.empty((0, 3), dtype=np.uint8)
             rows = px[:, :, ::-1].reshape(h, w * 3)  # RGB -> disk BGR
         else:
             raise ValueError(
@@ -81,19 +94,15 @@ def _build_bmp_kernels():
         padded = np.zeros((h, stride), dtype=np.uint8)
         padded[:, :row_bytes] = rows
         body = padded[::-1].tobytes()  # bottom-up: last image row first
-        palette = (
-            np.repeat(np.arange(256, dtype=np.uint8), 4).reshape(256, 4).copy()
-            if palette_n
-            else np.empty((0, 4), dtype=np.uint8)
-        )
+        pal_disk = np.zeros((palette_n, 4), dtype=np.uint8)
         if palette_n:
-            palette[:, 3] = 0  # BGRA palette entries, alpha byte zero
+            pal_disk[:, :3] = pal_rgb[:, ::-1]  # RGB -> disk BGRA, alpha 0
         px_offset = file_sz + dib_sz + palette_n * 4
         head = struct.pack(file_fmt, b"BM", px_offset + len(body), 0, 0, px_offset)
         dib = struct.pack(
             dib_fmt, dib_sz, w, h, 1, bpp, 0, len(body), 2835, 2835, palette_n, 0
         )
-        return head + dib + palette.tobytes() + body
+        return head + dib + pal_disk.tobytes() + body
 
     def decode_bmp_bytes(blob: bytes) -> "tuple[np.ndarray, int] | None":
         """Parse one BMP payload → (pixel array, channels), or None when the
@@ -231,6 +240,44 @@ def synthetic_bmp_assets(
                 flat = (np.arange(n, dtype=np.int64) % 256).astype(np.uint8)
                 px = flat.reshape((h, w) if channels == 1 else (h, w, 3))
                 blobs.append(encode(px))
+            yield pd.DataFrame({"asset_id": pdf[id_col], "content": blobs})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="asset_id bigint, content binary"
+    )
+
+
+def synthetic_palette_bmp_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic COLORED-palette BMP fixtures — the oracle twin for
+    the palette-application arithmetic (``decode_bmp_bytes`` maps indices
+    through the color table; the identity-gray fixtures above cannot
+    distinguish a decoder that skips the table). Per id: an 8-bit file
+    with w = 4+i%9, h = 3+i%5 (so n = w·h ≤ 84 < 256 — no index wrap),
+    pixel index k at position k, and palette entry k = (k, 2k+1, 3k+2):
+    decoded RGB sum is Σ(6k+3) = 3n² in closed-form SQL, and a decoder
+    that summed raw indices (n(n-1)/2) or returned gray would hash-miss.
+    Docs with i % 7 == 3 declare a SHORT 64-entry table, so files whose
+    max index ≥ 64 exercise the out-of-table → ok=false path — also
+    SQL-expressible (i%7=3 AND n ≥ 65)."""
+    encode = encode_bmp  # <locals> closure: cloudpickle ships by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 9, 3 + i % 5
+                idx = (np.arange(w * h, dtype=np.int64) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                palette_n = 64 if i % 7 == 3 else 256
+                k = np.arange(palette_n, dtype=np.int64)
+                palette = np.stack(
+                    [k % 256, (2 * k + 1) % 256, (3 * k + 2) % 256], axis=1
+                ).astype(np.uint8)
+                blobs.append(encode(idx, palette))
             yield pd.DataFrame({"asset_id": pdf[id_col], "content": blobs})
 
     return df.select(id_col).mapInPandas(

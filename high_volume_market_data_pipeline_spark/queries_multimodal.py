@@ -16,6 +16,7 @@ from high_volume_market_data_pipeline_spark.multimodal import (
     byte_features,
     decode_bmp,
     synthetic_bmp_assets,
+    synthetic_palette_bmp_assets,
     to_binary_assets,
 )
 from high_volume_market_data_pipeline_spark.registry import query
@@ -74,4 +75,44 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form integer SQL with no image library on the oracle side."""
     docs = load_table(spark, sf_dir, "documents")
     assets = synthetic_bmp_assets(docs)
+    return decode_bmp(assets).orderBy("asset_id")
+
+
+@query(
+    "image_decode_palette_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 9 AS INT) AS width,
+             CAST(3 + doc_id % 5 AS INT) AS height
+      FROM documents
+    ), sized AS (
+      SELECT *,
+             CAST(width AS BIGINT) * height AS n,
+             (doc_id % 7 = 3 AND CAST(width AS BIGINT) * height >= 65)
+               AS bad
+      FROM dims
+    )
+    SELECT doc_id AS asset_id,
+           CASE WHEN bad THEN NULL ELSE width END AS width,
+           CASE WHEN bad THEN NULL ELSE height END AS height,
+           CAST(CASE WHEN bad THEN NULL ELSE 3 END AS INT) AS channels,
+           CASE WHEN bad THEN NULL ELSE 3 * n * n END AS sum_pixels,
+           NOT bad AS ok
+    FROM sized
+    ORDER BY asset_id
+    """,
+)
+def image_decode_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLORED-palette BMP decode, oracle-checked: the fixtures store
+    pixel INDEX k at position k under palette entry k = (k, 2k+1, 3k+2),
+    so the decoded RGB sum is 3n² in closed form (n = w·h ≤ 84, no index
+    wrap) — a decoder that skips the color table (raw-index sum
+    n(n-1)/2) or collapses to gray (channels=1) hash-misses. Docs with
+    doc_id % 7 == 3 declare a SHORT 64-entry table: those whose max index
+    overruns it must report ok=false with NULL stats (per-row validation,
+    never a batch failure). Complements ``image_decode_stats``, whose
+    identity-gray fixtures cannot observe the palette arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthetic_palette_bmp_assets(docs)
     return decode_bmp(assets).orderBy("asset_id")

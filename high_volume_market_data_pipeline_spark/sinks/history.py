@@ -732,13 +732,17 @@ class VersionedParquetTable:
             out = out.unionByName(
                 spark.read.parquet(d), allowMissingColumns=True
             )
-        # The hive PARTITION column's on-disk form is only a dir-name
-        # string, so scan inference can disagree with the table's logical
-        # schema (long written as ``p=3`` reads back int). Cast it back to
-        # the manifest-RECORDED type so batch reads, the table_stream
-        # source, and the writer all agree on types. Partition pruning
-        # survives the cast: Catalyst's UnwrapCastInBinaryComparison
-        # rewrites ``cast(p as bigint) = 3L`` back to ``p = 3``.
+        return self._cast_partition_col(out, m)
+
+    @staticmethod
+    def _cast_partition_col(out: DataFrame, m: dict) -> DataFrame:
+        """The hive PARTITION column's on-disk form is only a dir-name
+        string, so scan inference can disagree with the table's logical
+        schema (long written as ``p=3`` reads back int). Cast it back to
+        the manifest-RECORDED type so batch reads, the table_stream
+        source, and the writer all agree on types. Partition pruning
+        survives the cast: Catalyst's UnwrapCastInBinaryComparison
+        rewrites ``cast(p as bigint) = 3L`` back to ``p = 3``."""
         rec = m.get("schema")
         part = m.get("partition_by")
         if rec is not None and part and part in out.columns:
@@ -863,11 +867,19 @@ class VersionedParquetTable:
         post_m = self._resolve(v_to, None)
         pre_dirs, post_dirs = self._data_dirs(pre_m), self._data_dirs(post_m)
         shared = set(pre_dirs) & set(post_dirs)
-        pre = self._read_dirs(
-            spark, [d for d in pre_dirs if d not in shared], v_from
+        # the same recorded-type partition-column normalization read()
+        # applies — a mixed raw/normalized pair would look like a retype
+        pre = self._cast_partition_col(
+            self._read_dirs(
+                spark, [d for d in pre_dirs if d not in shared], v_from
+            ),
+            pre_m,
         )
-        post = self._read_dirs(
-            spark, [d for d in post_dirs if d not in shared], v_to
+        post = self._cast_partition_col(
+            self._read_dirs(
+                spark, [d for d in post_dirs if d not in shared], v_to
+            ),
+            post_m,
         )
         part_by = pre_m.get("partition_by")
         if shared and part_by and part_by == post_m.get("partition_by"):

@@ -164,3 +164,26 @@ def test_kernels_pickle_by_value_for_foreign_cwd_workers():
         [sys.executable, "-c", code], cwd="/tmp", capture_output=True, text=True
     )
     assert proc.returncode == 0, proc.stderr
+
+
+def test_custom_palette_encode_decode_and_short_table_overrun():
+    """encode_bmp(palette=...) writes the given RGB table verbatim with
+    colors_used set to its length; decode maps indices through it, and
+    an index at-or-past the declared table length is per-row invalid."""
+    k = np.arange(64, dtype=np.int64)
+    palette = np.stack(
+        [k % 256, (2 * k + 1) % 256, (3 * k + 2) % 256], axis=1
+    ).astype(np.uint8)
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    px, channels = decode_bmp_bytes(encode_bmp(idx, palette))
+    assert channels == 3 and px.shape == (3, 4, 3)
+    assert (px.reshape(-1, 3) == palette[idx.reshape(-1)]).all()
+    # Σ(6k+3) over k=0..n-1 = 3n² — the closed form the oracle uses
+    n = idx.size
+    assert int(px.astype(np.int64).sum()) == 3 * n * n
+
+    # max index 63 is the last valid entry; 64 overruns the short table
+    ok_edge = np.full((2, 2), 63, dtype=np.uint8)
+    assert decode_bmp_bytes(encode_bmp(ok_edge, palette)) is not None
+    bad = np.full((2, 2), 64, dtype=np.uint8)
+    assert decode_bmp_bytes(encode_bmp(bad, palette)) is None
