@@ -36,73 +36,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # covers every registered query. Steady-state policy from r6:
 # (a) queries NEW or BEHAVIOR-CHANGED this round, then (b) the queries
 # whose most recent driver row is OLDEST (refresh the stalest evidence
-# first). Round 9 head = 6 new/changed (table_changes_incremental NEW:
-# pruned append-lineage CDF; stream_table_appends NEW: readStream over
-# the versioned table; image_decode_stats: BMP kernels now pickle by
-# value + 8-bit palettes applied; table_version_changes: changes()
-# prunes to exclusive dirs with pushed PartitionFilters;
-# table_history_ops: torn-grace default + checkpoint-counter fix;
-# stream_incremental_dedup_admission: ledger writes coalesced) + the 43
-# other queries whose latest driver row is r6 + tfidf_top_terms (r7 row,
-# un-persisted this round). Exactly 50 entries; after this rotation no
-# query's latest driver row is older than r7. Every query, head and tail, is also
-# verified locally by tools/verify_correctness.py at sf0.01 AND sf0.1
-# each round. Never demote a query whose only green row is the current
-# window.
+# first). Round 10 head = 10 new/changed (image_decode_palette_stats NEW:
+# colored-palette BMP oracle; stream_table_appends: rate limiting +
+# fold-commit fresh_dirs + manifest-recorded schema;
+# table_changes_incremental / table_version_changes: changes() across
+# schema evolution + partition-col cast; table_history_ops: incremental
+# checkpoint chain + commit self-check; image_decode_stats: encoder
+# palette parameter; knn_pq_persisted + stream_pq_index_ingest +
+# stream_ivf_index_ingest: append path now tombstone-aware;
+# stream_incremental_dedup_admission: ledger auto-compaction) + 40 of
+# the 44 queries whose latest driver row is r7. Exactly 50 entries; the
+# 4 r7 rows left for the r11 rotation (multimodal_byte_features,
+# cross_join_dense_grid, top10_orders_by_price, rollup_order_status —
+# chosen for having the strongest independent pytest/family evidence).
+# Every query, head and tail, is also verified locally by
+# tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never
+# demote a query whose only green row is the current window.
 _HEAD = [
     # --- new or behavior-changed this round ---
-    "table_changes_incremental",    # NEW: pruned append-lineage CDF
-    "stream_table_appends",         # NEW: versioned table as stream source
-    "image_decode_stats",
+    "image_decode_palette_stats",   # NEW: colored-palette BMP oracle
+    "stream_table_appends",
+    "table_changes_incremental",
     "table_version_changes",
     "table_history_ops",
+    "image_decode_stats",
+    "knn_pq_persisted",
+    "stream_pq_index_ingest",
+    "stream_ivf_index_ingest",
     "stream_incremental_dedup_admission",
-    # --- most recent driver row is r6 (44 of 44) ---
-    "approx_distinct_users",
-    "broadcast_dim_join",
-    "bulk_part_suppliers_q20",
-    "cube_event_stats",
-    "customer_order_distribution_q13",
-    "customer_order_revenue",
-    "customers_with_orders",
-    "customers_without_orders",
-    "daily_event_profile",
-    "dedup_keep_latest_events",
-    "discounted_bulk_revenue_q19",
-    "distinct_order_priorities",
-    "dormant_rich_customers_q22",
-    "event_type_audiences",
-    "fk_orphan_lineitems",
-    "forecast_revenue_q6",
-    "gold_daily_topk_stats",
-    "important_part_stock_q11",
-    "json_props_profile",
-    "knn_lsh_bucketed",
-    "lang_quota_sample",
-    "minhash_lsh_near_dup",
-    "nation_trade_volume_q7",
-    "order_price_rank_metrics",
-    "order_value_quartiles_ntile",
-    "paged_feed_rollup",
-    "parts_catalog_labels",
-    "pricing_summary",
-    "priority_shipping_modes_q12",
-    "product_type_profit_q9",
-    "profile_orders_columns",
-    "promo_revenue_share_q14",
-    "running_user_value",
-    "small_quantity_orders_q17",
-    "sql_grouping_sets_orders",
-    "sql_peak_revenue_day",
-    "stats_quantity_price",
-    "supplier_diversity_q16",
-    "token_budget_chunks",
-    "top1_order_by_price",
-    "top_supplier_q15",
-    "variant_props_buckets",
-    "waiting_supplier_q21",
-    # --- r7 row on a code path changed this round ---
-    "tfidf_top_terms",
+    # --- most recent driver row is r7 (40 of 44) ---
+    "approx_value_percentiles",
+    "asof_last_purchase_per_click",
+    "asof_next_purchase_within_hour",
+    "benchmark_contamination",
+    "bollinger_breakouts",
+    "dedup_clusters",
+    "dedup_keep_best_quality",
+    "embedding_near_dup",
+    "event_funnel_stages",
+    "event_type_correlations",
+    "events_typed_enrichment",
+    "ewma_event_rate",
+    "exact_dedup_documents",
+    "exact_percentiles_order_price",
+    "incremental_dedup_admission",
+    "knn_bruteforce_cosine",
+    "knn_ivf_cells",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "label_centroid_embeddings",
+    "lang_confusion_matrix",
+    "max_drawdown_user",
+    "ohlc_resample_events",
+    "range_join_events_to_windows",
+    "rsi_event_types",
+    "set_ops_user_cohorts",
+    "simhash_documents",
+    "source_reliability",
+    "stream_click_attribution",
+    "stream_quality_ledger",
+    "stream_session_windows",
+    "stream_tumbling_hourly",
+    "text_stats",
+    "twap_user_daily",
+    "union_high_low_value_events",
+    "user_event_run_features",
+    "user_event_type_sets",
+    "value_histogram",
+    "vwap_monthly_lineitem",
+    "weekly_cohort_retention",
 ]
 
 

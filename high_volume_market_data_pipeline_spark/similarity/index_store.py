@@ -29,7 +29,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from high_volume_market_data_pipeline_spark.similarity.knn import (
     IVFIndex,
@@ -123,9 +123,113 @@ def _save_coded(
 
 
 def _load_coded(spark: SparkSession, root: str, version: int | None = None):
-    return VersionedParquetTable(os.path.join(root, "coded")).read(
+    """The coded corpus at ``version`` MINUS tombstoned ids (see
+    ``delete_from_index``): every loader/search and the append-side
+    ``skip_existing_ids`` anti-join observe deletions through this one
+    choke point, so a deleted id can neither surface as a neighbor nor
+    block its own re-insertion."""
+    coded = VersionedParquetTable(os.path.join(root, "coded")).read(
         spark, version=version
     )
+    dead = _active_tombstones(spark, root)
+    if dead is not None:
+        coded = coded.join(dead, "neighbor_id", "left_anti")
+    return coded
+
+
+def _tombstone_table(root: str) -> VersionedParquetTable:
+    return VersionedParquetTable(os.path.join(root, "tombstones"))
+
+
+def _active_tombstones(spark: SparkSession, root: str):
+    """Currently-deleted ids as a (neighbor_id) DataFrame, or None when
+    the index has never seen a delete (the common case — one metadata
+    existence probe, no Spark job)."""
+    t = _tombstone_table(root)
+    if not t.exists():
+        return None
+    return t.read(spark)
+
+
+def delete_from_index(spark: SparkSession, root: str, ids) -> int:
+    """FAISS ``remove_ids`` for the persisted index, tombstone-style: the
+    ids land in a small versioned ``{root}/tombstones`` table and every
+    load/search anti-joins them out (``_load_coded``), so a delete is
+    O(deleted ids) — never a rewrite of a 100M-vector corpus. The rows
+    stay physically present until ``purge_deleted`` (compaction-time
+    filter, matching the chain-absorption design); re-appending a
+    tombstoned id clears its tombstone (``_commit_append``).
+
+    ``ids``: a DataFrame whose FIRST column is the id, or an iterable of
+    ints. Returns the committed tombstone-table version.
+
+    Re-insertion: a tombstoned id whose rows are still physical is
+    treated as EXISTING by skip_existing_ids appends (appending it is a
+    no-op and it stays deleted) — run ``purge_deleted`` first to make it
+    re-insertable; a tombstone naming an id with NO physical rows clears
+    automatically when that id commits.
+
+    Scope note: tombstones are a property of the INDEX HEAD — a reader
+    pinned to an old coded version still sees current deletions, and a
+    purge resets the table, so version-pinned time travel across a purge
+    can resurrect; FAISS offers no time travel at all, and the versioned
+    store here exists for atomic updates, not deletion history."""
+    from pyspark.sql import functions as F
+
+    if isinstance(ids, DataFrame):
+        dead = ids.select(
+            F.col(ids.columns[0]).cast("long").alias("neighbor_id")
+        ).distinct()
+    else:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id long"
+        ).distinct()
+    t = _tombstone_table(root)
+    if not t.exists():
+        return t.write(dead, "DELETE_IDS")
+    # id-dedup against the current set so repeated deletes stay idempotent
+    fresh = dead.join(t.read(spark), "neighbor_id", "left_anti")
+    return t.append(fresh, "DELETE_IDS", max_chain=_CODED_MAX_CHAIN)
+
+
+def purge_deleted(spark: SparkSession, root: str) -> int | None:
+    """Physically drop tombstoned rows: commit coded-minus-tombstones as
+    a new full snapshot (hive layout preserved), re-pair the model at the
+    same version, and reset the tombstone table to empty — after this the
+    index is byte-shaped as if the ids were never added, and searches no
+    longer pay the anti-join. Returns the new paired version, or None if
+    the index has no tombstones. Like a re-train, a purge must not run
+    concurrently with appenders (it is a maintenance-window operation;
+    the same quiescing contract as save_*_index)."""
+    t = _tombstone_table(root)
+    if not t.exists():
+        return None
+    dead = t.read(spark)
+    model_v, coded_head, target = _append_coords(root)
+    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
+    head_m = coded_t._resolve(coded_head, None)
+    kept = coded_t.read(spark, version=coded_head).join(
+        dead, "neighbor_id", "left_anti"
+    )
+    coded_t.write(
+        kept,
+        "PURGE_DELETED",
+        {"purged_from": coded_head},
+        partition_by=head_m.get("partition_by"),
+        version=target,
+    )
+    centroids, codebooks = _load_model_arrays(spark, root, model_v)
+    _save_model_arrays(
+        spark,
+        root,
+        "PURGE_DELETED",
+        {},
+        centroids=centroids,
+        codebooks=codebooks,
+        version=target,
+    )
+    t.write(dead.limit(0), "PURGE_RESET")
+    return target
 
 
 def _pin_version(root: str, version: int | None) -> int | None:
@@ -157,6 +261,28 @@ def _pin_version(root: str, version: int | None) -> int | None:
             f"model has {sorted(mv)}, coded has {sorted(cv)}"
         )
     return max(paired)
+
+
+def _clear_tombstones_for(spark: SparkSession, root: str, delta) -> None:
+    """Ids that actually COMMITTED in ``delta`` must not stay hidden by a
+    stale tombstone (a tombstone can name an id with no physical rows —
+    deleted-then-purged, or never present). With skip_existing_ids the
+    delta already excludes tombstoned-but-still-physical ids, so this
+    never resurrects an old row next to a new one. No-op (one metadata
+    probe) when the index has never seen a delete; when it has, one
+    semi-join decides whether a rewrite is needed — tombstone tables are
+    deleted-id-sized, appends micro-batch-sized."""
+    t = _tombstone_table(root)
+    if not t.exists():
+        return
+    cur = t.read(spark)
+    ids = delta.select("neighbor_id").distinct()
+    if cur.join(ids, "neighbor_id", "left_semi").limit(1).count() == 0:
+        return
+    t.write(
+        cur.join(ids, "neighbor_id", "left_anti"),
+        "REVIVE_IDS",
+    )
 
 
 _APPEND_RETRIES = 5
@@ -261,7 +387,15 @@ def _commit_append(
     for _ in range(_APPEND_RETRIES):
         model_v, coded_head, target = _append_coords(root)
         centroids, codebooks = _load_model_arrays(spark, root, model_v)
-        coded = _load_coded(spark, root, coded_head)
+        # the RAW coded table (tombstoned rows included): the
+        # skip_existing_ids anti-join must treat a tombstoned-but-still-
+        # physical id as EXISTING, or re-appending it would commit a
+        # second physical row for the same id (revive below then makes
+        # both visible — a duplicate). A deleted id becomes re-insertable
+        # after purge_deleted removes its rows.
+        coded = VersionedParquetTable(os.path.join(root, "coded")).read(
+            spark, version=coded_head
+        )
         delta, params = derive(centroids, codebooks, coded)
         params = {**params, "parent_version": coded_head}
         try:
@@ -280,6 +414,7 @@ def _commit_append(
             codebooks=codebooks,
             version=target,
         )
+        _clear_tombstones_for(spark, root, delta)
         return target
     raise ConcurrentCommitError(
         f"append at {root} lost {_APPEND_RETRIES} consecutive commit "

@@ -683,3 +683,98 @@ def test_stream_append_index_rejects_unknown_family(spark, tmp_path):
     sdf = spark.readStream.schema(emb.schema).parquet(str(tmp_path))
     with pytest.raises(ValueError, match="unknown index family"):
         stream_append_index(sdf, str(tmp_path / "x"), "c", family="hnsw")
+
+
+def test_delete_lifecycle_tombstone_search_purge(spark, tmp_path):
+    """FAISS remove_ids parity over the persisted store: delete → every
+    search/load excludes the id (tombstone anti-join, O(deleted), no
+    corpus rewrite) → purge_deleted physically drops the rows, preserves
+    the hive layout, and resets the tombstones → re-appending a deleted
+    id revives it."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        load_ivf_index,
+        purge_deleted,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _tombstone_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "ivf")
+    idx = build_ivf_index(emb.filter("vec_id < 150"), n_cells=4)
+    from high_volume_market_data_pipeline_spark.similarity import (
+        save_ivf_index,
+    )
+
+    save_ivf_index(idx, root)
+    n0 = load_ivf_index(spark, root).coded.count()
+
+    # delete: loads exclude exactly those ids, rows stay on disk
+    delete_from_index(spark, root, [3, 7, 11])
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.count() == n0 - 3
+    assert loaded.coded.filter("neighbor_id in (3, 7, 11)").count() == 0
+    # repeat-delete is idempotent (id-deduped tombstones)
+    delete_from_index(spark, root, [7, 11])
+    assert _tombstone_table(root).read(spark).count() == 3
+
+    # purge: rows physically dropped, partition layout preserved,
+    # tombstones reset, model/coded still paired
+    v = purge_deleted(spark, root)
+    assert v is not None
+    assert _tombstone_table(root).read(spark).count() == 0
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
+    head = coded_t._resolve(None, None)
+    assert head.get("partition_by") == "cell"  # layout survived the purge
+    raw = coded_t.read(spark)  # tombstone-free raw read
+    assert raw.count() == n0 - 3
+    assert raw.filter("neighbor_id in (3, 7, 11)").count() == 0
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.count() == n0 - 3
+
+    # delete again, then RE-APPEND one of the deleted ids while its rows
+    # are still physical: the append is a no-op (the id counts as
+    # existing — committing a second physical row would duplicate it on
+    # revive) and the id stays deleted until a purge
+    delete_from_index(spark, root, [5, 9])
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 5"), skip_existing_ids=True
+    )
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.filter("neighbor_id in (5, 9)").count() == 0
+    assert _tombstone_table(root).read(spark).count() == 2
+
+    # after a purge the id is re-insertable; its stale-free tombstone set
+    # lets the new row surface exactly once
+    purge_deleted(spark, root)
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 5"), skip_existing_ids=True
+    )
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.filter("neighbor_id = 5").count() == 1
+    assert loaded.coded.filter("neighbor_id = 9").count() == 0
+
+    # a tombstone naming an id with NO physical rows (never present in
+    # the index) clears automatically when that id finally commits —
+    # otherwise the fresh row would stay hidden forever
+    delete_from_index(spark, root, [200])  # id 200 not in the index yet
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 200"), skip_existing_ids=True
+    )
+    assert _tombstone_table(root).read(spark).count() == 0
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.filter("neighbor_id = 200").count() == 1
+
+    # search path: a deleted id can never be returned as a neighbor
+    from high_volume_market_data_pipeline_spark.similarity import ivf_knn
+
+    q = emb.filter("vec_id < 3")
+    res = ivf_knn(q, emb, k=5, n_cells=4, index=loaded)
+    assert res.filter("neighbor_id = 9").count() == 0
