@@ -147,6 +147,89 @@ def main() -> None:
         print(f"# ledger compacted: {ledger_rows[str(targets[-1])]}",
               file=sys.stderr)
         curves["ledger"] = ledger_rows
+
+        # Checkpoint-chain curve (no Spark jobs — pure log layer): commit
+        # N fabricated manifests and record, per probe point, the HEAD
+        # read cost (file opens + bytes parsed: pointer + newest
+        # checkpoint + loose tail) and the CUMULATIVE checkpoint bytes
+        # written. "incremental" is the r10 auto-checkpoint chain;
+        # "full_fold_baseline" emulates the pre-r10 scheme (a full-state
+        # fold every interval). The claim under test: incremental head
+        # bytes stay O(interval) and cumulative bytes O(commits), while
+        # the baseline's head bytes grow O(commits) and cumulative bytes
+        # O(commits²/interval).
+        import re as _re
+
+        def fab(v: int) -> dict:
+            return {
+                "version": v,
+                "timestamp": float(v),
+                "operation": "WRITE",
+                "parameters": {},
+                "data_dir": f"/nope/_v{v:08d}_x",
+            }
+
+        def head_read_cost(t: VersionedParquetTable) -> tuple[int, int]:
+            t.latest_version()
+            opens = t.last_log_files_opened
+            nbytes = 0
+            ptr = os.path.join(t.log_dir, "_last_checkpoint")
+            try:
+                nbytes += os.path.getsize(ptr)
+                name = json.load(open(ptr))["checkpoint"]
+                cp_path = os.path.join(t.log_dir, name)
+                nbytes += os.path.getsize(cp_path)
+                floor = json.load(open(cp_path))["version"]
+            except OSError:
+                floor = -1
+            for f in os.listdir(t.log_dir):
+                m = _re.match(r"^(\d{8})\.json$", f)
+                if m and int(m.group(1)) > floor:
+                    nbytes += os.path.getsize(os.path.join(t.log_dir, f))
+            return opens, nbytes
+
+        cp_probe = [100, 300, 1000, 3000]
+        cp_rows: dict[str, dict] = {}
+        inc = VersionedParquetTable(os.path.join(scratch, "cp_incremental"))
+        base = VersionedParquetTable(os.path.join(scratch, "cp_fold"))
+        os.makedirs(inc.log_dir)
+        os.makedirs(base.log_dir)
+        base_cum = 0
+        v = 0
+        for target in cp_probe:
+            while v < target:
+                inc._commit_manifest(fab(v), v)
+                base._commit_manifest(fab(v), v)
+                # emulate pre-r10: replace the auto-incremental with a
+                # full fold every interval and track its write cost
+                if v % base.checkpoint_interval == base.checkpoint_interval - 1:
+                    name = base.checkpoint()
+                    base_cum += os.path.getsize(
+                        os.path.join(base.log_dir, name)
+                    )
+                v += 1
+            inc_opens, inc_bytes = head_read_cost(inc)
+            b_opens, b_bytes = head_read_cost(base)
+            inc_cum = sum(
+                os.path.getsize(os.path.join(inc.log_dir, f))
+                for f in os.listdir(inc.log_dir)
+                if f.endswith(".checkpoint.json")
+            )
+            cp_rows[str(target)] = {
+                "incremental": {
+                    "head_opens": inc_opens,
+                    "head_bytes": inc_bytes,
+                    "cum_checkpoint_bytes": inc_cum,
+                },
+                "full_fold_baseline": {
+                    "head_opens": b_opens,
+                    "head_bytes": b_bytes,
+                    "cum_checkpoint_bytes": base_cum,
+                },
+            }
+            print(f"# checkpoint commits={target}: {cp_rows[str(target)]}",
+                  file=sys.stderr)
+        curves["checkpoint_chain"] = cp_rows
     finally:
         spark.stop()
         shutil.rmtree(scratch, ignore_errors=True)
