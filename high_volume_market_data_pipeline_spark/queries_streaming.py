@@ -680,11 +680,14 @@ def stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta streaming-source parity on the manifest log: the initial
     snapshot is emitted in full, each append emits exactly its delta
     dirs' rows (executor-side pyarrow reads, offsets = version numbers),
-    and the COMPACT in the middle is structurally detected as a change
-    commit and skipped. The fixture splits a deterministic orders slice
-    into snapshot + two appends around a compaction, so the availableNow
-    end state equals the whole slice exactly once — double-emission of
-    compacted rows or a missed delta both break the driver hash."""
+    the COMPACT in the middle is structurally detected as a change
+    commit and skipped, and the final append triggers a CHAIN FOLD
+    (max_chain) — a commit that rewrites the parent chain AND carries new
+    rows; the stream must emit exactly its ``fresh_dirs``. The fixture
+    splits a deterministic orders slice into snapshot + appends around a
+    compaction and a fold, so the availableNow end state equals the whole
+    slice exactly once — double-emission of rewritten rows, a missed
+    delta, or a dropped fold delta all break the driver hash."""
     import shutil
     import tempfile
 
@@ -707,7 +710,16 @@ def stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(base.filter(F.col("o_orderkey") % 3 == 0), "WRITE")
     table.append(base.filter(F.col("o_orderkey") % 3 == 1), "APPEND")
     table.compact(spark)  # change commit: rewrites rows already streamed
-    table.append(base.filter(F.col("o_orderkey") % 3 == 2), "APPEND")
+    table.append(base.filter(F.col("o_orderkey") % 9 == 2), "APPEND")
+    # parent now references 2 dirs -> max_chain=2 makes this a FOLD
+    # commit: [folded parent, fresh delta] with fresh_dirs recorded
+    table.append(
+        base.filter(
+            (F.col("o_orderkey") % 9 == 5) | (F.col("o_orderkey") % 9 == 8)
+        ),
+        "APPEND",
+        max_chain=2,
+    )
 
     register_table_stream(spark)
     sdf = spark.readStream.format("table_stream").option("root", root).load()
