@@ -807,9 +807,29 @@ class VersionedParquetTable:
             )
         return sorted(out, key=lambda v: (v is None, str(v)))
 
-    def history(self, spark: SparkSession) -> DataFrame:
+    def history(self, spark: SparkSession, limit: int | None = None) -> DataFrame:
         """(version, timestamp, operation, parameters) — newest first, like
-        ``DeltaTable.history()`` (view_delta_history.py:57-59)."""
+        ``DeltaTable.history()`` (view_delta_history.py:57-59). ``limit``
+        is Delta's ``history(N)``: only the newest N commits, and — with
+        the incremental checkpoint chain — the log walk STOPS as soon as
+        it has them (``history(1)`` on a 100k-commit table parses one
+        chunk, not the chain)."""
+        if limit is None:
+            ms = list(reversed(self._manifests()))
+        else:
+            ms, seen = [], set()
+            for _, chunk in self._chunks():
+                for m in reversed(chunk):
+                    # racing auto-checkpoints can leave overlapping
+                    # chunks; first (newest) occurrence wins
+                    if m["version"] in seen:
+                        continue
+                    seen.add(m["version"])
+                    ms.append(m)
+                    if len(ms) >= limit:
+                        break
+                if len(ms) >= limit:
+                    break
         rows = [
             (
                 m["version"],
@@ -817,7 +837,7 @@ class VersionedParquetTable:
                 m["operation"],
                 json.dumps(m["parameters"], sort_keys=True),
             )
-            for m in reversed(self._manifests())
+            for m in ms
         ]
         return spark.createDataFrame(
             rows, "version BIGINT, timestamp DOUBLE, operation STRING, parameters STRING"

@@ -126,6 +126,33 @@ def _manifest_dirs(manifest: dict) -> list[str]:
     return list(manifest.get("data_dirs") or [manifest["data_dir"]])
 
 
+def _resolve_starting_version(root: str, options: dict) -> int:
+    """``starting_version`` (a version number) or ``starting_timestamp``
+    (epoch seconds — resolves to the FIRST version committed at or after
+    it, Delta's ``startingTimestamp`` contract). Mutually exclusive;
+    default version 0. Timestamp resolution parses the log once at
+    reader construction — the resolved version is what offsets are
+    relative to, so it must not drift as the table grows."""
+    sv = options.get("starting_version")
+    st = options.get("starting_timestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "table_stream accepts starting_version OR starting_timestamp, "
+            "not both"
+        )
+    if st is None:
+        return int(sv) if sv is not None else 0
+    ts = float(st)
+    ms = _read_manifests(root)
+    eligible = [v for v, m in ms.items() if float(m["timestamp"]) >= ts]
+    if not eligible:
+        raise ValueError(
+            f"starting_timestamp {ts} is after the newest commit at "
+            f"{root}; no version starts at or after it"
+        )
+    return min(eligible)
+
+
 def _parquet_files(d: str) -> list[str]:
     out = []
     for dirpath, _, files in os.walk(d):
@@ -163,7 +190,7 @@ class TableStreamReader(DataSourceStreamReader):
         self.root = options.get("root")
         if not self.root:
             raise ValueError("table_stream requires option 'root'")
-        self.starting_version = int(options.get("starting_version", 0))
+        self.starting_version = _resolve_starting_version(self.root, options)
         self.skip_change_commits = str(
             options.get("skip_change_commits", "true")
         ).lower() in ("1", "true", "yes")
@@ -240,7 +267,9 @@ class TableStreamReader(DataSourceStreamReader):
 
     # -- batch planning (plan runner) ---------------------------------------
 
-    def _new_dirs(self, v: int, ms: dict[int, dict]) -> list[str]:
+    def _new_dirs(
+        self, v: int, ms: dict[int, dict], batch_start: int
+    ) -> list[str]:
         if v not in ms:
             raise ValueError(
                 f"version {v} of {self.root} is no longer in the manifest "
@@ -248,8 +277,14 @@ class TableStreamReader(DataSourceStreamReader):
                 "the stream's lag"
             )
         dirs = _manifest_dirs(ms[v])
-        if v == self.starting_version:
-            return dirs  # the initial snapshot is emitted in full
+        if v == self.starting_version and batch_start == v - 1:
+            # the initial snapshot is emitted in full — but ONLY for the
+            # batch that actually starts at it: a timestamp-resolved
+            # starting_version can re-resolve differently after a vacuum
+            # + restart, and re-emitting a mid-stream version as a full
+            # snapshot would duplicate rows (the delta path below then
+            # either works or fails loudly on the vacuumed parent)
+            return dirs
         if v - 1 not in ms:
             raise ValueError(
                 f"version {v - 1} of {self.root} is no longer in the "
@@ -303,7 +338,7 @@ class TableStreamReader(DataSourceStreamReader):
         ms = self._manifest_map(min_version=max(0, lo))
         out: list[TableFilesPartition] = []
         for v in range(lo + 1, v_end + 1):
-            for d in self._new_dirs(v, ms):
+            for d in self._new_dirs(v, ms, v_start):
                 out.extend(
                     TableFilesPartition(f, d) for f in _parquet_files(d)
                 )
@@ -360,6 +395,9 @@ class TableStreamDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("table_stream requires option 'root'")
+        # validate start options HERE (schema() runs at load() time) so a
+        # conflicting pair fails fast instead of at the first trigger
+        _resolve_starting_version(root, self.options)
         ms = _read_manifests(root, min_version=1 << 62)
         if not ms:
             raise ValueError(f"no committed versions at {root}")

@@ -795,3 +795,28 @@ def test_empty_merge_schema_append_records_parent_schema(spark, tmp_path):
         partition_by="p",
     )
     assert t.read(spark).count() == 2
+
+
+def test_history_limit_stops_at_first_chunks(spark, table):
+    """history(limit=N) returns the newest N commits AND stops the log
+    walk early (Delta's history(N)): with the incremental checkpoint
+    chain, history(1) on a deep table parses pointer + newest chunk, not
+    the whole chain."""
+    for v in range(35):
+        table._commit_manifest(
+            {
+                "version": v,
+                "timestamp": float(v),
+                "operation": "WRITE",
+                "parameters": {},
+                "data_dir": f"/nope/_v{v:08d}_x",
+            },
+            v,
+        )
+    got = table.history(spark, limit=3).collect()
+    assert [r["version"] for r in got] == [34, 33, 32]
+    # the walk stopped at the loose tail: pointer + cp + tail(5) opens,
+    # never the chain below the newest checkpoint
+    assert table.last_log_files_opened <= table.checkpoint_interval + 2
+    full = table.history(spark).collect()
+    assert [r["version"] for r in full] == list(range(34, -1, -1))

@@ -366,3 +366,56 @@ def test_max_versions_per_batch_restart_catchup_exact_once(spark, tmp_path):
     # versions 5..10 exactly once — no re-emission of the first run's 0..4
     assert got == [(i, f"d{i}") for i in range(5, 11)]
     assert max(batch_sizes) <= 2
+
+
+def test_starting_timestamp_resolves_first_version_at_or_after(
+    spark, tmp_path
+):
+    """starting_timestamp resolves to the FIRST version committed at or
+    after it (Delta startingTimestamp): that version's snapshot streams
+    in full, later commits tail as deltas, earlier history is skipped."""
+    import json
+    import os
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "tstbl"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    # pin deterministic commit timestamps: v0=100, v1=200, v2=300
+    for v, ts in enumerate((100.0, 200.0, 300.0)):
+        p = os.path.join(t.log_dir, f"{v:08d}.json")
+        with open(p) as fh:
+            m = json.load(fh)
+        m["timestamp"] = ts
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+
+    sdf = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("starting_timestamp", "150")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # v1 (first commit at/after ts=150) streams as the FULL snapshot
+    # {1,2}; v2 adds 3; v0's standalone history is not re-emitted
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+    with pytest.raises(Exception, match="starting_version OR starting_timestamp"):
+        (
+            spark.readStream.format("table_stream")
+            .option("root", t.root)
+            .option("starting_version", "1")
+            .option("starting_timestamp", "150")
+            .load()
+        )
