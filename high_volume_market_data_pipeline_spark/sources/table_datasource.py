@@ -200,6 +200,12 @@ class TableStreamReader(DataSourceStreamReader):
             self.max_versions_per_batch < 1
         ):
             raise ValueError("max_versions_per_batch must be >= 1")
+        mfb = options.get("max_files_per_batch")
+        self.max_files_per_batch = None if mfb is None else int(mfb)
+        if self.max_files_per_batch is not None and (
+            self.max_files_per_batch < 1
+        ):
+            raise ValueError("max_files_per_batch must be >= 1")
         self._spark_schema = schema
         # Rate-limit state (see latestOffset). Spark's offset LOG is the
         # durable truth; these are per-runner admission hints:
@@ -250,12 +256,35 @@ class TableStreamReader(DataSourceStreamReader):
         if not ms:
             return {"version": self.starting_version - 1}
         head = max(ms)
-        if self.max_versions_per_batch is None:
+        if self.max_versions_per_batch is None and (
+            self.max_files_per_batch is None
+        ):
             return {"version": head}
-        out = min(
-            head,
-            max(self._cursor, self._probe) + self.max_versions_per_batch,
-        )
+        base = max(self._cursor, self._probe)
+        out = head
+        if self.max_versions_per_batch is not None:
+            out = min(out, base + self.max_versions_per_batch)
+        if self.max_files_per_batch is not None and out > base:
+            # Delta maxFilesPerTrigger semantics: admit versions until
+            # the FILE budget is spent (a version is never split across
+            # batches — offsets are versions — and the first version is
+            # always admitted so an oversized commit cannot stall the
+            # stream). Metadata-only: lists the candidate versions' new
+            # dirs, O(lag) like partitions() itself.
+            ms_full = self._manifest_map(min_version=max(0, base))
+            spent, end = 0, base
+            for v in range(base + 1, out + 1):
+                n = sum(
+                    len(_parquet_files(d))
+                    for d in self._new_dirs(v, ms_full, base)
+                )
+                if end > base and spent + n > self.max_files_per_batch:
+                    break
+                spent += n
+                end = v
+                if spent >= self.max_files_per_batch:
+                    break
+            out = end
         self._probe = max(self._probe, out)
         return {"version": out}
 

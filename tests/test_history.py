@@ -820,3 +820,56 @@ def test_history_limit_stops_at_first_chunks(spark, table):
     assert table.last_log_files_opened <= table.checkpoint_interval + 2
     full = table.history(spark).collect()
     assert [r["version"] for r in full] == list(range(34, -1, -1))
+
+
+def test_checkpoint_chain_damage_falls_back_to_replay(spark, table):
+    """Checkpoints are CACHES: deleting a mid-chain checkpoint file (or
+    the pointer target) must degrade reads to a full manifest replay with
+    identical results, never an error or a truncated history — and the
+    stream source's self-contained parser honors the same rule."""
+    import json as _json
+
+    for v in range(25):
+        table._commit_manifest(
+            {
+                "version": v,
+                "timestamp": float(v),
+                "operation": "WRITE",
+                "parameters": {},
+                "data_dir": f"/nope/_v{v:08d}_x",
+            },
+            v,
+        )
+    cps = sorted(
+        n for n in os.listdir(table.log_dir) if n.endswith(".checkpoint.json")
+    )
+    assert len(cps) == 2  # v9 full + v19 incremental
+    # destroy the PARENT of the newest checkpoint: the chain is broken
+    os.unlink(os.path.join(table.log_dir, cps[0]))
+    assert table.versions() == list(range(25))
+    assert table.latest_version() == 24
+    # the stream-side parser agrees
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        _read_manifests,
+    )
+
+    assert sorted(_read_manifests(table.root)) == list(range(25))
+
+    # now garble the pointer itself: same degradation
+    with open(os.path.join(table.log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write("{not json")
+    assert table.versions() == list(range(25))
+    assert sorted(_read_manifests(table.root)) == list(range(25))
+
+    # a cycle (checkpoint naming itself as parent) must not loop forever
+    name = cps[1]
+    p = os.path.join(table.log_dir, name)
+    with open(p) as fh:
+        cp = _json.load(fh)
+    cp["parent"] = name
+    with open(p, "w") as fh:
+        _json.dump(cp, fh)
+    with open(os.path.join(table.log_dir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"checkpoint": name}, fh)
+    assert table.versions() == list(range(25))
+    assert sorted(_read_manifests(table.root)) == list(range(25))

@@ -419,3 +419,61 @@ def test_starting_timestamp_resolves_first_version_at_or_after(
             .option("starting_timestamp", "150")
             .load()
         )
+
+
+def test_max_files_per_batch_bounds_by_file_count(spark, tmp_path):
+    """max_files_per_batch (Delta maxFilesPerTrigger): versions are
+    admitted until the FILE budget is spent — 2-file deltas under a
+    4-file budget pack two versions per batch; a version is never split
+    and the first is always admitted."""
+    import time
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "fbtbl"))
+    t.write(spark.createDataFrame([(0, "s")], "id long, s string").coalesce(1))
+    for i in range(1, 9):
+        t.append(
+            spark.createDataFrame(
+                [(10 * i, f"d{i}a"), (10 * i + 1, f"d{i}b")],
+                "id long, s string",
+            ).repartition(2)
+        )
+
+    sdf = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("max_files_per_batch", "4")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    batch_rows = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out)
+        batch_rows.append(len(rows))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while sum(batch_rows) < 17 and time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    expect = [(0, "s")] + sorted(
+        (10 * i + j, f"d{i}{'ab'[j]}") for i in range(1, 9) for j in (0, 1)
+    )
+    assert got == sorted(expect)
+    # 2-file deltas, 4-file budget -> at most 2 versions (4 rows) a batch
+    assert max(batch_rows) <= 4
+    assert len([b for b in batch_rows if b > 0]) >= 4
