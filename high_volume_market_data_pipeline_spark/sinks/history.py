@@ -1035,11 +1035,20 @@ class VersionedParquetTable:
     # -- maintenance --------------------------------------------------------
 
     def vacuum(
-        self, keep_last: int = 2, orphan_grace_seconds: float | None = None
+        self,
+        keep_last: int = 2,
+        orphan_grace_seconds: float | None = None,
+        retain_hours: float | None = None,
     ) -> "VacuumResult":
         """Retire snapshot dirs older than the newest ``keep_last`` versions
         (and stale orphan ``_v*`` dirs with no manifest). Time travel below
         the horizon stops working — same contract as Delta VACUUM.
+
+        ``retain_hours`` is the Delta ``RETAIN N HOURS`` form: every
+        version committed within the window is ALSO kept (the horizon is
+        the union of the newest ``keep_last`` and the time window), so a
+        scheduled vacuum can promise "time travel covers the last N
+        hours" regardless of commit rate.
 
         Orphan dirs (referenced by NO manifest) are reclaimed only when
         their newest file is older than ``orphan_grace_seconds`` (default:
@@ -1072,6 +1081,14 @@ class VersionedParquetTable:
         )
         ms = self._manifests()
         kept = ms[-keep_last:] if ms else []
+        if retain_hours is not None and ms:
+            cutoff_ts = time.time() - retain_hours * 3600.0
+            kept_v = {m["version"] for m in kept}
+            kept = [
+                m
+                for m in ms
+                if m["version"] in kept_v or m["timestamp"] >= cutoff_ts
+            ]
         keep_dirs = {
             os.path.basename(d) for m in kept for d in self._data_dirs(m)
         }

@@ -873,3 +873,30 @@ def test_checkpoint_chain_damage_falls_back_to_replay(spark, table):
         _json.dump({"checkpoint": name}, fh)
     assert table.versions() == list(range(25))
     assert sorted(_read_manifests(table.root)) == list(range(25))
+
+
+def test_vacuum_retain_hours_keeps_time_window(spark, table):
+    """vacuum(retain_hours=N) — Delta RETAIN N HOURS: versions committed
+    within the window survive even beyond keep_last, so time travel over
+    the promised wall-clock horizon holds regardless of commit rate."""
+    import json as _json
+    import time as _time
+
+    for i in range(6):
+        table.write(_df(spark, i + 1, f"t{i}"), "WRITE")
+    # age versions 0..2 to "three hours ago"; 3..5 stay fresh
+    old = _time.time() - 3 * 3600
+    for v in range(3):
+        p = os.path.join(table.log_dir, f"{v:08d}.json")
+        with open(p) as fh:
+            m = _json.load(fh)
+        m["timestamp"] = old
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    table.checkpoint()  # fold so the edited timestamps are authoritative
+
+    res = table.vacuum(keep_last=1, retain_hours=1.0)
+    # keep_last=1 alone would retire 0..4; the 1h window saves 3 and 4
+    assert sorted(res.retired) == [0, 1, 2]
+    for v in (3, 4, 5):
+        assert table.read(spark, version=v).count() == v + 1

@@ -323,6 +323,52 @@ def main() -> None:
             "post_append_recall": _mean_recall(fresh, exact),
         }
 
+        # delete lifecycle at the same tier: tombstone commit is
+        # O(deleted ids); the search-side overhead is the anti-join
+        # against the tombstone table (measured as with-tombstones vs the
+        # fresh_sec above); purge rewrites the corpus once and removes
+        # the overhead again.
+        from high_volume_market_data_pipeline_spark.similarity.index_store import (
+            delete_from_index,
+            purge_deleted,
+        )
+
+        dead_ids = emb.filter(
+            (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < n_held)
+        ).select("vec_id")
+        n_dead = dead_ids.count()
+        t0 = time.perf_counter()
+        delete_from_index(spark, append_root, dead_ids)
+        delete_sec = round(time.perf_counter() - t0, 3)
+        idx_deleted = load_pq_index(spark, append_root)
+        t0 = time.perf_counter()
+        sdel = pq_knn(q, emb, k=K, index=idx_deleted)
+        sdel.write.format("noop").mode("overwrite").save()
+        search_tombstoned_sec = round(time.perf_counter() - t0, 3)
+        leaked = (
+            sdel.join(dead_ids, sdel.neighbor_id == dead_ids.vec_id, "inner")
+            .count()
+        )
+        t0 = time.perf_counter()
+        purge_deleted(spark, append_root)
+        purge_sec = round(time.perf_counter() - t0, 3)
+        idx_purged = load_pq_index(spark, append_root)
+        t0 = time.perf_counter()
+        pq_knn(q, emb, k=K, index=idx_purged).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        search_purged_sec = round(time.perf_counter() - t0, 3)
+        delete_row = {
+            "knobs": f"{n_dead} ids (5% of first {n_held}) tombstoned on "
+            "the appended persisted index; purge rewrites once",
+            "delete_sec": delete_sec,
+            "search_with_tombstones_sec": search_tombstoned_sec,
+            "deleted_ids_leaked_into_results": leaked,
+            "purge_sec": purge_sec,
+            "search_after_purge_sec": search_purged_sec,
+        }
+        print(f"# pq_delete_lifecycle: {delete_row}", file=sys.stderr)
+
         # cell-pruned persisted IVF vs an unpartitioned twin of the SAME
         # coded rows, both searched from fresh processes — the artifact
         # the partitioned layout exists for: probe 4/16 must read ~4/16
@@ -390,6 +436,7 @@ def main() -> None:
         families = {
             "brute_force": (None, {"sec": t_exact, "recall": 1.0}),
             "pq_append_stream": (None, append_row),
+            "pq_delete_lifecycle": (None, delete_row),
             "ivf_persisted_pruned": (None, pruned_row),
             "lsh_fixed4": (
                 lambda: lsh_bucketed_knn(q, emb, k=K, n_planes=4),
