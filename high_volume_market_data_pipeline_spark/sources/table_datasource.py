@@ -177,12 +177,29 @@ def _arrow_schema(dirs: list[str]):
     return (children[0] if len(children) == 1 else ds.dataset(children)).schema
 
 
-class TableFilesPartition(InputPartition):
-    """One parquet file plus the dir root it is hive-relative to."""
+_META_FIELDS = (
+    ("_commit_version", "long"),
+    ("_commit_timestamp", "double"),
+    ("_change_type", "string"),
+)
 
-    def __init__(self, file: str, base_dir: str):
+
+class TableFilesPartition(InputPartition):
+    """One parquet file plus the dir root it is hive-relative to; when
+    the stream was opened ``with_commit_version``, also the commit
+    version/timestamp its rows carry."""
+
+    def __init__(
+        self,
+        file: str,
+        base_dir: str,
+        version: "int | None" = None,
+        timestamp: "float | None" = None,
+    ):
         self.file = file
         self.base_dir = base_dir
+        self.version = version
+        self.timestamp = timestamp
 
 
 class TableStreamReader(DataSourceStreamReader):
@@ -206,6 +223,9 @@ class TableStreamReader(DataSourceStreamReader):
             self.max_files_per_batch < 1
         ):
             raise ValueError("max_files_per_batch must be >= 1")
+        self.with_commit_version = str(
+            options.get("with_commit_version", "false")
+        ).lower() in ("1", "true", "yes")
         self._spark_schema = schema
         # Rate-limit state (see latestOffset). Spark's offset LOG is the
         # durable truth; these are per-runner admission hints:
@@ -367,9 +387,13 @@ class TableStreamReader(DataSourceStreamReader):
         ms = self._manifest_map(min_version=max(0, lo))
         out: list[TableFilesPartition] = []
         for v in range(lo + 1, v_end + 1):
+            meta: tuple = (None, None)
+            if self.with_commit_version:
+                meta = (v, float(ms[v]["timestamp"]) if v in ms else None)
             for d in self._new_dirs(v, ms, v_start):
                 out.extend(
-                    TableFilesPartition(f, d) for f in _parquet_files(d)
+                    TableFilesPartition(f, d, *meta)
+                    for f in _parquet_files(d)
                 )
         if not out:
             # Spark requires ≥1 partition per batch; an empty sentinel
@@ -382,17 +406,27 @@ class TableStreamReader(DataSourceStreamReader):
     def read(self, partition: TableFilesPartition) -> Iterator:
         if not partition.file:
             return
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
         # Scan AGAINST THE PLANNED SCHEMA: pyarrow projects/casts each
         # file (and fills hive partition columns) to it, so every batch
         # matches the declared stream schema in names, order, and types
-        # no matter which snapshot generation wrote the file.
-        target = None
+        # no matter which snapshot generation wrote the file. The commit
+        # metadata columns (with_commit_version) are constants of the
+        # PARTITION, appended after the scan — they exist in no file.
+        target = full = None
         if self._spark_schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            target = to_arrow_schema(self._spark_schema)
+            target = full = to_arrow_schema(self._spark_schema)
+            if self.with_commit_version:
+                keep = [
+                    f
+                    for f in target
+                    if f.name not in {n for n, _ in _META_FIELDS}
+                ]
+                target = pa.schema(keep)
         dataset = ds.dataset(
             partition.file,
             format="parquet",
@@ -400,7 +434,20 @@ class TableStreamReader(DataSourceStreamReader):
             partition_base_dir=partition.base_dir,
             schema=target,
         )
-        yield from dataset.to_batches()
+        if not self.with_commit_version:
+            yield from dataset.to_batches()
+            return
+        for batch in dataset.to_batches():
+            n = batch.num_rows
+            arrays = list(batch.columns) + [
+                pa.array([partition.version] * n, pa.int64()),
+                pa.array([partition.timestamp] * n, pa.float64()),
+                # this source tails APPENDS: every emitted row is an
+                # insert (the initial snapshot included — Delta CDF's
+                # convention for rows read at the starting version)
+                pa.array(["insert"] * n, pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=full)
 
 
 class TableStreamDataSource(DataSource):
@@ -440,10 +487,33 @@ class TableStreamDataSource(DataSource):
                 fields = [f for f in st.fields if f.name != part]
                 fields.append(st[part])
                 st = StructType(fields)
-            return st
-        from pyspark.sql.pandas.types import from_arrow_schema
+        else:
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_arrow_schema(_manifest_dirs(head)))
+            st = from_arrow_schema(_arrow_schema(_manifest_dirs(head)))
+        if str(
+            self.options.get("with_commit_version", "false")
+        ).lower() in ("1", "true", "yes"):
+            # Delta CDF's metadata columns: which commit each row arrived
+            # in, when, and how (appends-only source ⇒ always 'insert')
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            meta_types = {
+                "long": LongType(),
+                "double": DoubleType(),
+                "string": StringType(),
+            }
+            st = StructType(
+                list(st.fields)
+                + [StructField(n, meta_types[t]) for n, t in _META_FIELDS]
+            )
+        return st
 
     def streamReader(self, schema):
         return TableStreamReader(self.options, schema=schema)

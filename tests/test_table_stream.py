@@ -477,3 +477,49 @@ def test_max_files_per_batch_bounds_by_file_count(spark, tmp_path):
     # 2-file deltas, 4-file budget -> at most 2 versions (4 rows) a batch
     assert max(batch_rows) <= 4
     assert len([b for b in batch_rows if b > 0]) >= 4
+
+
+def test_with_commit_version_metadata_columns(spark, tmp_path):
+    """with_commit_version adds Delta-CDF-style metadata columns: each
+    row carries the version (and commit timestamp) it arrived in, with
+    _change_type 'insert' (appends-only source; the initial snapshot is
+    stamped with the starting version)."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "mtbl"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+
+    sdf = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("with_commit_version", "true")
+        .load()
+    )
+    assert sdf.columns == [
+        "id", "s", "_commit_version", "_commit_timestamp", "_change_type"
+    ]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["id"]: (r["_commit_version"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        1: (0, "insert"),
+        2: (0, "insert"),
+        3: (1, "insert"),
+        4: (2, "insert"),
+    }
+    ts = {
+        r["_commit_version"]: r["_commit_timestamp"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ts[0] <= ts[1] <= ts[2]
