@@ -359,8 +359,9 @@ def main() -> None:
         ).save()
         search_purged_sec = round(time.perf_counter() - t0, 3)
         delete_row = {
-            "knobs": f"{n_dead} ids (5% of first {n_held}) tombstoned on "
-            "the appended persisted index; purge rewrites once",
+            "knobs": f"{n_dead} ids (vec_id % 20 == 0, < {n_held}) "
+            "tombstoned on the appended persisted index; purge rewrites "
+            "once",
             "delete_sec": delete_sec,
             "search_with_tombstones_sec": search_tombstoned_sec,
             "deleted_ids_leaked_into_results": leaked,
