@@ -15,9 +15,21 @@ operation names):
   true (the default; Delta's ``skipChangeCommits``), otherwise the
   stream raises — silently re-emitting a whole snapshot would duplicate
   every row downstream;
-- the ``starting_version`` snapshot (default 0) is emitted in full as
-  the first batch — the Delta "initial snapshot then tail the log"
-  contract.
+- a FOLD commit (append hitting ``max_chain``) rewrites the parent
+  chain AND carries new rows; the manifest records ``fresh_dirs`` and
+  exactly those are emitted (a legacy fold without the record raises —
+  its new rows are inseparable from the rewrite);
+- the starting snapshot (``starting_version``, default 0, or
+  ``starting_timestamp`` — first version committed at/after it) is
+  emitted in full as the first batch — the Delta "initial snapshot then
+  tail the log" contract.
+
+Options beyond the start point: ``max_versions_per_batch`` /
+``max_files_per_batch`` bound catch-up micro-batches (Delta
+``maxFilesPerTrigger`` parity; see latestOffset for the admission-state
+design the 4-call Python reader protocol forces), and
+``with_commit_version`` appends Delta-CDF-style ``_commit_version`` /
+``_commit_timestamp`` / ``_change_type`` metadata columns.
 
 Scale shape: this is a FULL ``DataSourceStreamReader`` — planning only
 lists manifests (metadata-sized; the checkpointed log keeps that O(1) in
