@@ -900,3 +900,68 @@ def test_vacuum_retain_hours_keeps_time_window(spark, table):
     assert sorted(res.retired) == [0, 1, 2]
     for v in (3, 4, 5):
         assert table.read(spark, version=v).count() == v + 1
+
+
+def test_concurrent_writers_with_incremental_checkpoints(spark, table):
+    """Eight threads race 10 commits each through the CAS retry loop
+    while auto-checkpoints (incremental chain) fire concurrently: the
+    log must come out contiguous with every writer's payloads exactly
+    once, and reads must resolve through whatever chain/pointer state
+    the races left behind (checkpoints are caches — racing pointers can
+    orphan a chunk file, never lose a manifest)."""
+    import threading
+
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    table.checkpoint_interval = 5  # force frequent chain activity
+    n_threads, per_thread = 8, 10
+    errors: list = []
+
+    def writer(tid: int) -> None:
+        try:
+            for i in range(per_thread):
+                for _ in range(200):  # CAS retry loop
+                    target = (table.latest_version() or 0) + 1 if table.exists() else 0
+                    try:
+                        table._commit_manifest(
+                            {
+                                "version": target,
+                                "timestamp": float(target),
+                                "operation": "WRITE",
+                                "parameters": {"tid": tid, "i": i},
+                                "data_dir": f"/nope/_t{tid}_{i}",
+                            },
+                            target,
+                        )
+                        break
+                    except ConcurrentCommitError:
+                        continue
+                else:
+                    raise RuntimeError("retries exhausted")
+        except Exception as exc:  # noqa: BLE001 — surfaced to the assert
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    total = n_threads * per_thread
+    ms = table._manifests()
+    assert [m["version"] for m in ms] == list(range(total))
+    payloads = {(m["parameters"]["tid"], m["parameters"]["i"]) for m in ms}
+    assert payloads == {
+        (t, i) for t in range(n_threads) for i in range(per_thread)
+    }  # every commit exactly once, none lost to a race
+    # head reads resolve through the racing-chain state in bounded opens
+    # (a racing pointer can be a few intervals stale — bounded by the
+    # race width, never O(total commits))
+    assert table.latest_version() == total - 1
+    assert table.last_log_files_opened <= 4 * table.checkpoint_interval + 2
+    assert table.history(spark, limit=5).count() == 5
