@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # pickle by value and parse their formats without repo imports.
 _QUERIES = (
     "image_decode_stats",
+    "image_decode_palette_stats",
     "multimodal_byte_features",
     "knn_bruteforce_cosine",
     "knn_pq_adc",
