@@ -44,11 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # checkpoint chain + commit self-check; image_decode_stats: encoder
 # palette parameter; knn_pq_persisted + stream_pq_index_ingest +
 # stream_ivf_index_ingest: append path now tombstone-aware;
-# stream_incremental_dedup_admission: ledger auto-compaction) + 40 of
+# stream_incremental_dedup_admission: ledger auto-compaction;
+# table_history_ops + curation_funnel: PROMOTED from rows-only to full
+# oracle this round — their driver rows should be hash rows) + 39 of
 # the 44 queries whose latest driver row is r7. Exactly 50 entries; the
-# 4 r7 rows left for the r11 rotation (multimodal_byte_features,
-# cross_join_dense_grid, top10_orders_by_price, rollup_order_status —
-# chosen for having the strongest independent pytest/family evidence).
+# 5 r7 rows left for the r11 rotation (multimodal_byte_features,
+# cross_join_dense_grid, top10_orders_by_price, rollup_order_status,
+# union_high_low_value_events — chosen for having the strongest
+# independent pytest/family evidence).
 # Every query, head and tail, is also verified locally by
 # tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never
 # demote a query whose only green row is the current window.
@@ -64,7 +67,8 @@ _HEAD = [
     "stream_pq_index_ingest",
     "stream_ivf_index_ingest",
     "stream_incremental_dedup_admission",
-    # --- most recent driver row is r7 (40 of 44) ---
+    "curation_funnel",              # rows-only -> full oracle this round
+    # --- most recent driver row is r7 (39 of 44) ---
     "approx_value_percentiles",
     "asof_last_purchase_per_click",
     "asof_next_purchase_within_hour",
@@ -99,7 +103,6 @@ _HEAD = [
     "stream_tumbling_hourly",
     "text_stats",
     "twap_user_daily",
-    "union_high_low_value_events",
     "user_event_run_features",
     "user_event_type_sets",
     "value_histogram",

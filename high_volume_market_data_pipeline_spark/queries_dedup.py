@@ -67,9 +67,15 @@ def _minhash_sql_parts(k: int = DEFAULT_K, w: int = DEFAULT_SHINGLE) -> tuple[st
 
 _SIG_SQL, _BANDS_SQL = _minhash_sql_parts()
 
-_SHINGLES_CTE = f"""
+
+def shingles_cte(source: str = "documents") -> str:
+    """The shingle CTE chain over any (doc_id, text) relation — reused by
+    the minhash/cluster oracles here and by the curation-funnel oracle
+    (queries_history), which runs the same pipeline over its gated,
+    exact-deduped survivor set instead of raw ``documents``."""
+    return f"""
     base AS (
-      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+      SELECT doc_id, {_NORM_SQL} AS norm FROM {source}
     ), toks AS (
       SELECT doc_id, norm, string_split(norm, ' ') AS t FROM base
     ), sh AS (
@@ -83,6 +89,9 @@ _SHINGLES_CTE = f"""
       FROM toks
     )
 """
+
+
+_SHINGLES_CTE = shingles_cte()
 
 
 @query(

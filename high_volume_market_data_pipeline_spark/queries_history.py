@@ -24,13 +24,38 @@ from high_volume_market_data_pipeline_spark.sinks.history import (
 )
 
 
-@query("table_history_ops")
+@query(
+    "table_history_ops",
+    oracle="""
+    WITH slice AS (
+      SELECT * FROM orders WHERE o_orderkey % 100 = 0
+    ), c AS (
+      SELECT count(*) AS all_n,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n
+      FROM slice
+    )
+    SELECT version, operation, n_rows FROM (
+      SELECT CAST(4 AS BIGINT) AS version, 'RESTORE' AS operation,
+             all_n AS n_rows FROM c
+      UNION ALL SELECT 3, 'COMPACT', o_n + f_n FROM c
+      UNION ALL SELECT 2, 'APPEND', o_n + f_n FROM c
+      UNION ALL SELECT 1, 'MERGE', o_n FROM c
+      UNION ALL SELECT 0, 'WRITE', all_n FROM c
+    ) ORDER BY version DESC
+    """,
+)
 def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v0 full write → v1 MERGE-style write → v2 delta-file APPEND →
     v3 COMPACT (folds the append chain to one snapshot) → v4 restore(0);
     returns (version, operation, n_rows) newest-first — the
     ``DeltaTable.history()`` read path over the parquet-native log, now
-    covering the add-files append shape end-to-end."""
+    covering the add-files append shape end-to-end. FULL-ORACLE since
+    r10: every output column is a pure function of the orders slice and
+    the fixed commit script (versions and operations literal, per-version
+    counts relational), so the driver hash pins write → commit log →
+    time-travel reads → history() end-to-end — the wall-clock timestamp
+    column history() also carries is deliberately NOT selected."""
     root = os.path.join(tempfile.gettempdir(), "hvmdp_history_demo")
     shutil.rmtree(root, ignore_errors=True)
     table = VersionedParquetTable(root)
@@ -67,14 +92,109 @@ def table_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("curation_funnel")
+def _curation_funnel_oracle() -> str:
+    """The funnel's four stage counts, recomputed relationally in DuckDB
+    by composing the SAME verified oracle fragments its components use:
+    the quality-gate formula from text_stats/doc_quality_and_lang, the
+    md5 content fingerprint from exact_dedup_documents, and the minhash
+    signature/banding/recursive-components chain from minhash_lsh_near_dup
+    and dedup_clusters — run over the gated, exact-deduped survivor set
+    instead of raw documents. Every constant (stopword list, 64-token
+    length knee, round-6, threshold 0.5, band cap 1000) mirrors the
+    Spark defaults; the minhash fragments are generated from the same
+    module constants, so a knob drift breaks both sides together."""
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        _BANDS_SQL,
+        _SIG_SQL,
+        shingles_cte,
+    )
+
+    stop = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+    quality = (
+        "ROUND(0.5 * (len(list_filter(toks, t -> list_contains("
+        + stop
+        + ", t))) / CAST(len(toks) AS DOUBLE))"
+        " + 0.4 * least(len(toks) / 64.0, 1.0)"
+        " + 0.1 * (1.0 - (length(text) - length(regexp_replace(text,"
+        " '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)), 6)"
+    )
+    return f"""
+    WITH RECURSIVE
+    slice AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ), prof AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM slice
+    ), gated AS (
+      SELECT doc_id, text FROM prof
+      WHERE len(toks) >= 5 AND {quality} >= 0.2
+    ), fp AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM gated
+    ), keepers AS (
+      SELECT f, MIN(doc_id) AS kept FROM fp GROUP BY f
+    ), exact AS (
+      SELECT fp.doc_id, fp.text
+      FROM fp JOIN keepers ON fp.f = keepers.f AND fp.doc_id = keepers.kept
+    ),
+    {shingles_cte("exact")},
+    sig AS (
+      SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key FROM sig
+    ), counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn FROM banded
+    ), kept_b AS (
+      SELECT * FROM counted WHERE bn <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept_b a JOIN kept_b b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), strong AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0
+            >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM strong
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM strong
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), counts AS (
+      SELECT (SELECT count(*) FROM slice) AS n_input,
+             (SELECT count(*) FROM gated) AS n_quality,
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM exact)
+               - (SELECT count(*) FROM comp WHERE id <> component) AS n_near
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '0_input' AS stage, n_input AS n_docs FROM counts
+      UNION ALL SELECT '1_quality_gate', n_quality FROM counts
+      UNION ALL SELECT '2_exact_dedup', n_exact FROM counts
+      UNION ALL SELECT '3_near_dedup', n_near FROM counts
+    ) ORDER BY stage
+    """
+
+
+@query("curation_funnel", oracle=_curation_funnel_oracle())
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation (plans/curation.py): profile →
     quality gate → exact dedup → near-dup cluster keep-one, reported as
-    the survival funnel. Rows-only gate: the assembly is pinned by
-    tests/test_curation.py and every component by its own oracle query
-    (text_stats, exact_dedup_documents, minhash_lsh_near_dup,
-    dedup_clusters)."""
+    the survival funnel. FULL-ORACLE since r10 (was rows-only): the four
+    stage counts are recomputed relationally in DuckDB by composing the
+    components' own verified oracle fragments — the hash now pins the
+    ASSEMBLY (stage order, gate knobs, survivor wiring), not just each
+    component in isolation; tests/test_curation.py still pins the
+    corpus-level outputs."""
     from high_volume_market_data_pipeline_spark.plans.curation import (
         curate_documents,
     )
