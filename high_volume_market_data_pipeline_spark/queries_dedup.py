@@ -475,7 +475,102 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("incremental_dedup_admission")
+def _admission_oracle() -> str:
+    """DuckDB twin of the FULL admission increment: bootstrap = docs with
+    id < 250, incoming = the rest plus three re-sends (id + 1,000,000 of
+    docs 0..2). Decisions replay relationally because every rule is
+    md5-deterministic: (1) a doc is a within-batch loser iff some
+    smaller-id incoming doc shares an LSH band (batch buckets capped at
+    1000) with signature agreement ≥ 0.9 — one report row via the
+    max-est-then-min-id window; (2) survivors probe the store's band
+    keys (store buckets capped the same way) under the same estimate and
+    window; (3) everyone else is admitted. Ids are disjoint across the
+    two sides, so 'which table a signature row belongs to' is an id
+    predicate, not a tag column."""
+    sides = f"""
+    all_src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 3
+    ),
+    {shingles_cte("all_src")},
+    sig AS (
+      SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key FROM sig
+    )"""
+    return f"""
+    WITH {sides},
+    nb AS (  -- incoming side, batch bucket cap
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+        FROM banded WHERE doc_id >= 250
+      ) WHERE bn <= 1000
+    ), bpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nb a JOIN nb b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), bscored AS (
+      SELECT id_a, id_b,
+             ROUND(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+                   / 8.0, 6) AS est_jaccard
+      FROM bpairs
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    ), batch_loser AS (
+      SELECT doc_id, matched_id, est_jaccard FROM (
+        SELECT id_b AS doc_id, id_a AS matched_id, est_jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY id_b
+                 ORDER BY est_jaccard DESC, id_a
+               ) AS rn
+        FROM bscored WHERE est_jaccard >= 0.9
+      ) WHERE rn = 1
+    ), sb AS (  -- store side, same bucket cap on the PROBE
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+        FROM banded WHERE doc_id < 250
+      ) WHERE bn <= 1000
+    ), probe AS (
+      SELECT DISTINCT n.doc_id AS doc_id, s.doc_id AS matched_id
+      FROM banded n JOIN sb s USING (band_key)
+      WHERE n.doc_id >= 250
+        AND n.doc_id NOT IN (SELECT doc_id FROM batch_loser)
+    ), pscored AS (
+      SELECT p.doc_id, p.matched_id,
+             ROUND(len(list_filter(range(1, 9), i -> sa.sig[i] = sb2.sig[i]))
+                   / 8.0, 6) AS est_jaccard
+      FROM probe p
+      JOIN sig sa ON sa.doc_id = p.doc_id
+      JOIN sig sb2 ON sb2.doc_id = p.matched_id
+    ), store_loser AS (
+      SELECT doc_id, matched_id, est_jaccard FROM (
+        SELECT doc_id, matched_id, est_jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY est_jaccard DESC, matched_id
+               ) AS rn
+        FROM pscored WHERE est_jaccard >= 0.9
+      ) WHERE rn = 1
+    ), incoming AS (
+      SELECT doc_id FROM all_src WHERE doc_id >= 250
+    )
+    SELECT doc_id, matched_id, est_jaccard, decision FROM (
+      SELECT i.doc_id, CAST(NULL AS BIGINT) AS matched_id,
+             CAST(NULL AS DOUBLE) AS est_jaccard,
+             'admitted' AS decision
+      FROM incoming i
+      WHERE i.doc_id NOT IN (SELECT doc_id FROM batch_loser)
+        AND i.doc_id NOT IN (SELECT doc_id FROM store_loser)
+      UNION ALL
+      SELECT doc_id, matched_id, est_jaccard, 'within_batch' FROM batch_loser
+      UNION ALL
+      SELECT doc_id, matched_id, est_jaccard, 'vs_store' FROM store_loser
+    ) ORDER BY doc_id
+    """
+
+
+@query("incremental_dedup_admission", oracle=_admission_oracle())
 def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup admission (dedup/incremental.SignatureStore):
     bootstrap a signature store from the first half of the corpus, then
@@ -484,11 +579,13 @@ def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming doc with its decision; re-sends carry their matched source
     id at est_jaccard 1.0.
 
-    Rows-only by nature: the operator's essence is a stateful
-    read-modify-append cycle on the store (bootstrap → probe →
-    append), which single-statement SQL cannot express; the per-piece
-    math (signatures, band keys, est_jaccard) is oracle-checked via
-    minhash_lsh_near_dup. The store lives in a fresh temp dir per call
+    FULL-ORACLE since r10 (was rows-only): the stateful read-modify-
+    append CYCLE still has no SQL twin, but this single increment's
+    DECISION SET does — every rule (within-batch pair-loser, store
+    band probe, bucket caps, max-est/min-id report row) is
+    md5-deterministic, so the oracle replays the admission relationally
+    over the same two id-sliced sides and the driver hash pins the whole
+    decision table. The store lives in a fresh temp dir per call
     (so the query is repeatable) and is removed before returning — the
     report frames are localCheckpoint-materialized inside
     dedup_increment, so nothing re-reads the store files afterwards;
