@@ -425,7 +425,131 @@ def stream_distinct_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-@query("stream_incremental_dedup_admission")
+def _stream_admission_oracle() -> str:
+    """DuckDB twin of the TWO-increment streaming admission: batch 1 is
+    the fresh docs at or below the exact median id, batch 2 the rest
+    plus the three re-sends; batch 2 probes a store GROWN by batch 1's
+    admissions. Each increment replays the same relational rules as the
+    batch-path oracle (queries_dedup._admission_oracle): within-batch
+    pair-loser under the batch bucket cap, then a store band probe under
+    the store bucket cap, max-est/min-id report rows, admit the rest —
+    all md5-deterministic, so the decision LEDGER (not just its shape)
+    hash-checks. The rollup mirrors the query's per-decision summary."""
+    from high_volume_market_data_pipeline_spark.queries_dedup import (
+        _BANDS_SQL,
+        _SIG_SQL,
+        shingles_cte,
+    )
+
+    def increment(tag: str, batch_pred: str, store_ids: str) -> str:
+        return f"""
+    n{tag} AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+        FROM banded WHERE {batch_pred}
+      ) WHERE bn <= 1000
+    ), bscored{tag} AS (
+      SELECT id_a, id_b,
+             ROUND(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+                   / 8.0, 6) AS est_jaccard
+      FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM n{tag} a JOIN n{tag} b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+      )
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    ), batch_loser{tag} AS (
+      SELECT doc_id, matched_id, est_jaccard FROM (
+        SELECT id_b AS doc_id, id_a AS matched_id, est_jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY id_b ORDER BY est_jaccard DESC, id_a
+               ) AS rn
+        FROM bscored{tag} WHERE est_jaccard >= 0.9
+      ) WHERE rn = 1
+    ), s{tag} AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+        FROM banded WHERE doc_id IN ({store_ids})
+      ) WHERE bn <= 1000
+    ), pscored{tag} AS (
+      SELECT p.doc_id, p.matched_id,
+             ROUND(len(list_filter(range(1, 9), i -> sa.sig[i] = sb2.sig[i]))
+                   / 8.0, 6) AS est_jaccard
+      FROM (
+        SELECT DISTINCT n.doc_id AS doc_id, s.doc_id AS matched_id
+        FROM banded n JOIN s{tag} s USING (band_key)
+        WHERE ({batch_pred.replace('doc_id', 'n.doc_id')})
+          AND n.doc_id NOT IN (SELECT doc_id FROM batch_loser{tag})
+      ) p
+      JOIN sig sa ON sa.doc_id = p.doc_id
+      JOIN sig sb2 ON sb2.doc_id = p.matched_id
+    ), store_loser{tag} AS (
+      SELECT doc_id, matched_id, est_jaccard FROM (
+        SELECT doc_id, matched_id, est_jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY est_jaccard DESC, matched_id
+               ) AS rn
+        FROM pscored{tag} WHERE est_jaccard >= 0.9
+      ) WHERE rn = 1
+    ), admitted{tag} AS (
+      SELECT doc_id FROM all_src
+      WHERE ({batch_pred})
+        AND doc_id NOT IN (SELECT doc_id FROM batch_loser{tag})
+        AND doc_id NOT IN (SELECT doc_id FROM store_loser{tag})
+    )"""
+
+    b1 = (
+        "doc_id >= 250 AND doc_id < 1000000 "
+        "AND doc_id <= (SELECT m FROM mid)"
+    )
+    b2 = (
+        "(doc_id >= 250 AND doc_id < 1000000 "
+        "AND doc_id > (SELECT m FROM mid)) OR doc_id >= 1000000"
+    )
+    return f"""
+    WITH all_src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 3
+    ),
+    {shingles_cte("all_src")},
+    sig AS (
+      SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key FROM sig
+    ), mid AS (
+      SELECT quantile_cont(doc_id, 0.5) AS m
+      FROM documents WHERE doc_id >= 250
+    ),
+    {increment("1", b1, "SELECT doc_id FROM all_src WHERE doc_id < 250")},
+    {increment(
+        "2",
+        b2,
+        "SELECT doc_id FROM all_src WHERE doc_id < 250 "
+        "UNION ALL SELECT doc_id FROM admitted1",
+    )}
+    SELECT decision,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM (
+      SELECT doc_id, 'admitted' AS decision FROM admitted1
+      UNION ALL SELECT doc_id, 'admitted' FROM admitted2
+      UNION ALL SELECT doc_id, 'within_batch' FROM batch_loser1
+      UNION ALL SELECT doc_id, 'within_batch' FROM batch_loser2
+      UNION ALL SELECT doc_id, 'vs_store' FROM store_loser1
+      UNION ALL SELECT doc_id, 'vs_store' FROM store_loser2
+    )
+    GROUP BY decision
+    ORDER BY decision
+    """
+
+
+@query(
+    "stream_incremental_dedup_admission",
+    oracle=_stream_admission_oracle(),
+)
 def stream_incremental_dedup_admission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -439,10 +563,13 @@ def stream_incremental_dedup_admission(
     decision must equal what the BATCH path decides for the same input
     (the foreachBatch bridge reuses dedup_increment verbatim).
 
-    Rows-only by nature, like incremental_dedup_admission: the stateful
-    store cycle is not single-statement SQL. The replay/restart
-    contract (same checkpoint → only unseen files; ledger partitions
-    overwritten idempotently) is pinned in tests/test_streaming.py."""
+    FULL-ORACLE since r10 (was rows-only): both increments' decision
+    sets are md5-deterministic, so the oracle replays them relationally
+    — batch 2 probing a store GROWN by batch 1's admissions — and the
+    driver hash pins the rolled-up ledger end to end through the
+    streaming bridge. The replay/restart contract (same checkpoint →
+    only unseen files; ledger partitions overwritten idempotently) is
+    pinned in tests/test_streaming.py."""
     import shutil
     import tempfile
 
