@@ -44,12 +44,50 @@ def main() -> None:
         spark.read.format("paged_feed").option("pages", 1).option(
             "page_size", 1
         ).load().write.format("noop").mode("overwrite").save()
+        # stream_* rows: micro-batch counts + rows/sec from the memory-sink
+        # harness (streaming/ingest.LAST_STREAM_STATS), and median-of-3 on
+        # sub-10s rows — the micro-batch engine's trigger scheduling gives
+        # ±2x run-to-run variance on second-scale wall-clocks, which two
+        # rounds of verdicts re-litigated as possible regressions; batch
+        # counts make churn (same work, different batching) and regression
+        # (same batching, more seconds) separable in the artifact.
+        from high_volume_market_data_pipeline_spark.streaming import (
+            ingest as _stream_ingest,
+        )
+
+        stream_stats: dict[str, dict] = {}
         for name in sorted(QUERIES):
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            runs: list[float] = []
+            batches: list[int] = []
+            input_rows = None
+            while True:
+                _stream_ingest.LAST_STREAM_STATS = None
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - start)
+                stats = _stream_ingest.LAST_STREAM_STATS
+                if stats:
+                    batches.append(stats["micro_batches"])
+                    input_rows = stats["input_rows"]
+                if not (
+                    name.startswith("stream_")
+                    and runs[0] < 10.0
+                    and len(runs) < 3
+                ):
+                    break
+            t = sorted(runs)[len(runs) // 2]  # median (single run: itself)
+            timings[name] = round(t, 3)
+            if name.startswith("stream_"):
+                entry: dict = {"runs": [round(r, 3) for r in runs]}
+                if batches:
+                    entry["micro_batches"] = batches
+                if input_rows is not None:
+                    entry["input_rows"] = input_rows
+                    if t > 0:
+                        entry["rows_per_sec"] = round(input_rows / t, 1)
+                stream_stats[name] = entry
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -58,6 +96,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "stream_stats": stream_stats,
                     "sf": sf,
                 }
             )

@@ -24,6 +24,9 @@ from high_volume_market_data_pipeline_spark.streaming import (
     streaming_dedup,
     tumbling_window_agg,
 )
+from high_volume_market_data_pipeline_spark.streaming.ingest import (
+    _record_stream_stats,
+)
 
 _DEC = "decimal(18,4)"
 
@@ -357,6 +360,7 @@ def stream_quality_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=os.path.join(scratch, "ckpt"),
     )
     q.awaitTermination()
+    _record_stream_stats(q)
     ledger = spark.read.parquet(ledger_path)
     return (
         ledger.groupBy("rule")
@@ -405,6 +409,7 @@ def stream_distinct_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=os.path.join(scratch, "ckpt"),
         )
         q.awaitTermination()
+        _record_stream_stats(q)
         from high_volume_market_data_pipeline_spark.sinks.history import (
             VersionedParquetTable,
         )
@@ -614,6 +619,7 @@ def stream_incremental_dedup_admission(
             threshold=0.9,
         )
         q.awaitTermination()
+        _record_stream_stats(q)
         from high_volume_market_data_pipeline_spark.streaming.incremental import (
             read_ledger,
         )
@@ -637,7 +643,62 @@ def stream_incremental_dedup_admission(
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-@query("stream_pq_index_ingest")
+_INGEST_ORACLE = """
+    WITH seed AS (
+        SELECT count(*) AS n FROM embeddings WHERE vec_id < 300
+    ),
+    arr AS (
+        SELECT vec_id,
+               substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7' AS b0
+        FROM embeddings WHERE vec_id >= 300
+    )
+    SELECT CAST(-1 AS BIGINT) AS version,
+           'SEARCHED_ROWS' AS operation,
+           CAST(3 * least(5, (SELECT count(*) FROM arr)) AS BIGINT)
+               AS n_rows
+    UNION ALL
+    SELECT 0, '{build_op}', (SELECT n FROM seed)
+    UNION ALL
+    SELECT 1, '{append_op}',
+           (SELECT n FROM seed)
+           + (SELECT count(*) FROM arr WHERE b0)
+    UNION ALL
+    SELECT 2, '{append_op}',
+           (SELECT n FROM seed) + (SELECT count(*) FROM arr)
+    ORDER BY version
+"""
+
+
+def _two_batch_arrivals(arriving: DataFrame, scratch: str) -> str:
+    """Stage ``arriving`` as TWO parquet files whose micro-batch
+    membership is an md5 bucket of the id — deterministic and
+    SQL-replayable (the same move that oracle-ized the incremental-dedup
+    admission queries), unlike a ``repartition(2)`` file split. File
+    order is pinned by both mtime and path so ``maxFilesPerTrigger=1``
+    always streams bucket 0 first."""
+    import shutil
+    import time
+
+    key = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    arrivals = os.path.join(scratch, "arrivals")
+    os.makedirs(arrivals)
+    now = time.time()
+    for i, part in enumerate(
+        (arriving.filter(key <= "7"), arriving.filter(key > "7"))
+    ):
+        stage = os.path.join(scratch, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals, f"batch{i}.parquet")
+        shutil.copyfile(os.path.join(stage, src), dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+    return arrivals
+
+
+@query(
+    "stream_pq_index_ingest",
+    oracle=_INGEST_ORACLE.format(build_op="PQ_CODED", append_op="PQ_APPEND"),
+)
 def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous vector-store ingestion
     (streaming/vector_ingest.stream_append_pq_index): train + persist a
@@ -650,8 +711,9 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch, monotone coded counts, replay converging on the id
     anti-join (pinned in tests/test_index_store.py).
 
-    Rows-only by nature: a stateful multi-commit lifecycle, not
-    single-statement SQL."""
+    Full oracle: micro-batch membership is an md5 bucket of vec_id
+    (``_two_batch_arrivals``), so DuckDB replays the whole commit trail —
+    per-version cardinalities and the searched-rows count — relationally."""
     import shutil
     import tempfile
 
@@ -676,8 +738,7 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         root = os.path.join(scratch, "pq")
         save_pq_index(build_pq_index(seed, n_codes=16), root)
-        arrivals = os.path.join(scratch, "arrivals")
-        arriving.repartition(2).write.parquet(arrivals)
+        arrivals = _two_batch_arrivals(arriving, scratch)
         sdf = (
             spark.readStream.schema(arriving.schema)
             .option("maxFilesPerTrigger", "1")
@@ -687,6 +748,7 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             sdf, root, checkpoint=os.path.join(scratch, "ckpt")
         )
         q.awaitTermination()
+        _record_stream_stats(q)
 
         coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
         versions = [
@@ -715,7 +777,12 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-@query("stream_ivf_index_ingest")
+@query(
+    "stream_ivf_index_ingest",
+    oracle=_INGEST_ORACLE.format(
+        build_op="IVF_CODED", append_op="IVF_APPEND"
+    ),
+)
 def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous ingestion into the CELL-PARTITIONED IVF index
     (streaming/vector_ingest.stream_append_index, family='ivf'): train +
@@ -727,8 +794,8 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality per version) plus a searched-rows summary row, like the
     PQ twin.
 
-    Rows-only by nature: a stateful multi-commit lifecycle, not
-    single-statement SQL."""
+    Full oracle: md5-bucketed micro-batch membership
+    (``_two_batch_arrivals``) makes the commit trail SQL-replayable."""
     import shutil
     import tempfile
 
@@ -753,8 +820,7 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         root = os.path.join(scratch, "ivf")
         save_ivf_index(build_ivf_index(seed, n_cells=8), root)
-        arrivals = os.path.join(scratch, "arrivals")
-        arriving.repartition(2).write.parquet(arrivals)
+        arrivals = _two_batch_arrivals(arriving, scratch)
         sdf = (
             spark.readStream.schema(arriving.schema)
             .option("maxFilesPerTrigger", "1")
@@ -765,6 +831,7 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             family="ivf",
         )
         q.awaitTermination()
+        _record_stream_stats(q)
 
         coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
         versions = [

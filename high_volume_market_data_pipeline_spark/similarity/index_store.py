@@ -143,12 +143,31 @@ def _tombstone_table(root: str) -> VersionedParquetTable:
 
 def _active_tombstones(spark: SparkSession, root: str):
     """Currently-deleted ids as a (neighbor_id) DataFrame, or None when
-    the index has never seen a delete (the common case — one metadata
-    existence probe, no Spark job)."""
+    the index has never seen a delete OR every delete has been purged
+    (the head manifest records ``n_tombstones``, so the empty case — a
+    long-lived index after purge_deleted — is a metadata probe, not a
+    read + anti-join on every search forever)."""
     t = _tombstone_table(root)
     if not t.exists():
         return None
+    head = t._resolve(None, None)
+    if head.get("parameters", {}).get("n_tombstones") == 0:
+        return None
     return t.read(spark)
+
+
+_TOMBSTONE_RETRIES = 5
+
+
+def _tombstone_head_count(spark: SparkSession, t: VersionedParquetTable):
+    """(head_version, active-tombstone count) — the count from the head
+    manifest's ``n_tombstones`` when recorded (metadata-only), else a
+    read (tombstone tables are deleted-id-sized by contract)."""
+    head = t._resolve(None, None)
+    n = head.get("parameters", {}).get("n_tombstones")
+    if n is None:
+        n = t.read(spark).count()
+    return head["version"], int(n)
 
 
 def delete_from_index(spark: SparkSession, root: str, ids) -> int:
@@ -185,26 +204,63 @@ def delete_from_index(spark: SparkSession, root: str, ids) -> int:
             [(int(i),) for i in ids], "neighbor_id long"
         ).distinct()
     t = _tombstone_table(root)
-    if not t.exists():
-        return t.write(dead, "DELETE_IDS")
-    # id-dedup against the current set so repeated deletes stay idempotent
-    fresh = dead.join(t.read(spark), "neighbor_id", "left_anti")
-    return t.append(fresh, "DELETE_IDS", max_chain=_CODED_MAX_CHAIN)
+    # CAS-pinned read-modify-append: every tombstone mutation (delete /
+    # revive / purge-reset) derives from an explicit head version and
+    # commits at head+1, so a racer — an append's _clear_tombstones_for
+    # rewriting the set concurrently — raises ConcurrentCommitError here
+    # instead of being silently overwritten by a version recomputed
+    # after its commit (the lost-delete race).
+    for _ in range(_TOMBSTONE_RETRIES):
+        if not t.exists():
+            n = dead.count()
+            try:
+                return t.write(
+                    dead, "DELETE_IDS", {"n_tombstones": n}, version=0
+                )
+            except ConcurrentCommitError:
+                continue
+        head_v, head_n = _tombstone_head_count(spark, t)
+        # id-dedup against the current set: repeated deletes idempotent
+        fresh = dead.join(
+            t.read(spark, version=head_v), "neighbor_id", "left_anti"
+        )
+        try:
+            return t.append(
+                fresh,
+                "DELETE_IDS",
+                {"n_tombstones": head_n + fresh.count()},
+                version=head_v + 1,
+                parent_version=head_v,
+                max_chain=_CODED_MAX_CHAIN,
+            )
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"delete_from_index at {root} lost {_TOMBSTONE_RETRIES} "
+        "consecutive tombstone commit races"
+    )
 
 
 def purge_deleted(spark: SparkSession, root: str) -> int | None:
     """Physically drop tombstoned rows: commit coded-minus-tombstones as
     a new full snapshot (hive layout preserved), re-pair the model at the
-    same version, and reset the tombstone table to empty — after this the
-    index is byte-shaped as if the ids were never added, and searches no
-    longer pay the anti-join. Returns the new paired version, or None if
-    the index has no tombstones. Like a re-train, a purge must not run
-    concurrently with appenders (it is a maintenance-window operation;
-    the same quiescing contract as save_*_index)."""
+    same version, and reset the tombstone table to an empty snapshot with
+    ``n_tombstones: 0`` recorded — ``_active_tombstones`` short-circuits
+    on that manifest parameter, so searches after a purge pay a metadata
+    probe, not a read + anti-join against an empty table. Returns the new
+    paired version, or None if the index has no active tombstones. Like a
+    re-train, a purge must not run concurrently with appenders (it is a
+    maintenance-window operation; the same quiescing contract as
+    save_*_index) — the append path's auto-purge honors that by running
+    purge post-commit and treating a lost commit race as "skip, retry at
+    a later append" (see ``_maybe_auto_purge``)."""
     t = _tombstone_table(root)
     if not t.exists():
         return None
-    dead = t.read(spark)
+    tomb_v, tomb_n = _tombstone_head_count(spark, t)
+    if tomb_n == 0:
+        return None
+    dead = t.read(spark, version=tomb_v)
     model_v, coded_head, target = _append_coords(root)
     coded_t = VersionedParquetTable(os.path.join(root, "coded"))
     head_m = coded_t._resolve(coded_head, None)
@@ -228,8 +284,49 @@ def purge_deleted(spark: SparkSession, root: str) -> int | None:
         codebooks=codebooks,
         version=target,
     )
-    t.write(dead.limit(0), "PURGE_RESET")
+    t.write(
+        dead.limit(0),
+        "PURGE_RESET",
+        {"n_tombstones": 0},
+        version=tomb_v + 1,
+    )
     return target
+
+
+# Auto-purge threshold: when active tombstones exceed this fraction of
+# the physical coded corpus, the append path triggers purge_deleted
+# post-commit (the ledger-auto-compaction template: maintenance amortized
+# into the write path so a long-lived index never pays the search-time
+# anti-join forever, and purge cost stays O(corpus) at a bounded
+# dead-fraction). The check itself is one manifest probe + one parquet
+# footer count, and only runs when tombstones exist.
+_AUTO_PURGE_TOMBSTONE_FRACTION = 0.1
+
+
+def _maybe_auto_purge(spark: SparkSession, root: str) -> "int | None":
+    """Run ``purge_deleted`` when the active-tombstone fraction crosses
+    ``_AUTO_PURGE_TOMBSTONE_FRACTION``. Called from the append commit
+    path AFTER the append landed, so the purge races only the NEXT
+    commit: a lost CAS means another appender advanced the index first —
+    skip, and the threshold fires again on a later append."""
+    t = _tombstone_table(root)
+    if not t.exists():
+        return None
+    _, n_dead = _tombstone_head_count(spark, t)
+    if n_dead == 0:
+        return None
+    _, coded_head, _ = _append_coords(root)
+    n_corpus = (
+        VersionedParquetTable(os.path.join(root, "coded"))
+        .read(spark, version=coded_head)
+        .count()
+    )
+    if n_dead < _AUTO_PURGE_TOMBSTONE_FRACTION * max(n_corpus, 1):
+        return None
+    try:
+        return purge_deleted(spark, root)
+    except ConcurrentCommitError:
+        return None  # a rival commit owns the next version; retry later
 
 
 def _pin_version(root: str, version: int | None) -> int | None:
@@ -271,17 +368,33 @@ def _clear_tombstones_for(spark: SparkSession, root: str, delta) -> None:
     never resurrects an old row next to a new one. No-op (one metadata
     probe) when the index has never seen a delete; when it has, one
     semi-join decides whether a rewrite is needed — tombstone tables are
-    deleted-id-sized, appends micro-batch-sized."""
+    deleted-id-sized, appends micro-batch-sized. The rewrite is
+    CAS-pinned to the snapshot it was derived from: a concurrent
+    delete_from_index landing first forces a re-derive here, so its ids
+    can never be dropped by a stale filtered set committed after it."""
     t = _tombstone_table(root)
     if not t.exists():
         return
-    cur = t.read(spark)
     ids = delta.select("neighbor_id").distinct()
-    if cur.join(ids, "neighbor_id", "left_semi").limit(1).count() == 0:
-        return
-    t.write(
-        cur.join(ids, "neighbor_id", "left_anti"),
-        "REVIVE_IDS",
+    for _ in range(_TOMBSTONE_RETRIES):
+        head_v, _ = _tombstone_head_count(spark, t)
+        cur = t.read(spark, version=head_v)
+        if cur.join(ids, "neighbor_id", "left_semi").limit(1).count() == 0:
+            return
+        kept = cur.join(ids, "neighbor_id", "left_anti")
+        try:
+            t.write(
+                kept,
+                "REVIVE_IDS",
+                {"n_tombstones": kept.count()},
+                version=head_v + 1,
+            )
+            return
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"tombstone revive at {root} lost {_TOMBSTONE_RETRIES} "
+        "consecutive commit races"
     )
 
 
@@ -415,6 +528,7 @@ def _commit_append(
             version=target,
         )
         _clear_tombstones_for(spark, root, delta)
+        _maybe_auto_purge(spark, root)
         return target
     raise ConcurrentCommitError(
         f"append at {root} lost {_APPEND_RETRIES} consecutive commit "

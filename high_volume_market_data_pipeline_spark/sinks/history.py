@@ -555,11 +555,18 @@ class VersionedParquetTable:
         name, or None if there was nothing to repair.
 
         Mtime age is the only liveness signal available, so repair CAN
-        unlink a writer stalled longer than ``torn_grace_seconds``
-        between creating its manifest and finishing the write — that
-        writer's post-fsync self-check (see ``_commit_manifest``) then
-        raises ConcurrentCommitError instead of acknowledging the lost
-        commit, so the race degrades to a retry, never silent loss."""
+        race a writer stalled longer than ``torn_grace_seconds`` between
+        creating its manifest and finishing the write. Two guards make
+        that race a retry or a loud error, never silent loss: the
+        writer's post-fsync self-check (see ``_commit_manifest``) refuses
+        to acknowledge a commit whose manifest was unlinked mid-write,
+        and repair itself QUARANTINES (renames) the file and re-verifies
+        it before deleting — a write that completed between the first
+        parse and the rename (whose self-check may already have
+        acknowledged) is restored in place. The only residue is a
+        microsecond double-occupancy window (rival writer re-uses the
+        version while the complete manifest sits quarantined), which
+        raises TornCommitError rather than dropping either commit."""
         if not os.path.isdir(self.log_dir):
             return None
         names = sorted(
@@ -574,13 +581,45 @@ class VersionedParquetTable:
             return None
         except (OSError, ValueError):
             pass
+        quarantine = f"{tail}.quarantine_{uuid.uuid4().hex[:8]}"
         try:
             if time.time() - os.path.getmtime(tail) <= self.torn_grace_seconds:
                 return None  # could still be a live writer's in-flight file
-            os.unlink(tail)
+            # rename, don't unlink: parse -> unlink is not atomic, and the
+            # stalled writer's fsync (and self-check ack) can land in
+            # between; the rename freezes the inode so it can be
+            # re-verified and restored if the write actually completed
+            os.rename(tail, quarantine)
         except OSError:
             return None
-        return names[-1]
+        try:
+            with open(quarantine) as fh:
+                json.load(fh)
+        except (OSError, ValueError):
+            # confirmed torn after the rename barrier: safe to drop
+            try:
+                os.unlink(quarantine)
+            except OSError:
+                pass
+            return names[-1]
+        # the manifest is COMPLETE — the writer finished (and may have
+        # acknowledged) between the first parse and the rename. Restore
+        # it under its committed name; link-not-rename so a rival that
+        # already re-used the freed version number is never clobbered.
+        try:
+            os.link(quarantine, tail)
+        except FileExistsError:
+            raise TornCommitError(
+                f"{names[-1]} at {self.root}: a complete manifest was "
+                f"quarantined ({os.path.basename(quarantine)}) and its "
+                "version was re-committed by another writer before it "
+                "could be restored; resolve the duplicate manually"
+            ) from None
+        try:
+            os.unlink(quarantine)
+        except OSError:
+            pass
+        return None
 
     def _commit_manifest(self, manifest: dict, version: int) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
@@ -620,13 +659,16 @@ class VersionedParquetTable:
                     os.fsync(fd)
                     # Post-fsync self-check: a writer stalled between the
                     # O_EXCL create and this write can have its in-flight
-                    # (empty ⇒ unparseable) manifest unlinked by
+                    # (empty ⇒ unparseable) manifest removed by
                     # repair_torn_tail() and the version reused by a rival
                     # — without this re-stat the stalled writer would
-                    # finish writing to the UNLINKED inode and report
-                    # success: an acknowledged-but-lost commit. The window
-                    # closes here because repair only ever removes
-                    # UNPARSEABLE files and after fsync ours is complete.
+                    # finish writing to the removed inode and report
+                    # success: an acknowledged-but-lost commit. This check
+                    # NARROWS the window (a complete-and-acked manifest
+                    # could still race repair's parse→remove); repair's
+                    # quarantine-rename + re-verify closes the rest — a
+                    # write that completed in between is restored, never
+                    # dropped.
                     st_fd = os.fstat(fd)
                     try:
                         st_path = os.stat(final)
@@ -664,24 +706,27 @@ class VersionedParquetTable:
         checkpoint failure must not make the caller believe the commit
         failed (it would re-commit and hit ConcurrentCommitError on its
         own version) — warn and move on; the next commit retries."""
+        # The pointer probe must not pollute last_log_files_opened: the
+        # counter is documented as "files opened by the most recent
+        # log-read call" and tests/benches read it right after a write
+        # path — restored in a finally so the warn path keeps the
+        # contract too.
+        saved = self.last_log_files_opened
         try:
-            # The pointer probe must not pollute last_log_files_opened:
-            # the counter is documented as "files opened by the most
-            # recent log-read call" and tests/benches read it right
-            # after a write path.
-            saved = self.last_log_files_opened
-            self.last_log_files_opened = 0
-            cp = self._read_last_checkpoint()
-            floor = cp["version"] if cp else -1
-            if version - floor >= self.checkpoint_interval:
-                chunk = self._tail_manifests(floor)
-                if chunk:
-                    self._write_checkpoint(
-                        chunk,
-                        parent=cp["_name"] if cp else None,
-                        floor=floor,
-                    )
-            self.last_log_files_opened = saved
+            try:
+                self.last_log_files_opened = 0
+                cp = self._read_last_checkpoint()
+                floor = cp["version"] if cp else -1
+                if version - floor >= self.checkpoint_interval:
+                    chunk = self._tail_manifests(floor)
+                    if chunk:
+                        self._write_checkpoint(
+                            chunk,
+                            parent=cp["_name"] if cp else None,
+                            floor=floor,
+                        )
+            finally:
+                self.last_log_files_opened = saved
         except Exception as exc:  # noqa: BLE001 — cache maintenance only
             warnings.warn(
                 f"checkpoint after version {version} at {self.root} "

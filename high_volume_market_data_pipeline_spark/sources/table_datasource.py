@@ -25,11 +25,42 @@ operation names):
   tail the log" contract.
 
 Options beyond the start point: ``max_versions_per_batch`` /
-``max_files_per_batch`` bound catch-up micro-batches (Delta
-``maxFilesPerTrigger`` parity; see latestOffset for the admission-state
-design the 4-call Python reader protocol forces), and
-``with_commit_version`` appends Delta-CDF-style ``_commit_version`` /
-``_commit_timestamp`` / ``_change_type`` metadata columns.
+``max_files_per_batch`` / ``max_bytes_per_trigger`` bound catch-up
+micro-batches (Delta ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+parity; see latestOffset for the admission-state design the 4-call
+Python reader protocol forces), and ``with_commit_version`` appends
+Delta-CDF-style ``_commit_version`` / ``_commit_timestamp`` /
+``_change_type`` metadata columns.
+
+Exactly-once under rate limits requires the returned offsets to NEVER
+regress below the engine's committed offset — Spark durably logs
+whatever latestOffset returns, so a below-committed return survives the
+reader instance and re-emits rows after a second restart. The engine
+only reveals its committed offset through initialOffset (fresh start),
+partitions(start, end) (batch re-run / next batch), or commit(end) —
+and on a restart whose last batch fully committed, the FIRST call is
+latestOffset, before any of those. Two modes close that hole:
+
+- ``admission_dir`` (recommended whenever a rate limit is set): a
+  directory — pair it 1:1 with the query's checkpointLocation — where
+  partitions() atomically persists the highest PLANNED offset before
+  the batch can possibly commit (plan-time persistence means the file
+  is never behind the commit log, the ordering that matters). Restarts
+  seed the admission window from it: bounded catch-up batches from the
+  first trigger, fresh starts included. Like checkpointLocation itself,
+  it must accompany the query from its first run.
+- without ``admission_dir``: the first latestOffset after a restart
+  returns the HEAD unbounded (the only offset provably at-or-above an
+  unknown committed point); every later window is bounded. Safe, but
+  the cold-restart catch-up lands as one batch — use admission_dir to
+  bound it.
+
+``drain()`` (module function) emulates ``Trigger.AvailableNow`` WITH
+rate limits honored: Spark's Python stream sources fall back to a
+single batch under availableNow, so drain runs a short processing-time
+query until the stream has committed everything at-or-past the table
+head observed at call time, then stops — bounded catch-up for the
+cold-start/backfill case the limits exist for.
 
 Scale shape: this is a FULL ``DataSourceStreamReader`` — planning only
 lists manifests (metadata-sized; the checkpointed log keeps that O(1) in
@@ -235,26 +266,83 @@ class TableStreamReader(DataSourceStreamReader):
             self.max_files_per_batch < 1
         ):
             raise ValueError("max_files_per_batch must be >= 1")
+        mbt = options.get("max_bytes_per_trigger")
+        self.max_bytes_per_trigger = None if mbt is None else int(mbt)
+        if self.max_bytes_per_trigger is not None and (
+            self.max_bytes_per_trigger < 1
+        ):
+            raise ValueError("max_bytes_per_trigger must be >= 1")
         self.with_commit_version = str(
             options.get("with_commit_version", "false")
         ).lower() in ("1", "true", "yes")
         self._spark_schema = schema
-        # Rate-limit state (see latestOffset). Spark's offset LOG is the
-        # durable truth; these are per-runner admission hints:
-        #   _cursor — newest offset this runner has planned or committed
-        #   _probe  — newest offset latestOffset has RETURNED (advances
-        #             the admission window when the engine plans nothing
-        #             because the return coincided with its committed
-        #             offset — otherwise a restarted lagging stream could
-        #             idle forever)
-        #   _floor  — highest batch START the engine has handed to
-        #             partitions(); everything at or below it is known
-        #             emitted, so a later batch never re-emits those
-        #             versions even if the engine's committed offset
-        #             briefly regressed through a restart admission guess
+        # Rate-limit state (see latestOffset and the module docstring).
+        # Spark's offset LOG is the durable truth; these are per-runner
+        # admission hints:
+        #   _cursor   — newest offset this runner has planned or committed
+        #   _probe    — newest offset latestOffset has RETURNED (keeps the
+        #               window monotonic across triggers)
+        #   _floor    — highest batch START the engine has handed to
+        #               partitions(); everything at or below it is known
+        #               emitted, so a replayed range never re-emits those
+        #               versions within this runner's lifetime
+        #   _revealed — highest offset the ENGINE has revealed (via
+        #               initialOffset / partitions / commit, or the
+        #               admission_dir file persisted by a prior runner).
+        #               None means the committed offset is UNKNOWN: a
+        #               rate-limited latestOffset must then return the
+        #               head (never a bounded guess — a guess below the
+        #               committed offset would be durably logged and
+        #               re-emit rows after the next restart).
         self._cursor = self.starting_version - 1
         self._probe = self.starting_version - 1
         self._floor = self.starting_version - 1
+        self.admission_dir = options.get("admission_dir")
+        self._revealed: "int | None" = None
+        if self.admission_dir:
+            os.makedirs(self.admission_dir, exist_ok=True)
+            hw = self._load_high_water()
+            # file present -> a prior run planned through hw (plan-time
+            # persistence: always >= anything the engine committed);
+            # absent -> fresh query, the floor below the starting
+            # snapshot is the engine's initialOffset
+            self._revealed = (
+                hw if hw is not None else self.starting_version - 1
+            )
+
+    # -- admission high-water persistence (admission_dir) -------------------
+
+    def _high_water_path(self) -> str:
+        return os.path.join(self.admission_dir, "high_water.json")
+
+    def _load_high_water(self) -> "int | None":
+        try:
+            with open(self._high_water_path()) as fh:
+                return int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _persist_high_water(self, v: int) -> None:
+        """Atomically raise the persisted planned high-water. Called from
+        partitions() BEFORE the batch is constructed, so the file can
+        never lag the engine's commit log (a batch cannot commit before
+        its partitions() call returned). A write failure raises — an
+        unpersisted plan must fail the batch, or a later restart could
+        seed the window below a committed offset."""
+        cur = self._load_high_water()
+        if cur is not None and cur >= v:
+            return
+        tmp = self._high_water_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._high_water_path())
+
+    def _reveal(self, v: int) -> None:
+        self._revealed = v if self._revealed is None else max(
+            self._revealed, v
+        )
 
     # -- offsets (plan runner, metadata-sized) -----------------------------
 
@@ -263,60 +351,102 @@ class TableStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # One version BELOW the starting snapshot: the first batch then
-        # covers (start-1, start], i.e. the snapshot itself.
+        # covers (start-1, start], i.e. the snapshot itself. Called only
+        # on a FRESH start (no checkpoint) — which reveals that nothing
+        # is committed yet, so bounded windows from the seed are safe.
+        self._reveal(self.starting_version - 1)
         return {"version": self.starting_version - 1}
 
+    def _rate_limited(self) -> bool:
+        return (
+            self.max_versions_per_batch is not None
+            or self.max_files_per_batch is not None
+            or self.max_bytes_per_trigger is not None
+        )
+
     def latestOffset(self) -> dict:
-        """The head — or, with ``max_versions_per_batch`` set, a bounded
-        step past the admission cursor (Delta's ``maxFilesPerTrigger``
-        shape: a lagging or freshly-started stream over a long table
-        emits bounded micro-batches instead of the whole backlog in
-        one). The engine calls this BEFORE initialOffset on a fresh
-        start, so the cursor is seeded from starting_version at
-        construction; on a restart whose committed offset is ahead of
-        that seed, the first window(s) fall at-or-below the committed
-        offset and plan empty batches while ``_probe`` walks the window
-        forward — bounded, monotonic, and duplicate-free (``_floor``
-        keeps re-planned ranges from re-emitting known-committed
-        versions). Under Trigger.AvailableNow (which falls back to
-        single-batch for Python sources) one run drains at most one
-        window; a processing-time trigger drains the backlog in bounded
-        steps."""
+        """The head — or, with a rate limit set, a bounded step past the
+        admission base (Delta's ``maxFilesPerTrigger`` shape: a lagging
+        or freshly-started stream over a long table emits bounded
+        micro-batches instead of the whole backlog in one).
+
+        Never returns an offset below anything previously returned or
+        revealed: Spark durably logs every returned offset and treats
+        any value != committed as a new batch, so a below-committed
+        return would poison the offset log and re-emit rows after a
+        second restart. While the committed offset is still UNKNOWN
+        (``_revealed is None`` — a restart without ``admission_dir``,
+        before the engine's first partitions/commit call) the only
+        provably-safe return is the head, unbounded. With
+        ``admission_dir`` the window is seeded from the persisted
+        planned high-water and stays bounded from the first trigger.
+        Under Trigger.AvailableNow (single-batch fallback for Python
+        sources) one run drains at most one window — use ``drain()``
+        for bounded catch-up."""
         # head discovery needs only the newest chunk — a huge min_version
         # stops the chain walk right after it
         ms = self._manifest_map(min_version=1 << 62)
+        # the monotonic floor: never return below a prior return or a
+        # revealed engine offset, even on a transient empty log read
+        known = max(
+            self._cursor,
+            self._probe,
+            self._revealed if self._revealed is not None else (
+                self.starting_version - 1
+            ),
+        )
         if not ms:
-            return {"version": self.starting_version - 1}
+            return {"version": known}
         head = max(ms)
-        if self.max_versions_per_batch is None and (
-            self.max_files_per_batch is None
-        ):
-            return {"version": head}
-        base = max(self._cursor, self._probe)
+        if not self._rate_limited():
+            out = max(head, known)
+            self._probe = max(self._probe, out)
+            return {"version": out}
+        if self._revealed is None:
+            # committed offset unknown: the head is the only offset
+            # provably at-or-above it (every committed offset was once a
+            # returned offset, and returns never exceed the head of a
+            # monotonic table)
+            out = max(head, known)
+            self._probe = max(self._probe, out)
+            return {"version": out}
+        base = max(known, self._revealed)
         out = head
         if self.max_versions_per_batch is not None:
             out = min(out, base + self.max_versions_per_batch)
-        if self.max_files_per_batch is not None and out > base:
-            # Delta maxFilesPerTrigger semantics: admit versions until
-            # the FILE budget is spent (a version is never split across
-            # batches — offsets are versions — and the first version is
-            # always admitted so an oversized commit cannot stall the
-            # stream). Metadata-only: lists the candidate versions' new
-            # dirs, O(lag) like partitions() itself.
+        if out > base and (
+            self.max_files_per_batch is not None
+            or self.max_bytes_per_trigger is not None
+        ):
+            # Delta maxFilesPerTrigger/maxBytesPerTrigger semantics:
+            # admit versions until the file/byte budget is spent (a
+            # version is never split across batches — offsets are
+            # versions — and the first version is always admitted so an
+            # oversized commit cannot stall the stream). Metadata-only:
+            # lists + stats the candidate versions' new dirs, O(lag)
+            # like partitions() itself.
             ms_full = self._manifest_map(min_version=max(0, base))
-            spent, end = 0, base
+            f_budget = self.max_files_per_batch or (1 << 62)
+            b_budget = self.max_bytes_per_trigger or (1 << 62)
+            spent_f, spent_b, end = 0, 0, base
             for v in range(base + 1, out + 1):
-                n = sum(
-                    len(_parquet_files(d))
+                files = [
+                    f
                     for d in self._new_dirs(v, ms_full, base)
-                )
-                if end > base and spent + n > self.max_files_per_batch:
+                    for f in _parquet_files(d)
+                ]
+                n, b = len(files), sum(os.path.getsize(f) for f in files)
+                if end > base and (
+                    spent_f + n > f_budget or spent_b + b > b_budget
+                ):
                     break
-                spent += n
+                spent_f += n
+                spent_b += b
                 end = v
-                if spent >= self.max_files_per_batch:
+                if spent_f >= f_budget or spent_b >= b_budget:
                     break
             out = end
+        out = max(out, base)
         self._probe = max(self._probe, out)
         return {"version": out}
 
@@ -325,6 +455,7 @@ class TableStreamReader(DataSourceStreamReader):
         # committed end as the rate-limit admission floor
         v = int(end["version"])
         self._cursor = max(self._cursor, v)
+        self._reveal(v)
 
     # -- batch planning (plan runner) ---------------------------------------
 
@@ -394,6 +525,11 @@ class TableStreamReader(DataSourceStreamReader):
         # start is committed, so start is a safe emitted-floor and end a
         # safe admission cursor even when this batch is a restart replay
         self._cursor = max(self._cursor, v_start, v_end)
+        self._reveal(max(v_start, v_end))
+        if self.admission_dir:
+            # plan-time persistence: durable BEFORE the batch can commit,
+            # so a restart's admission seed is never below the commit log
+            self._persist_high_water(max(v_start, v_end))
         lo = max(v_start, self._floor)
         self._floor = max(self._floor, v_start)
         ms = self._manifest_map(min_version=max(0, lo))
@@ -549,3 +685,137 @@ def register_table_stream(spark) -> None:
 
     cloudpickle.register_pickle_by_value(m)
     spark.dataSource.register(TableStreamDataSource)
+
+
+def _offset_version(offset) -> "int | None":
+    """Version number out of a progress report's start/endOffset field.
+    Be liberal: the engine reports a Python source's offset dict back as
+    a string — observed as the dict's PYTHON REPR (single quotes) in the
+    progress JSON and as real JSON in the checkpoint offsets log — and
+    None / dict also appear."""
+    if offset is None:
+        return None
+    if isinstance(offset, str):
+        try:
+            offset = json.loads(offset)
+        except ValueError:
+            import ast
+
+            try:
+                offset = ast.literal_eval(offset)
+            except (ValueError, SyntaxError):
+                return None
+    if isinstance(offset, dict) and "version" in offset:
+        return int(offset["version"])
+    return None
+
+
+def _checkpoint_planned_offset(checkpoint: str) -> "int | None":
+    """Newest planned offset version in a streaming checkpoint's offsets
+    log, or None when the checkpoint is fresh/unreadable. Used to migrate
+    pre-admission checkpoints: the newest offsets-log entry is the last
+    PLANNED batch end — always at-or-above the committed offset, so it is
+    a safe admission seed. Format: one file per batch id; lines are a
+    version header, a metadata JSON, then one offset JSON per source."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+    except OSError:
+        return None
+    for bid in sorted(ids, reverse=True):
+        try:
+            with open(os.path.join(d, str(bid))) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            continue
+        for line in reversed(lines):
+            v = _offset_version(line.strip())
+            if v is not None:
+                return v
+    return None
+
+
+def drain(
+    spark,
+    root: str,
+    sink,
+    checkpoint: str,
+    *,
+    options: "dict | None" = None,
+    trigger_ms: int = 50,
+    timeout: float = 600.0,
+) -> int:
+    """Bounded catch-up to the CURRENT head — ``Trigger.AvailableNow``
+    semantics with the rate limits honored. Spark's Python stream
+    sources fall back to a single batch under availableNow, so a
+    cold-started stream with ``max_files_per_batch`` would drain its
+    whole backlog in one batch the availableNow way; drain() instead
+    runs a short processing-time query until a completed micro-batch's
+    committed end offset reaches the table head observed at call time,
+    then stops. Returns the number of completed micro-batches.
+
+    ``sink`` is a foreachBatch callable ``(batch_df, batch_id)``;
+    ``checkpoint`` the query's checkpointLocation (reused across drain
+    calls for exactly-once); ``options`` extra reader options
+    (``max_versions_per_batch`` etc.). An ``admission_dir`` inside the
+    checkpoint is supplied automatically so restarted drains stay
+    bounded; a checkpoint that predates admission tracking (offsets
+    exist, no high-water file) is migrated by seeding the high-water
+    from the checkpoint's own offsets log — the newest planned offset
+    is by construction at-or-above the committed one."""
+    import time
+
+    ms = _read_manifests(root, min_version=1 << 62)
+    if not ms:
+        return 0
+    target = max(ms)
+
+    opts = dict(options or {})
+    opts["root"] = root
+    if "admission_dir" not in opts:
+        admission_dir = os.path.join(checkpoint, "_admission")
+        hw_file = os.path.join(admission_dir, "high_water.json")
+        planned = _checkpoint_planned_offset(checkpoint)
+        if planned is not None and not os.path.exists(hw_file):
+            os.makedirs(admission_dir, exist_ok=True)
+            tmp = hw_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"version": planned}, fh)
+            os.replace(tmp, hw_file)
+        opts["admission_dir"] = admission_dir
+
+    reader = spark.readStream.format("table_stream")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    batches: set[int] = set()
+
+    def _sink(batch_df, batch_id):
+        sink(batch_df, batch_id)
+        batches.add(batch_id)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                v = _offset_version(p["sources"][0].get("endOffset"))
+                if v is not None and v >= target:
+                    break
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(min(0.2, trigger_ms / 1000.0))
+        else:
+            raise TimeoutError(
+                f"drain of {root} did not reach version {target} within "
+                f"{timeout}s"
+            )
+    finally:
+        q.stop()
+    return len(batches)

@@ -8,10 +8,35 @@ giving deterministic end-state runs for the correctness gate.
 
 from __future__ import annotations
 
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+# Stats of the most recent run_to_memory_sink stream run in this process:
+# {"micro_batches": n, "input_rows": n}. bench.py reads this after each
+# query so the committed bench rows carry micro-batch counts and rows/sec
+# — trigger-scheduling churn (same work, different batching) is then
+# distinguishable from a real regression (same batching, more seconds);
+# two rounds of verdicts re-litigated stream wall-clock noise without it.
+LAST_STREAM_STATS: "dict | None" = None
+
+
+def _record_stream_stats(q) -> None:
+    global LAST_STREAM_STATS
+    try:
+        progs = []
+        for p in q.recentProgress:
+            progs.append(p if isinstance(p, dict) else json.loads(p.json))
+        LAST_STREAM_STATS = {
+            "micro_batches": len(progs),
+            "input_rows": int(
+                sum(p.get("numInputRows") or 0 for p in progs)
+            ),
+        }
+    except Exception:  # noqa: BLE001 — telemetry only, never fail the run
+        LAST_STREAM_STATS = None
 
 
 def read_parquet_stream(
@@ -63,6 +88,7 @@ def run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
+        _record_stream_stats(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -728,3 +728,29 @@ def test_adaptive_blocking_recovers_token_count_drift(spark, tmp_path):
     }
     assert got == want
     assert any(a == 920 and b == 921 for a, b, _ in got)
+
+
+def test_auto_planes_occupancy_contract():
+    """The scale rule behind embedding_near_dup's registered blocking:
+    auto_planes(n) is the smallest p with target·2^p ≥ n (pure integer
+    shifts, capped), so expected bucket occupancy n/2^p never exceeds
+    the target as the corpus grows — the property that keeps the
+    per-bucket quadratic flat at 100 TB (a fixed plane count measured
+    15.4x on 10x data; BASELINE.md)."""
+    from high_volume_market_data_pipeline_spark.similarity.knn import (
+        auto_planes,
+    )
+
+    assert auto_planes(1) == 0
+    assert auto_planes(64) == 0
+    assert auto_planes(65) == 1
+    assert auto_planes(500) == 3  # the sf0.001/sf0.01 embeddings tier
+    assert auto_planes(2000) == 5  # the sf0.1 tier
+    assert auto_planes(20_000) == 9  # sf1 scale tier
+    for n in (1, 10, 64, 500, 2_000, 20_000, 200_000, 10**9):
+        p = auto_planes(n)
+        if p < 12:  # below the cap the occupancy bound must hold
+            assert n <= 64 * (1 << p)
+        if p > 0:  # and p is the SMALLEST such plane count
+            assert n > 64 * (1 << (p - 1))
+    assert auto_planes(10**9) == 12  # capped

@@ -965,3 +965,85 @@ def test_concurrent_writers_with_incremental_checkpoints(spark, table):
     assert table.latest_version() == total - 1
     assert table.last_log_files_opened <= 4 * table.checkpoint_interval + 2
     assert table.history(spark, limit=5).count() == 5
+
+
+def test_repair_quarantine_restores_completed_write(spark, table):
+    """The parse→remove TOCTOU in repair: a stalled writer's fsync can
+    land BETWEEN repair's unparseable-parse and its removal — and the
+    writer's post-fsync self-check may already have acknowledged the
+    commit. Repair therefore quarantines (renames) and re-verifies: a
+    manifest that is complete by then is restored under its committed
+    name, never dropped."""
+    import json as _json
+
+    table.write(_df(spark, 3, "a"), "WRITE")
+    torn = os.path.join(table.log_dir, "00000001.json")
+    with open(torn, "w") as fh:
+        fh.write("")  # in-flight: created, content not yet written
+    table.torn_grace_seconds = -1.0
+
+    real_rename = os.rename
+    good = {
+        "version": 1,
+        "timestamp": 1.0,
+        "operation": "WRITE",
+        "parameters": {},
+        "data_dir": os.path.join(table.root, "_v00000001_deadbeef"),
+        "partition_by": None,
+        "schema": None,
+    }
+
+    def rename_then_complete(src, dst):
+        real_rename(src, dst)
+        if src == torn:
+            # the stalled writer's write+fsync lands on the same inode
+            # right after the rename barrier
+            with open(dst, "w") as fh:
+                _json.dump(good, fh)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.rename", side_effect=rename_then_complete):
+        assert table.repair_torn_tail() is None  # restored, not repaired
+    with open(torn) as fh:
+        assert _json.load(fh)["version"] == 1  # back under its name
+    assert not [
+        f for f in os.listdir(table.log_dir) if ".quarantine_" in f
+    ]
+
+
+def test_repair_still_removes_confirmed_torn_tail(spark, table):
+    """The quarantine re-verify keeps the normal repair behavior: a file
+    that is still unparseable after the rename barrier is removed and
+    its version number freed."""
+    table.write(_df(spark, 3, "a"), "WRITE")
+    torn = os.path.join(table.log_dir, "00000001.json")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 1, "timesta')
+    table.torn_grace_seconds = -1.0
+    assert table.repair_torn_tail() == "00000001.json"
+    assert not os.path.exists(torn)
+    assert table.write(_df(spark, 4, "b"), "WRITE") == 1
+
+
+def test_maybe_checkpoint_restores_counter_on_failure(spark, table,
+                                                      monkeypatch):
+    """last_log_files_opened is documented as 'files opened by the most
+    recent log-read call'; a failing checkpoint write must restore it on
+    the warn path too, not leave the probe's count behind."""
+    for i in range(9):
+        table.write(_df(spark, 1, f"t{i}"), "WRITE")
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(table, "_write_checkpoint", boom)
+    table.read(spark)  # sets the counter to this read's file count
+    before = table.last_log_files_opened
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        # crossing the interval triggers the (failing) checkpoint
+        table.write(_df(spark, 1, "t9"), "WRITE")
+    assert table.last_log_files_opened == before

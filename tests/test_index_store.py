@@ -778,3 +778,140 @@ def test_delete_lifecycle_tombstone_search_purge(spark, tmp_path):
     q = emb.filter("vec_id < 3")
     res = ivf_knn(q, emb, k=5, n_cells=4, index=loaded)
     assert res.filter("neighbor_id = 9").count() == 0
+
+
+def test_auto_purge_fires_on_tombstone_fraction(spark, tmp_path):
+    """Tombstone maintenance amortized into the write path: when active
+    tombstones cross _AUTO_PURGE_TOMBSTONE_FRACTION of the physical
+    corpus, the NEXT append triggers purge_deleted automatically — the
+    rows are physically dropped, the tombstone head records
+    n_tombstones=0, and _active_tombstones short-circuits to None (no
+    read + anti-join on every later search)."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _active_tombstones,
+        _tombstone_head_count,
+        _tombstone_table,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "ap")
+    save_ivf_index(build_ivf_index(emb.filter("vec_id < 40"), n_cells=4), root)
+
+    dead_ids = list(range(10))  # 10/40 = 25% > 10% threshold
+    delete_from_index(spark, root, dead_ids)
+    assert _active_tombstones(spark, root) is not None
+
+    # the next append crosses the threshold check and fires the purge
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id >= 40 and vec_id < 45"),
+        skip_existing_ids=True,
+    )
+    _, n = _tombstone_head_count(spark, _tombstone_table(root))
+    assert n == 0
+    assert _active_tombstones(spark, root) is None  # metadata short-circuit
+    raw = VersionedParquetTable(os.path.join(root, "coded")).read(spark)
+    assert raw.filter("neighbor_id < 10").count() == 0  # physically gone
+    loaded = load_ivf_index(spark, root)
+    assert loaded.coded.count() == 35  # 40 - 10 deleted + 5 appended
+    # deleted ids are re-insertable now (purged, tombstones cleared)
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 3"), skip_existing_ids=True
+    )
+    assert load_ivf_index(spark, root).coded.filter(
+        "neighbor_id = 3"
+    ).count() == 1
+
+
+def test_small_tombstone_fraction_does_not_auto_purge(spark, tmp_path):
+    """Below the threshold the append path leaves tombstones alone — the
+    delete stays O(deleted ids) and no corpus rewrite sneaks into the
+    hot append path."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _tombstone_head_count,
+        _tombstone_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "np")
+    save_ivf_index(
+        build_ivf_index(emb.filter("vec_id < 150"), n_cells=4), root
+    )
+    delete_from_index(spark, root, [1, 2])  # 2/150 ~ 1.3% < 10%
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id >= 150 and vec_id < 155"),
+        skip_existing_ids=True,
+    )
+    _, n = _tombstone_head_count(spark, _tombstone_table(root))
+    assert n == 2  # untouched
+
+
+def test_concurrent_delete_survives_revive_rewrite(spark, tmp_path,
+                                                   monkeypatch):
+    """The lost-delete race: _clear_tombstones_for reads the tombstone
+    set, and a concurrent delete_from_index commits before the REVIVE
+    rewrite lands. The rewrite is CAS-pinned to the version it derived
+    from, so the stale filtered set loses the race, re-derives against
+    the new head, and the concurrent delete survives."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "race")
+    save_ivf_index(
+        build_ivf_index(emb.filter("vec_id < 150"), n_cells=4), root
+    )
+    # a tombstone for an id with NO physical rows: appending id 300 must
+    # revive it (rewrite the tombstone set)
+    delete_from_index(spark, root, [300])
+
+    real_write = VersionedParquetTable.write
+    state = {"injected": False}
+
+    def hooked(self, df, operation="WRITE", parameters=None, **kw):
+        if operation == "REVIVE_IDS" and not state["injected"]:
+            state["injected"] = True
+            # the concurrent delete wins the next version number
+            delete_from_index(spark, root, [999])
+        return real_write(self, df, operation, parameters, **kw)
+
+    monkeypatch.setattr(VersionedParquetTable, "write", hooked)
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 300"), skip_existing_ids=True
+    )
+    monkeypatch.undo()
+
+    assert state["injected"]
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _active_tombstones,
+    )
+
+    alive = {r["neighbor_id"] for r in _active_tombstones(spark, root).collect()}
+    assert 999 in alive  # the concurrent delete was NOT silently lost
+    assert 300 not in alive  # the revive still landed
+    assert load_ivf_index(spark, root).coded.filter(
+        "neighbor_id = 300"
+    ).count() == 1

@@ -256,7 +256,10 @@ def test_max_versions_per_batch_bounds_catchup(spark, tmp_path):
     one batch holding the entire history. (Python stream sources fall
     back to single-batch under Trigger.AvailableNow, so the bound is
     exercised with a processing-time trigger — the long-lived-stream
-    shape the option exists for.)"""
+    shape the option exists for.) ``admission_dir`` pairs with the
+    checkpoint: without it a rate-limited stream cannot prove its first
+    window is at-or-above a restarted query's committed offset, so it
+    falls back to one unbounded head batch (separate test)."""
     import time
 
     register_table_stream(spark)
@@ -269,6 +272,7 @@ def test_max_versions_per_batch_bounds_catchup(spark, tmp_path):
         spark.readStream.format("table_stream")
         .option("root", t.root)
         .option("max_versions_per_batch", "2")
+        .option("admission_dir", str(tmp_path / "adm"))
         .load()
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -307,10 +311,10 @@ def test_max_versions_per_batch_bounds_catchup(spark, tmp_path):
 def test_max_versions_per_batch_restart_catchup_exact_once(spark, tmp_path):
     """A RESTARTED rate-limited stream whose committed offset is far
     ahead of the admission seed must neither duplicate already-emitted
-    versions (the probe window briefly regresses below the committed
-    offset) nor stall: the window walks forward in bounded steps until
-    it passes the committed offset, then drains the backlog exactly
-    once."""
+    versions nor regress the offset log: with ``admission_dir`` the
+    window is seeded from the persisted planned high-water (never below
+    the committed offset — plan-time persistence), so the restart drains
+    the backlog in bounded steps, exactly once."""
     import time
 
     register_table_stream(spark)
@@ -320,8 +324,24 @@ def test_max_versions_per_batch_restart_catchup_exact_once(spark, tmp_path):
         t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
 
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    # first run: drain versions 0..4 (unbounded), committed offset = 4
-    assert _drain_to_parquet(spark, t.root, out, ckpt) == [
+    adm = str(tmp_path / "adm")
+    # first run: drain versions 0..4 (unbounded), committed offset = 4;
+    # admission_dir records the planned high-water as batches plan
+    sdf0 = (
+        spark.readStream.format("table_stream")
+        .option("root", t.root)
+        .option("admission_dir", adm)
+        .load()
+    )
+    q0 = (
+        sdf0.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q0.awaitTermination()
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
         (i, "s" if i == 0 else f"d{i}") for i in range(5)
     ]
     # the restarted run appends to its OWN dir: the first run's
@@ -338,6 +358,7 @@ def test_max_versions_per_batch_restart_catchup_exact_once(spark, tmp_path):
         spark.readStream.format("table_stream")
         .option("root", t.root)
         .option("max_versions_per_batch", "2")
+        .option("admission_dir", adm)
         .load()
     )
     batch_sizes = []
@@ -443,6 +464,7 @@ def test_max_files_per_batch_bounds_by_file_count(spark, tmp_path):
         spark.readStream.format("table_stream")
         .option("root", t.root)
         .option("max_files_per_batch", "4")
+        .option("admission_dir", str(tmp_path / "adm"))
         .load()
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -602,3 +624,192 @@ def test_reader_lifecycle_soak_mixed_commits_and_restarts(spark, tmp_path):
 
     assert sorted(emitted) == sorted(expected)
     assert len(emitted) == len(set(emitted))  # exactly once, no dupes
+
+
+def _run_bounded(
+    spark, root, out, ckpt, opts, stop_rows, max_batches=None, timeout=120
+):
+    """Run a rate-limited table_stream with a foreachBatch parquet sink
+    until ``stop_rows`` rows were emitted (or ``max_batches`` non-empty
+    batches landed — the mid-catch-up crash point); returns the non-empty
+    batch sizes."""
+    import time
+
+    reader = spark.readStream.format("table_stream").option("root", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    sizes = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out)
+            sizes.append(len(rows))
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sum(sizes) >= stop_rows:
+                break
+            if max_batches is not None and len(sizes) >= max_batches:
+                break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    return sizes
+
+
+def test_double_restart_mid_catchup_exactly_once(spark, tmp_path):
+    """The offset-regression hazard: a rate-limited restart that guesses
+    an admission window BELOW the committed offset would durably log the
+    regressed offset, and a SECOND restart mid-catch-up would re-emit
+    every version in between. With admission_dir the window is seeded
+    from the persisted planned high-water, so two crash/restart cycles
+    in the middle of a long catch-up emit every version exactly once —
+    and every batch stays bounded."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "dtbl"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 12):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    adm = str(tmp_path / "adm")
+    os.makedirs(out)
+    opts = {"max_versions_per_batch": "1", "admission_dir": adm}
+    all_sizes = []
+    # run 1: crash after ~3 bounded batches; runs 2-3: restart mid-backlog
+    all_sizes += _run_bounded(spark, t.root, out, ckpt, opts, 12, 3)
+    all_sizes += _run_bounded(spark, t.root, out, ckpt, opts, 12, 3)
+    all_sizes += _run_bounded(
+        spark, t.root, out, ckpt, opts, 12 - sum(all_sizes)
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"d{i}") for i in range(12)]  # exactly once
+    assert max(all_sizes) <= 1  # every batch bounded, restarts included
+
+
+def test_restart_without_admission_dir_is_unbounded_but_safe(
+    spark, tmp_path
+):
+    """Without admission_dir a restarted rate-limited stream cannot know
+    the committed offset at its first latestOffset call, so it returns
+    the HEAD (the only provably at-or-above value): the first batch is
+    unbounded, later ones bounded — and the union stays exactly-once (no
+    offset-log regression, no duplicates)."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "utbl"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 5):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    opts = {"max_versions_per_batch": "2"}
+    _run_bounded(spark, t.root, out, ckpt, opts, 5)
+    for i in range(5, 11):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+    sizes = _run_bounded(spark, t.root, out, ckpt, opts, 6)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"d{i}") for i in range(11)]  # exactly once
+    # safe fallback shape: one head catch-up batch, nothing duplicated
+    assert sum(sizes) == 6
+
+
+def test_max_bytes_per_trigger_bounds_by_size(spark, tmp_path):
+    """max_bytes_per_trigger (Delta maxBytesPerTrigger): versions are
+    admitted until the BYTE budget is spent; a version is never split
+    and the first is always admitted, so an oversized commit cannot
+    stall the stream."""
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "btbl"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 9):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"d{i}")], "id long, s string"
+            ).coalesce(1)
+        )
+    # measure one delta's footprint to set a ~2-version budget
+    import glob
+
+    delta_files = [
+        f
+        for f in glob.glob(os.path.join(t.root, "**", "*.parquet"),
+                           recursive=True)
+    ]
+    one = max(os.path.getsize(f) for f in delta_files)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    opts = {
+        "max_bytes_per_trigger": str(int(2.5 * one)),
+        "admission_dir": str(tmp_path / "adm"),
+    }
+    sizes = _run_bounded(spark, t.root, out, ckpt, opts, 9)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"d{i}") for i in range(9)]  # exactly once
+    assert max(sizes) <= 2  # ~2 versions per byte budget, never the lot
+    assert len(sizes) >= 4
+
+
+def test_drain_bounded_catchup_and_incremental_reuse(spark, tmp_path):
+    """drain() — availableNow semantics WITH rate limits honored: a cold
+    start over a long table catches up in >1 bounded micro-batches and
+    stops at the head observed at call time; a second drain over the
+    same checkpoint picks up only the versions committed in between,
+    still bounded. (Python sources fall back to single-batch under
+    Trigger.AvailableNow, so this helper is the supported bounded-drain
+    path.)"""
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        drain,
+    )
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "dr"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 8):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    sizes = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out)
+            sizes.append(len(rows))
+
+    n1 = drain(
+        spark, t.root, sink, ckpt,
+        options={"max_versions_per_batch": "2"},
+    )
+    assert n1 >= 4  # 8 versions at <=2/batch: bounded catch-up, not one
+    assert max(sizes) <= 2
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        (i, f"d{i}") for i in range(8)
+    ]
+
+    for i in range(8, 11):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+    sizes.clear()
+    drain(
+        spark, t.root, sink, ckpt,
+        options={"max_versions_per_batch": "2"},
+    )
+    assert max(sizes) <= 2
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        (i, f"d{i}") for i in range(11)
+    ]  # exactly once across drains
