@@ -55,6 +55,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query, head and tail, is also verified locally by
 # tools/verify_correctness.py at sf0.01 AND sf0.1 each round. Never
 # demote a query whose only green row is the current window.
+#
+# Round 11 head = 5 new/changed (stream_pq/ivf_index_ingest: PROMOTED to
+# full oracles via md5-bucketed batch membership — their driver rows
+# should be hash rows now; knn_pq_persisted: append path gained
+# CAS-pinned tombstones + auto-purge; stream_table_appends: the source's
+# whole admission/offset design was replaced this round;
+# table_history_ops: repair_torn_tail quarantine + checkpoint-counter
+# fix) + the 5 rows whose latest driver evidence is r7 + 40 of the 43
+# r8-stale rows. The 3 r8 rows left for r12 (shipping_priority_q3,
+# priority_count_q4, market_share_q8) are plain TPC-H SQL with
+# oracle-green family siblings in the r9/r10 windows and full local
+# verification at both SFs.
+_R11_HEAD = [
+    # --- new or behavior-changed this round ---
+    "stream_pq_index_ingest",     # rows-only -> FULL ORACLE this round
+    "stream_ivf_index_ingest",    # rows-only -> FULL ORACLE this round
+    "knn_pq_persisted",
+    "stream_table_appends",
+    "table_history_ops",
+    # --- last driver row r7 (the final rotation stragglers) ---
+    "cross_join_dense_grid",
+    "multimodal_byte_features",
+    "rollup_order_status",
+    "top10_orders_by_price",
+    "union_high_low_value_events",
+    # --- last driver row r8 (40 of 43) ---
+    "cheapest_supplier_per_part",
+    "context_window_chunks",
+    "doc_fingerprints",
+    "doc_quality_and_lang",
+    "doc_repetition_stats",
+    "dq_orders_expectations",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    "event_rate_anomalies",
+    "gapfill_nation_daily_revenue",
+    "hash_split_train_val",
+    "heavy_hitter_daily_rollup",
+    "heavy_hitter_users",
+    "hll_incremental_distinct",
+    "hypertable_rollup",
+    "large_volume_customers_q18",
+    "ngram_jaccard_adaptive",
+    "ngram_jaccard_blocked",
+    "order_counts_pivot",
+    "order_value_percentiles",
+    "orders_above_customer_avg",
+    "part_metrics_unpivot",
+    "parts_sales_coverage",
+    "pii_redact_documents",
+    "quality_weighted_sample",
+    "returned_top_customers_q10",
+    "revenue_by_nation_q5",
+    "salted_event_value_agg",
+    "segment_mode_median",
+    "session_chains_recursive",
+    "sessionize_events_batch",
+    "stratified_lang_sample",
+    "stream_dedup_events",
+    "stream_distinct_sketch_state",
+    "stream_sliding_counts",
+    "stream_static_nation_counts",
+    "substring_dup_spans",
+    "trailing_hour_user_stats",
+    "user_peak_event",
+    "winsorized_value_stats",
+]
+
+# Round-10 head kept for the ledger (the per-round promotion history the
+# verdict audits lives in this file's comments + git history).
 _HEAD = [
     # --- new or behavior-changed this round ---
     "image_decode_palette_stats",   # NEW: colored-palette BMP oracle
@@ -117,7 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every tail entry has a green driver row in an earlier round's
     CORRECTNESS_r0N.json and stays verified locally at both SFs each
     round."""
-    head = {n: QUERIES[n] for n in _HEAD}
+    head = {n: QUERIES[n] for n in _R11_HEAD}
     tail = {n: f for n, f in QUERIES.items() if n not in head}
     return {**head, **tail}
 
