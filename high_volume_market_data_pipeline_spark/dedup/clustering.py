@@ -32,6 +32,36 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _stat_barrier(df: DataFrame) -> DataFrame:
+    """Lineage AND statistics barrier for iterative DataFrame loops.
+
+    ``Dataset.localCheckpoint`` truncates lineage but STAMPS the new
+    LogicalRDD with the old plan's estimated statistics
+    (``LogicalRDD.rewriteStatsAndConstraints``). In a loop whose round
+    self-joins the previous round's output (path halving), the stamped
+    ``sizeInBytes`` therefore SQUARES every round — its digit count
+    doubles, and by round ~18 the stats value is a million-digit
+    BigInteger whose single multiply inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` runs for the better part of an
+    hour (observed live: a 50-minute Toom-Cook multiply planning the
+    sf0.01 curation funnel; the checkpoint call itself pays the walk).
+
+    Rebuilding the frame from its JavaRDD severs the stats chain — a
+    LogicalRDD created via ``createDataFrame(rdd, schema)`` has no origin
+    dataset and falls back to ``spark.sql.defaultSizeInBytes`` — so every
+    round's plan carries constant-size statistics, and the
+    localCheckpoint over the rebuilt (leaf) plan truncates RDD lineage at
+    ordinary cost. The Row round-trip is JVM-side only and the frames
+    this guards are label tables (a few longs per row)."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    fresh = DataFrame(
+        spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
+        spark,
+    )
+    return fresh.localCheckpoint(eager=False)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -80,7 +110,7 @@ def connected_components(
         labels = edges.groupBy("src").agg(
             F.least(F.first("src"), F.min("dst")).alias("component")
         ).withColumnRenamed("src", "id")
-        labels = labels.localCheckpoint(eager=True)
+        labels = _stat_barrier(labels)
         for _ in range(max_iterations):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.id)
@@ -111,9 +141,10 @@ def connected_components(
                 ).alias("component"),
                 "_old",
             )
-            # Lazy checkpoint: the convergence count below is the action
-            # that materializes it — one job per round, not two.
-            proposed = proposed.localCheckpoint(eager=False)
+            # Lazy barrier: the convergence count below is the action
+            # that materializes it — one job per round, not two; the
+            # barrier also resets plan statistics (see _stat_barrier).
+            proposed = _stat_barrier(proposed)
             changed = (
                 proposed.filter(F.col("component") != F.col("_old")).limit(1).count()
             )
