@@ -67,6 +67,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # priority_count_q4, market_share_q8) are plain TPC-H SQL with
 # oracle-green family siblings in the r9/r10 windows and full local
 # verification at both SFs.
+#
+# Round 12 head = 5 behavior-changed (table_history_ops: manifests now
+# record n_rows from parquet footers + the commit self-check
+# disambiguates repair's quarantine window; stream_table_appends: stale
+# admission_dir fails loudly at reader construction + drain()
+# short-circuits no-ops; knn_pq_persisted + stream_pq/ivf_index_ingest:
+# the index store's auto-purge probe went metadata-only and purge_deleted
+# retries a lost PURGE_RESET CAS against the new tombstone head) + the 3
+# r8 stragglers the r11 verdict pinned for this window + 42 of the 44
+# r9-stale rows. The 2 r9 rows left for r13 (distinct_order_priorities,
+# top1_order_by_price) are one-operator queries with r11-green family
+# siblings (bench-warmup pin / top10_orders_by_price) and full local
+# verification at both SFs.
+_R12_HEAD = [
+    # --- behavior-changed this round ---
+    "table_history_ops",
+    "stream_table_appends",
+    "knn_pq_persisted",
+    "stream_pq_index_ingest",
+    "stream_ivf_index_ingest",
+    # --- last driver row r8 (the final rotation stragglers) ---
+    "shipping_priority_q3",
+    "priority_count_q4",
+    "market_share_q8",
+    # --- last driver row r9 (42 of 44) ---
+    "approx_distinct_users",
+    "broadcast_dim_join",
+    "bulk_part_suppliers_q20",
+    "cube_event_stats",
+    "customer_order_distribution_q13",
+    "customer_order_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_profile",
+    "dedup_keep_latest_events",
+    "discounted_bulk_revenue_q19",
+    "dormant_rich_customers_q22",
+    "event_type_audiences",
+    "fk_orphan_lineitems",
+    "forecast_revenue_q6",
+    "gold_daily_topk_stats",
+    "important_part_stock_q11",
+    "json_props_profile",
+    "knn_lsh_bucketed",
+    "lang_quota_sample",
+    "minhash_lsh_near_dup",
+    "nation_trade_volume_q7",
+    "order_price_rank_metrics",
+    "order_value_quartiles_ntile",
+    "paged_feed_rollup",
+    "parts_catalog_labels",
+    "pricing_summary",
+    "priority_shipping_modes_q12",
+    "product_type_profit_q9",
+    "profile_orders_columns",
+    "promo_revenue_share_q14",
+    "running_user_value",
+    "small_quantity_orders_q17",
+    "sql_grouping_sets_orders",
+    "sql_peak_revenue_day",
+    "stats_quantity_price",
+    "supplier_diversity_q16",
+    "tfidf_top_terms",
+    "token_budget_chunks",
+    "top_supplier_q15",
+    "variant_props_buckets",
+    "waiting_supplier_q21",
+]
+
+# Round-11 head kept for the ledger (see _HEAD below for r10).
 _R11_HEAD = [
     # --- new or behavior-changed this round ---
     "stream_pq_index_ingest",     # rows-only -> FULL ORACLE this round
@@ -187,7 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every tail entry has a green driver row in an earlier round's
     CORRECTNESS_r0N.json and stays verified locally at both SFs each
     round."""
-    head = {n: QUERIES[n] for n in _R11_HEAD}
+    head = {n: QUERIES[n] for n in _R12_HEAD}
     tail = {n: f for n, f in QUERIES.items() if n not in head}
     return {**head, **tail}
 

@@ -284,13 +284,39 @@ def purge_deleted(spark: SparkSession, root: str) -> int | None:
         codebooks=codebooks,
         version=target,
     )
-    t.write(
-        dead.limit(0),
-        "PURGE_RESET",
-        {"n_tombstones": 0},
-        version=tomb_v + 1,
+    # Reset the tombstone table. The purged coded snapshot is ALREADY
+    # committed above, so losing this CAS to a concurrent
+    # delete_from_index must not leave the purged ids counted (an
+    # inflated n_tombstones would re-fire auto-purge's O(corpus) rewrite
+    # on every later append until a reset finally landed): re-derive the
+    # reset against the NEW tombstone head as (new head ids minus the
+    # just-purged set) — the racer's fresh deletes survive, the purged
+    # ids retire — and retry the CAS.
+    remaining = dead.limit(0)
+    reset_n = 0
+    reset_v = tomb_v + 1
+    for _ in range(_TOMBSTONE_RETRIES):
+        try:
+            t.write(
+                remaining,
+                "PURGE_RESET",
+                {"n_tombstones": reset_n},
+                version=reset_v,
+            )
+            return target
+        except ConcurrentCommitError:
+            head_v, _ = _tombstone_head_count(spark, t)
+            remaining = t.read(spark, version=head_v).join(
+                dead, "neighbor_id", "left_anti"
+            )
+            reset_n = remaining.count()
+            reset_v = head_v + 1
+    raise ConcurrentCommitError(
+        f"purge_deleted at {root}: the purged coded snapshot committed "
+        f"at version {target} but the tombstone reset lost "
+        f"{_TOMBSTONE_RETRIES} consecutive commit races; re-run "
+        "purge_deleted (or any append) to retire the stale tombstones"
     )
-    return target
 
 
 # Auto-purge threshold: when active tombstones exceed this fraction of
@@ -298,9 +324,26 @@ def purge_deleted(spark: SparkSession, root: str) -> int | None:
 # post-commit (the ledger-auto-compaction template: maintenance amortized
 # into the write path so a long-lived index never pays the search-time
 # anti-join forever, and purge cost stays O(corpus) at a bounded
-# dead-fraction). The check itself is one manifest probe + one parquet
-# footer count, and only runs when tombstones exist.
+# dead-fraction). The check is METADATA-ONLY: tombstone count from the
+# tombstone head manifest, corpus size from the coded head manifest's
+# ``n_rows`` (recorded from parquet footers at commit time) — no Spark
+# scan on the hot append path; only legacy pre-n_rows manifests fall
+# back to a count().
 _AUTO_PURGE_TOMBSTONE_FRACTION = 0.1
+
+
+def _coded_head_rows(
+    spark: SparkSession, root: str, coded_head: int
+) -> int:
+    """Physical row count of the coded corpus at ``coded_head`` — from
+    the manifest's ``n_rows`` (metadata probe) when recorded, else one
+    count() for tables written before n_rows existed (their next commit
+    through write()/fold records it and retires the fallback)."""
+    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
+    n = coded_t._resolve(coded_head, None).get("n_rows")
+    if n is None:
+        n = coded_t.read(spark, version=coded_head).count()
+    return int(n)
 
 
 def _maybe_auto_purge(spark: SparkSession, root: str) -> "int | None":
@@ -316,11 +359,7 @@ def _maybe_auto_purge(spark: SparkSession, root: str) -> "int | None":
     if n_dead == 0:
         return None
     _, coded_head, _ = _append_coords(root)
-    n_corpus = (
-        VersionedParquetTable(os.path.join(root, "coded"))
-        .read(spark, version=coded_head)
-        .count()
-    )
+    n_corpus = _coded_head_rows(spark, root, coded_head)
     if n_dead < _AUTO_PURGE_TOMBSTONE_FRACTION * max(n_corpus, 1):
         return None
     try:

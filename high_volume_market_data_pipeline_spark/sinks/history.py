@@ -109,6 +109,19 @@ class VersionedParquetTable:
     # commit. Production value is always None.
     _test_stall_after_manifest_create = None
 
+    # Second injection point: called (when set) between the write+fsync
+    # and the post-fsync self-check stat — the window where a repair
+    # racer has QUARANTINED a by-now-complete manifest but not yet
+    # restored it. Production value is always None.
+    _test_stall_after_manifest_write = None
+
+    # How long the post-fsync self-check waits for a repair racer that
+    # quarantined this writer's (complete) manifest to finish its
+    # re-verify + restore before declaring the outcome ambiguous. Repair's
+    # decision is a parse of a small JSON file plus one link/unlink, so
+    # seconds of grace covers any plausible scheduling stall.
+    repair_ack_grace_seconds = 5.0
+
     # An unparseable manifest OCCUPYING a CAS target is live contention
     # (O_EXCL makes the file visible before its one write lands) only for
     # about as long as a write+fsync takes; older than this it is a
@@ -344,6 +357,11 @@ class VersionedParquetTable:
             "operation": operation,
             "parameters": parameters or {},
             "data_dir": data_dir,
+            # physical row count, summed from the just-written parquet
+            # footers (metadata-only): lets maintenance decisions (ANN
+            # auto-purge fraction, chain-absorb sizing) read the corpus
+            # size from the manifest instead of a count() scan
+            "n_rows": self._dir_num_rows(data_dir),
             # recorded so layout-preserving rewrites (compact/restore)
             # can reproduce the snapshot's hive partitioning instead of
             # silently flattening it
@@ -488,14 +506,30 @@ class VersionedParquetTable:
             fw.parquet(folded_dir)
             parameters["absorbed_chain"] = len(parent_dirs)
             data_dirs = [folded_dir] + ([delta_dir] if has_files else [])
+            # the fold rewrote the whole corpus, so its footers ARE the
+            # authoritative parent count — no dependence on the parent
+            # manifest having recorded one
+            n_rows = self._dir_num_rows(folded_dir) + (
+                self._dir_num_rows(delta_dir) if has_files else 0
+            )
         else:
             data_dirs = parent_dirs + ([delta_dir] if has_files else [])
+            # parent count + delta footers; a legacy parent without
+            # n_rows leaves it unrecorded (readers fall back to count())
+            # rather than paying an O(chain-files) footer walk here
+            n_rows = (
+                parent["n_rows"]
+                + (self._dir_num_rows(delta_dir) if has_files else 0)
+                if parent.get("n_rows") is not None
+                else None
+            )
         manifest = {
             "version": version,
             "timestamp": time.time(),
             "operation": operation,
             "parameters": parameters,
             "data_dirs": data_dirs,
+            "n_rows": n_rows,
             # dirs holding rows NEW at this version (vs rewrites of data
             # older versions already reference) — the streaming source's
             # exactly-once signal; [] on an empty delta
@@ -517,6 +551,25 @@ class VersionedParquetTable:
         """Every data dir a manifest references: append commits carry
         ``data_dirs`` (parent chain + delta), full snapshots ``data_dir``."""
         return list(manifest.get("data_dirs") or [manifest["data_dir"]])
+
+    @staticmethod
+    def _dir_num_rows(path: str) -> int:
+        """Row count of every parquet file under ``path``, summed from the
+        FOOTERS (pyarrow metadata reads — no data scan, no Spark job).
+        Feeds the manifest's ``n_rows``: O(files-just-written) metadata
+        I/O per commit, so maintenance code (e.g. the ANN store's
+        auto-purge fraction check) can size decisions against the table
+        without a count() scan on the hot path."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+        return total
 
     def _raise_occupied(self, final: str, version: int) -> None:
         """The CAS target is occupied. Distinguish a real winner (or a
@@ -562,11 +615,15 @@ class VersionedParquetTable:
         to acknowledge a commit whose manifest was unlinked mid-write,
         and repair itself QUARANTINES (renames) the file and re-verifies
         it before deleting — a write that completed between the first
-        parse and the rename (whose self-check may already have
-        acknowledged) is restored in place. The only residue is a
-        microsecond double-occupancy window (rival writer re-uses the
-        version while the complete manifest sits quarantined), which
-        raises TornCommitError rather than dropping either commit."""
+        parse and the rename is restored in place. A self-check that
+        finds its manifest quarantined WAITS for repair's decision
+        (``_landed_after_repair``) and acknowledges a restored commit,
+        so the writer can never NACK a commit repair then restores (the
+        retry would land the same data at two versions). The only
+        residue is a microsecond double-occupancy window (rival writer
+        re-uses the version while the complete manifest sits
+        quarantined), which raises TornCommitError rather than dropping
+        either commit."""
         if not os.path.isdir(self.log_dir):
             return None
         names = sorted(
@@ -669,6 +726,8 @@ class VersionedParquetTable:
                     # quarantine-rename + re-verify closes the rest — a
                     # write that completed in between is restored, never
                     # dropped.
+                    if self._test_stall_after_manifest_write is not None:
+                        self._test_stall_after_manifest_write()
                     st_fd = os.fstat(fd)
                     try:
                         st_path = os.stat(final)
@@ -678,19 +737,99 @@ class VersionedParquetTable:
                         st_path.st_dev,
                         st_path.st_ino,
                     ) != (st_fd.st_dev, st_fd.st_ino):
-                        raise ConcurrentCommitError(
-                            f"version {version} at {self.root}: this "
-                            "writer's manifest was unlinked mid-commit "
-                            "(repair_torn_tail classified the stalled "
-                            "write as crashed); the commit did NOT land — "
-                            "re-read the head and retry"
-                        )
+                        # The manifest is not (or no longer) at its path.
+                        # Either repair_torn_tail unlinked it while this
+                        # writer stalled pre-write (commit lost — retry is
+                        # correct), or repair QUARANTINED it after the
+                        # write completed and is about to re-verify and
+                        # RESTORE it (commit LANDS — a retry would commit
+                        # the same data twice). Wait out repair's decision
+                        # before answering the caller.
+                        if not self._landed_after_repair(
+                            final, version, st_fd
+                        ):
+                            raise ConcurrentCommitError(
+                                f"version {version} at {self.root}: this "
+                                "writer's manifest was unlinked mid-commit "
+                                "(repair_torn_tail classified the stalled "
+                                "write as crashed); the commit did NOT "
+                                "land — re-read the head and retry"
+                            )
                 finally:
                     os.close(fd)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         self._maybe_checkpoint(version)
+
+    def _landed_after_repair(self, final: str, version: int, st_fd) -> bool:
+        """Disambiguate the self-check's missing-manifest finding against
+        a concurrent repair_torn_tail (the double-commit window: a writer
+        whose complete manifest was quarantined would otherwise NACK,
+        retry, and land the same data at two versions once repair
+        restores the original). The quarantine protocol makes the
+        writer's view decidable by inode:
+
+        - ``final`` holds THIS writer's inode again → repair restored it
+          (restore links BEFORE removing the quarantine): the commit
+          landed — acknowledge success.
+        - a ``final.quarantine_*`` entry holds this writer's inode →
+          repair is mid-decision; since this writer's write+fsync already
+          completed, the re-verify will parse a complete manifest and
+          restore it — keep waiting (bounded by
+          ``repair_ack_grace_seconds``).
+        - NEITHER exists → repair (or a racer) unlinked the inode: the
+          commit is definitively lost — return False so the caller
+          retries.
+
+        A quarantine that outlives the grace (repair crashed mid-restore,
+        or its restore hit a rival's re-commit of the version and raised)
+        is the genuinely ambiguous case: raise TornCommitError loudly —
+        the data sits complete in the quarantine file and must be
+        resolved by an operator, not silently re-committed."""
+        deadline = time.time() + self.repair_ack_grace_seconds
+        ident = (st_fd.st_dev, st_fd.st_ino)
+        while True:
+            try:
+                st = os.stat(final)
+                if (st.st_dev, st.st_ino) == ident:
+                    return True  # restored under its committed name
+            except OSError:
+                pass
+            held = False
+            for q in os.listdir(self.log_dir):
+                if not q.startswith(os.path.basename(final) + ".quarantine_"):
+                    continue
+                try:
+                    sq = os.stat(os.path.join(self.log_dir, q))
+                except OSError:
+                    continue
+                if (sq.st_dev, sq.st_ino) == ident:
+                    held = True
+                    break
+            if not held:
+                # repair decided. Restore publishes the link BEFORE the
+                # quarantine disappears, so one more stat of ``final``
+                # closes that ordering; otherwise the inode was unlinked.
+                try:
+                    st = os.stat(final)
+                    if (st.st_dev, st.st_ino) == ident:
+                        return True
+                except OSError:
+                    pass
+                return False
+            if time.time() >= deadline:
+                raise TornCommitError(
+                    f"version {version} at {self.root}: this writer's "
+                    "complete manifest was quarantined by "
+                    "repair_torn_tail and neither restored nor dropped "
+                    f"within {self.repair_ack_grace_seconds}s (repair "
+                    "crashed, or a rival re-committed the version and "
+                    "blocked the restore); the commit outcome is "
+                    "ambiguous — resolve the quarantined manifest "
+                    "manually before retrying"
+                )
+            time.sleep(0.02)
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint every ``checkpoint_interval`` commits. The

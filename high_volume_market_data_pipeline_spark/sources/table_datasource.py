@@ -302,6 +302,35 @@ class TableStreamReader(DataSourceStreamReader):
         if self.admission_dir:
             os.makedirs(self.admission_dir, exist_ok=True)
             hw = self._load_high_water()
+            if hw is not None:
+                # A correctly paired admission_dir can NEVER be ahead of
+                # the manifest log: the high-water is persisted at
+                # partitions() time for versions latestOffset admitted,
+                # and admissions never exceed the head of a monotonic
+                # table. A high-water above the head therefore means the
+                # dir is STALE — reused across a recreated table, or
+                # mispaired with this checkpoint. Seeding _revealed from
+                # it would make latestOffset return past-the-head
+                # offsets, the engine would durably log them, and
+                # partitions() would plan empty batches for versions
+                # that never existed — the real rows up to the stale
+                # high-water silently skipped. Fail loudly instead.
+                ms = _read_manifests(self.root, min_version=1 << 62)
+                head = max(ms) if ms else None
+                if head is None or hw > head:
+                    raise ValueError(
+                        f"admission_dir {self.admission_dir} records a "
+                        f"planned high-water of version {hw}, but the "
+                        f"table at {self.root} has "
+                        + (
+                            f"head version {head}"
+                            if head is not None
+                            else "no committed versions"
+                        )
+                        + "; the admission dir belongs to a different "
+                        "(or recreated) table — pair it 1:1 with the "
+                        "query's checkpointLocation and never reuse it"
+                    )
             # file present -> a prior run planned through hw (plan-time
             # persistence: always >= anything the engine committed);
             # absent -> fresh query, the floor below the starting
@@ -723,15 +752,42 @@ def _checkpoint_planned_offset(checkpoint: str) -> "int | None":
     except OSError:
         return None
     for bid in sorted(ids, reverse=True):
-        try:
-            with open(os.path.join(d, str(bid))) as fh:
-                lines = fh.read().splitlines()
-        except OSError:
-            continue
-        for line in reversed(lines):
-            v = _offset_version(line.strip())
-            if v is not None:
-                return v
+        v = _offsets_log_version(os.path.join(d, str(bid)))
+        if v is not None:
+            return v
+    return None
+
+
+def _offsets_log_version(path: str) -> "int | None":
+    try:
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        v = _offset_version(line.strip())
+        if v is not None:
+            return v
+    return None
+
+
+def _checkpoint_committed_offset(checkpoint: str) -> "int | None":
+    """Newest COMMITTED offset version in a streaming checkpoint: the
+    highest batch id with a commits-log entry, resolved to that batch's
+    planned end offset in the offsets log. None when nothing has
+    committed (fresh/unreadable checkpoint). Unlike the planned offset
+    this is safe to treat as 'already in the sink' — drain() uses it to
+    short-circuit a no-op call instead of waiting for Spark's idle
+    no-data progress event (~10 s) on an already-drained checkpoint."""
+    cd = os.path.join(checkpoint, "commits")
+    try:
+        ids = [int(f) for f in os.listdir(cd) if f.isdigit()]
+    except OSError:
+        return None
+    for bid in sorted(ids, reverse=True):
+        v = _offsets_log_version(os.path.join(checkpoint, "offsets", str(bid)))
+        if v is not None:
+            return v
     return None
 
 
@@ -762,13 +818,26 @@ def drain(
     bounded; a checkpoint that predates admission tracking (offsets
     exist, no high-water file) is migrated by seeding the high-water
     from the checkpoint's own offsets log — the newest planned offset
-    is by construction at-or-above the committed one."""
+    is by construction at-or-above the committed one.
+
+    The target head is pinned AT CALL TIME: versions committed by a
+    concurrent writer while the drain runs may or may not be emitted
+    before the query stops (whatever the last micro-batches happened to
+    admit), always exactly-once, and anything still short of the live
+    head is picked up by the next drain() or streaming run — callers
+    needing "drain then read a complete result" must quiesce writers
+    first, exactly like Trigger.AvailableNow. A call whose checkpoint
+    has already committed the observed head returns 0 immediately
+    (no query start, no ~10 s idle-progress stall)."""
     import time
 
     ms = _read_manifests(root, min_version=1 << 62)
     if not ms:
         return 0
     target = max(ms)
+    done = _checkpoint_committed_offset(checkpoint)
+    if done is not None and done >= target:
+        return 0  # nothing to drain: the sink already has every version
 
     opts = dict(options or {})
     opts["root"] = root

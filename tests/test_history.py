@@ -1047,3 +1047,96 @@ def test_maybe_checkpoint_restores_counter_on_failure(spark, table,
         # crossing the interval triggers the (failing) checkpoint
         table.write(_df(spark, 1, "t9"), "WRITE")
     assert table.last_log_files_opened == before
+
+
+def test_self_check_acks_commit_restored_by_repair(spark, table, monkeypatch):
+    """The NACK-then-restore double-commit window closed: a writer whose
+    COMPLETE manifest is quarantined by a repair racer between its fsync
+    and its self-check stat must WAIT OUT repair's decision and
+    acknowledge the restored commit — raising ConcurrentCommitError there
+    would make the caller retry and land the same data at two versions
+    once repair restores the original."""
+    import threading
+    import time as _time
+
+    table.write(_df(spark, 2, "base"))
+    real_link = os.link
+    monkeypatch.setattr(os, "link", _raise_oserror)  # force O_EXCL path
+
+    final = os.path.join(table.log_dir, "00000001.json")
+    quarantine = final + ".quarantine_test0001"
+
+    def stall():
+        # repair's first half: the complete manifest is quarantined...
+        os.rename(final, quarantine)
+
+        # ...and its second half (re-verify parses complete JSON →
+        # restore: link under the committed name, then drop the
+        # quarantine) lands while the writer's self-check is polling
+        def finish():
+            _time.sleep(0.2)
+            real_link(quarantine, final)
+            os.unlink(quarantine)
+
+        threading.Thread(target=finish, daemon=True).start()
+
+    table._test_stall_after_manifest_write = stall
+    try:
+        assert table.write(_df(spark, 3, "restored")) == 1  # ACK, no raise
+    finally:
+        table._test_stall_after_manifest_write = None
+    # exactly one commit of the data — no double-commit at version 2
+    assert table.latest_version() == 1
+    assert table.read(spark).count() == 3
+
+
+def test_self_check_raises_when_repair_drops_the_manifest(
+    spark, table, monkeypatch
+):
+    """The unlink side of the same window: no quarantine holds the
+    writer's inode and the committed name is gone → the commit is
+    definitively lost and the self-check reports it (retry is correct)."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    table.write(_df(spark, 2, "base"))
+    monkeypatch.setattr(os, "link", _raise_oserror)
+
+    final = os.path.join(table.log_dir, "00000001.json")
+    table._test_stall_after_manifest_write = lambda: os.unlink(final)
+    try:
+        with pytest.raises(ConcurrentCommitError, match="unlinked"):
+            table.write(_df(spark, 3, "dropped"))
+    finally:
+        table._test_stall_after_manifest_write = None
+    assert table.latest_version() == 0
+
+
+def test_self_check_ambiguous_quarantine_raises_torn(
+    spark, table, monkeypatch
+):
+    """A quarantine that outlives the grace window (repair crashed
+    mid-restore, or a rival re-committed the version and blocked the
+    restore) is genuinely ambiguous: the writer must raise
+    TornCommitError loudly — never ConcurrentCommitError, whose contract
+    invites a retry that could double-commit the quarantined data."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        TornCommitError,
+    )
+
+    table.write(_df(spark, 2, "base"))
+    monkeypatch.setattr(os, "link", _raise_oserror)
+    monkeypatch.setattr(table, "repair_ack_grace_seconds", 0.3)
+
+    final = os.path.join(table.log_dir, "00000001.json")
+    quarantine = final + ".quarantine_test0002"
+    table._test_stall_after_manifest_write = (
+        lambda: os.rename(final, quarantine)
+    )
+    try:
+        with pytest.raises(TornCommitError, match="ambiguous"):
+            table.write(_df(spark, 3, "stuck"))
+    finally:
+        table._test_stall_after_manifest_write = None
+        os.unlink(quarantine)

@@ -915,3 +915,120 @@ def test_concurrent_delete_survives_revive_rewrite(spark, tmp_path,
     assert load_ivf_index(spark, root).coded.filter(
         "neighbor_id = 300"
     ).count() == 1
+
+
+def test_auto_purge_probe_is_metadata_only(spark, tmp_path, monkeypatch):
+    """The threshold check on the hot append path must not scan the
+    corpus: with tombstones active but below the fraction, a
+    _maybe_auto_purge probe reads ZERO tables — tombstone count from the
+    tombstone head manifest, corpus size from the coded head manifest's
+    n_rows (recorded from parquet footers at commit time)."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _maybe_auto_purge,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "meta")
+    save_ivf_index(
+        build_ivf_index(emb.filter("vec_id < 150"), n_cells=4), root
+    )
+    # every commit path records n_rows: the full save, then an append
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id >= 150 and vec_id < 160"),
+        skip_existing_ids=True,
+    )
+    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
+    head = coded_t._resolve(None, None)
+    assert head.get("n_rows") == coded_t.read(spark).count() == 160
+
+    delete_from_index(spark, root, [1, 2])  # 2/160 ~ 1.3% < 10%
+
+    reads: list[str] = []
+    real_read = VersionedParquetTable.read
+
+    def spying(self, *a, **kw):
+        reads.append(self.root)
+        return real_read(self, *a, **kw)
+
+    monkeypatch.setattr(VersionedParquetTable, "read", spying)
+    assert _maybe_auto_purge(spark, root) is None
+    monkeypatch.undo()
+    assert reads == []  # no Spark scan job — manifest probes only
+
+
+def test_purge_reset_race_retries_against_new_head(spark, tmp_path,
+                                                   monkeypatch):
+    """purge_deleted's two commits are not one transaction: the purged
+    coded snapshot can land and then the PURGE_RESET tombstone write lose
+    its CAS to a concurrent delete_from_index. The reset must re-derive
+    against the new head — (new head ids minus the just-purged set) with
+    a corrected n_tombstones — so the already-purged ids stop counting
+    (no auto-purge re-fire loop) while the racer's fresh delete
+    survives."""
+    from high_volume_market_data_pipeline_spark.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_index,
+        load_ivf_index,
+        purge_deleted,
+        save_ivf_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _active_tombstones,
+        _tombstone_head_count,
+        _tombstone_table,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "resetrace")
+    save_ivf_index(
+        build_ivf_index(emb.filter("vec_id < 150"), n_cells=4), root
+    )
+    delete_from_index(spark, root, [3, 7, 11])
+
+    real_write = VersionedParquetTable.write
+    state = {"injected": False}
+
+    def hooked(self, df, operation="WRITE", parameters=None, **kw):
+        if operation == "PURGE_RESET" and not state["injected"]:
+            state["injected"] = True
+            # the concurrent delete commits first and takes the version
+            # number the reset derived (tomb head + 1)
+            delete_from_index(spark, root, [999])
+        return real_write(self, df, operation, parameters, **kw)
+
+    monkeypatch.setattr(VersionedParquetTable, "write", hooked)
+    v = purge_deleted(spark, root)
+    monkeypatch.undo()
+    assert state["injected"]
+    assert v is not None
+
+    # corrected count: ONLY the racer's id remains tombstoned
+    _, n = _tombstone_head_count(spark, _tombstone_table(root))
+    assert n == 1
+    alive = {
+        r["neighbor_id"] for r in _active_tombstones(spark, root).collect()
+    }
+    assert alive == {999}
+    # the purged ids are physically gone AND re-insertable (not hidden by
+    # stale tombstones that would also re-fire auto-purge rewrites)
+    raw = VersionedParquetTable(os.path.join(root, "coded")).read(spark)
+    assert raw.filter("neighbor_id in (3, 7, 11)").count() == 0
+    append_to_ivf_index(
+        spark, root, emb.filter("vec_id = 3"), skip_existing_ids=True
+    )
+    assert load_ivf_index(spark, root).coded.filter(
+        "neighbor_id = 3"
+    ).count() == 1

@@ -813,3 +813,155 @@ def test_drain_bounded_catchup_and_incremental_reuse(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
         (i, f"d{i}") for i in range(11)
     ]  # exactly once across drains
+
+
+def test_stale_admission_dir_fails_loudly(spark, tmp_path):
+    """A correctly paired admission_dir can never be ahead of the
+    manifest log (the high-water is persisted for admitted versions, and
+    admissions never exceed the head). One that IS ahead — reused across
+    a recreated table, or mispaired with the checkpoint — must fail at
+    reader construction instead of silently planning empty batches for
+    versions that never existed (which skips the real rows up to the
+    stale high-water)."""
+    import json
+
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        TableStreamReader,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "stale"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 4):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    adm = tmp_path / "adm"
+    adm.mkdir()
+    (adm / "high_water.json").write_text(json.dumps({"version": 99}))
+    with pytest.raises(ValueError, match="admission"):
+        TableStreamReader(
+            {
+                "root": t.root,
+                "max_versions_per_batch": "1",
+                "admission_dir": str(adm),
+            }
+        )
+    # at-the-head is the legitimate fully-caught-up state — no error
+    (adm / "high_water.json").write_text(json.dumps({"version": 3}))
+    TableStreamReader(
+        {
+            "root": t.root,
+            "max_versions_per_batch": "1",
+            "admission_dir": str(adm),
+        }
+    )
+
+
+def test_drain_noop_short_circuits(spark, tmp_path):
+    """A drain() whose checkpoint already committed the observed head
+    returns 0 WITHOUT starting a query — previously it blocked on
+    Spark's idle no-data progress event (~10 s) before noticing there
+    was nothing to do."""
+    import time
+
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        drain,
+    )
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "noop"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 4):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    calls = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("append").parquet(out)
+        calls.append(batch_id)
+
+    drain(spark, t.root, sink, ckpt,
+          options={"max_versions_per_batch": "2"})
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        (i, f"d{i}") for i in range(4)
+    ]
+
+    calls.clear()
+    start = time.perf_counter()
+    n = drain(spark, t.root, sink, ckpt,
+              options={"max_versions_per_batch": "2"})
+    elapsed = time.perf_counter() - start
+    assert n == 0
+    assert calls == []  # no query started, sink never invoked
+    assert elapsed < 5.0  # metadata probe, not an idle-event wait
+
+
+def test_drain_live_writer_exactly_once(spark, tmp_path):
+    """drain() pins its target head AT CALL TIME: versions committed by
+    a concurrent writer during the drain are emitted exactly-once-or-
+    not-yet — never duplicated — and a second drain() picks up exactly
+    the remainder. (The writer here commits from inside the foreachBatch
+    sink, which is deterministic mid-drain timing.)"""
+    from high_volume_market_data_pipeline_spark.sources.table_datasource import (
+        drain,
+    )
+
+    register_table_stream(spark)
+    t = VersionedParquetTable(str(tmp_path / "live"))
+    t.write(spark.createDataFrame([(0, "d0")], "id long, s string"))
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([(i, f"d{i}")], "id long, s string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    state = {"written": False}
+
+    # Idempotent per-batch-id sink (the production foreachBatch shape):
+    # drain's q.stop() can interrupt a batch the live writer triggered
+    # AFTER the sink ran but BEFORE its checkpoint commit; the replay
+    # re-emits the same deterministic range (it is read back from the
+    # offsets log), so overwrite-by-batch-id makes the union exactly-once.
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, batch_df.schema
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id}")
+            )
+        if not state["written"]:
+            state["written"] = True
+            # a live writer lands three commits mid-drain, PAST the
+            # call-time head the drain is targeting
+            for i in range(6, 9):
+                t.append(
+                    spark.createDataFrame(
+                        [(i, f"d{i}")], "id long, s string"
+                    )
+                )
+
+    def emitted():
+        import glob
+
+        dirs = sorted(glob.glob(os.path.join(out, "b*")))
+        return sorted(tuple(r) for r in spark.read.parquet(*dirs).collect())
+
+    drain(spark, t.root, sink, ckpt,
+          options={"max_versions_per_batch": "1"})
+    assert state["written"]
+    got = emitted()
+    # termination at (or past) the call-time head, and EXACTLY-ONCE for
+    # everything emitted: no row may appear twice whatever the overlap
+    # between the drain loop and the live writer
+    assert len(got) == len(set(got))
+    assert [(i, f"d{i}") for i in range(6)] == [g for g in got if g[0] < 6]
+
+    # the second drain picks up exactly the remainder
+    drain(spark, t.root, sink, ckpt,
+          options={"max_versions_per_batch": "1"})
+    assert emitted() == [(i, f"d{i}") for i in range(9)]

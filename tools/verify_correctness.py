@@ -72,6 +72,98 @@ def canon(df) -> tuple[int, list[str], list[tuple[str, ...]]]:
     return len(df), cols, rows
 
 
+# -- bounded checks for approx/ANN rows-only queries -----------------------
+# These queries are approximate by design (no value-hash oracle can exist),
+# but their ERROR is contracted: the committed artifact should carry the
+# measured error against the exact DuckDB value instead of a bare
+# "rows_only". Bounds mirror the pytest contracts (tests/test_analytics.py,
+# tests/test_dedup_similarity.py) so a regression fails the gate here too.
+
+_HLL_REL_ERR = 0.05  # HLL++ at rsd=0.02: ≤5% of exact distinct
+
+
+def _check_hll_distinct(con, sdf) -> dict:
+    exact = dict(
+        con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+            "GROUP BY event_type"
+        ).fetchall()
+    )
+    errs = []
+    for _, r in sdf.iterrows():
+        n = exact[r["event_type"]]
+        errs.append(abs(float(r["approx_users"]) - n) / max(n, 1))
+    mx = max(errs) if errs else 1.0
+    return {
+        "bound": f"rel_err<={_HLL_REL_ERR}",
+        "max_rel_err": round(mx, 5),
+        "ok": len(sdf) == len(exact) and mx <= _HLL_REL_ERR,
+    }
+
+
+def _check_percentile_rank(con, sdf) -> dict:
+    """approx_percentile returns a real sample whose RANK must sit within
+    the sketch accuracy of the target quantile (1/accuracy=1e-4) plus the
+    1.5/n discreteness of small groups — value distance is the wrong
+    metric (exact percentile interpolates, the sketch doesn't)."""
+    ok, max_err = True, 0.0
+    for _, r in sdf.iterrows():
+        et = r["event_type"]
+        (n,) = con.execute(
+            "SELECT COUNT(*) FROM events WHERE event_type = ?", [et]
+        ).fetchone()
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            (le,) = con.execute(
+                "SELECT COUNT(*) FROM events WHERE event_type = ? "
+                "AND value <= ?",
+                [et, float(r[col])],
+            ).fetchone()
+            err = abs(le / n - q)
+            max_err = max(max_err, err)
+            ok = ok and err <= 1 / 10_000 + 1.5 / n
+    return {
+        "bound": "rank_err<=1e-4+1.5/n",
+        "max_rank_err": round(max_err, 6),
+        "ok": ok and len(sdf) > 0,
+    }
+
+
+def _check_recall(floor: float):
+    def check(con, sdf) -> dict:
+        per_query = {
+            r["query_id"]: float(r["recall_at_k"]) for _, r in sdf.iterrows()
+        }
+        mean = (
+            sum(per_query.values()) / len(per_query) if per_query else 0.0
+        )
+        return {
+            "bound": f"mean_recall>={floor}",
+            "mean_recall": round(mean, 4),
+            "min_recall": round(min(per_query.values()), 4)
+            if per_query
+            else 0.0,
+            "ok": mean >= floor,
+        }
+
+    return check
+
+
+BOUNDED_CHECKS = {
+    "approx_distinct_users": _check_hll_distinct,
+    "hll_incremental_distinct": _check_hll_distinct,
+    "stream_distinct_sketch_state": _check_hll_distinct,
+    "approx_value_percentiles": _check_percentile_rank,
+    # ANN floors = the pytest contracts: data-oblivious buckets and cell
+    # pruning (IVF family) trade recall on random vectors; re-ranked PQ
+    # and multi-probe LSH hold 0.8 (tests/test_dedup_similarity.py)
+    "knn_lsh_bucketed": _check_recall(0.8),
+    "knn_ivf_cells": _check_recall(0.5),
+    "knn_pq_adc": _check_recall(0.8),
+    "knn_ivf_pq": _check_recall(0.5),
+    "knn_pq_persisted": _check_recall(0.8),
+}
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from high_volume_market_data_pipeline_spark.session import build_session
@@ -97,9 +189,29 @@ def main() -> int:
             continue
         if name not in oracles:
             try:
-                n = fn(spark, sf_dir).count()
-                print(f"{name:40s} rows-only ({n} rows)")
-                results[name] = {"check": "rows_only", "spark_rows": n}
+                bounded = BOUNDED_CHECKS.get(name)
+                if bounded is not None:
+                    sdf = fn(spark, sf_dir).toPandas()
+                    res = bounded(con, sdf)
+                    results[name] = {
+                        "check": "bounded",
+                        "spark_rows": len(sdf),
+                        **res,
+                    }
+                    detail = ", ".join(
+                        f"{k}={v}"
+                        for k, v in res.items()
+                        if k not in ("ok",)
+                    )
+                    if res["ok"]:
+                        print(f"{name:40s} BOUNDED OK ({detail})")
+                    else:
+                        print(f"{name:40s} BOUND VIOLATED ({detail})")
+                        failed.append(name)
+                else:
+                    n = fn(spark, sf_dir).count()
+                    print(f"{name:40s} rows-only ({n} rows)")
+                    results[name] = {"check": "rows_only", "spark_rows": n}
             except Exception as e:  # noqa: BLE001
                 print(f"{name:40s} ROWS-ONLY ERROR: {e}")
                 results[name] = {"check": "rows_only", "err": str(e)}
