@@ -26,6 +26,8 @@ same set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +46,19 @@ class SignatureStore:
     row per (doc, band). ``bootstrap`` seeds it from an initial corpus;
     ``dedup_increment`` admits a new batch against it."""
 
+    # Scope the per-increment STORE passes (degenerate-bucket guard, probe,
+    # replay-hygiene id set) to the batch's keys only once the store is at
+    # least this many physical rows. Below it, a full-store pass is cheaper
+    # than building the batch-key broadcast the scoping needs (the guard
+    # agg on a 1k-row store costs less than one broadcast-build job); above
+    # it, the unscoped guard is an O(store) aggregation shuffle on EVERY
+    # micro-batch — the accidental per-batch full pass this module exists
+    # to avoid. The threshold compares store size against the fixed cost
+    # of one broadcast build, so it is scale-adaptive, not tuned to local
+    # core count; the probe itself reads it from parquet footers (driver
+    # metadata, no job).
+    scope_store_min_rows = 200_000
+
     def __init__(
         self,
         path: str,
@@ -57,6 +72,20 @@ class SignatureStore:
         self.k = k
         self.bands = bands
         self.shingle = shingle
+
+    def _physical_rows(self) -> int:
+        """Store row count from parquet FOOTERS (driver metadata reads, no
+        Spark job) — feeds the scope-vs-full decision per increment."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+        return total
 
     def _banded_signatures(
         self, docs: DataFrame, text_col: str, id_col: str
@@ -222,6 +251,27 @@ class SignatureStore:
             F.explode(band_keys_column(self.k, self.bands)).alias("band_key"),
         )
         store = self.read(spark)
+        # Scope the store-side passes to the BATCH'S band keys once the
+        # store is big enough for those passes to matter
+        # (scope_store_min_rows; decided from parquet footers — no job).
+        # Pre-r12 the degenerate-bucket guard below ALWAYS aggregated the
+        # WHOLE store — an O(corpus) groupBy shuffle on every micro-batch
+        # of a continuous-ingest stream, the accidental per-batch full
+        # pass this module's own docstring warns about (guide §2.3:
+        # aggregate/shuffle only the bytes the decision needs). A
+        # broadcast semi-join on the batch's (micro-batch-sized) key set
+        # keeps every store row of those keys, so per-key bucket counts —
+        # and therefore the candidate set and replay convergence — are
+        # byte-identical in both branches (pinned by
+        # tests/test_dedup_similarity.py::test_scoped_store_probe_equivalence).
+        scope_store = self._physical_rows() >= self.scope_store_min_rows
+        if scope_store:
+            batch_keys = new_banded.select("band_key").distinct()
+            probe_base = store.join(
+                F.broadcast(batch_keys), "band_key", "leftsemi"
+            )
+        else:
+            probe_base = store
         # SYMMETRIC degenerate-bucket guard: the within-batch path drops
         # buckets over max_bucket before pair expansion; the store probe
         # must apply the SAME cap. Without it (a) a boilerplate band key
@@ -232,7 +282,7 @@ class SignatureStore:
         # match each other THROUGH THE STORE on replay and flip to
         # rejected.
         oversized = (
-            store.groupBy("band_key")
+            probe_base.groupBy("band_key")
             .count()
             .filter(F.col("count") > max_bucket)
             .select("band_key")
@@ -240,7 +290,7 @@ class SignatureStore:
         # the guard applies to the PROBE only — the replay-hygiene id
         # anti-join below must still see every stored id, or a doc whose
         # band keys are all oversized would re-append on replay
-        probe_store = store.join(oversized, "band_key", "left_anti")
+        probe_store = probe_base.join(oversized, "band_key", "left_anti")
         cand = new_banded.alias("n").join(probe_store.alias("s"), "band_key")
         if skip_existing_ids:
             # replay-safe mode: a replayed doc's own signatures are in the
@@ -265,6 +315,11 @@ class SignatureStore:
             "matched_id",
             F.round(eq / F.lit(float(self.k)), 6).alias("est_jaccard"),
         ).filter(F.col("est_jaccard") >= threshold)
+        from high_volume_market_data_pipeline_spark.functions.plandump import (
+            dump_plan,
+        )
+
+        dump_plan(scored, "incremental_store_probe")
         # deterministic report row: best match (max jaccard, min id) wins
         w = Window.partitionBy("doc_id").orderBy(
             F.col("est_jaccard").desc(), F.col("matched_id")
@@ -305,11 +360,26 @@ class SignatureStore:
             # replay hygiene: ids already in the store keep their original
             # rows (appending again would double them). Pin BEFORE the
             # write — the anti-join plan reads the store path the write
-            # lands on.
-            to_append = to_append.join(
-                store.select("doc_id").dropDuplicates(), "doc_id",
-                "left_anti",
-            ).localCheckpoint(eager=True)
+            # lands on. The anti-join never needed unique blocker rows, so
+            # the pre-r12 full-store dropDuplicates (an O(corpus) id
+            # shuffle per micro-batch) is dropped in both branches; on a
+            # big store the blocker set is additionally scoped to
+            # (store ids ∩ admitted ids) via a broadcast semi-join —
+            # to_append's ids ⊆ admitted, so the intersection blocks
+            # exactly the same rows while the store is scanned once,
+            # id-column-pruned and broadcast-filtered.
+            blockers = store.select("doc_id")
+            if scope_store:
+                blockers = blockers.join(
+                    F.broadcast(
+                        admitted.select(F.col(id_col).alias("doc_id"))
+                    ),
+                    "doc_id",
+                    "leftsemi",
+                )
+            to_append = to_append.join(blockers, "doc_id", "left_anti")
+            dump_plan(to_append, "incremental_append_hygiene")
+            to_append = to_append.localCheckpoint(eager=True)
         to_append.write.mode("append").parquet(self.path)
         rejected = batch_loser.unionByName(store_loser)
         return admitted, rejected

@@ -751,11 +751,15 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _record_stream_stats(q)
 
         coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
+        # Per-version cardinality from the manifest's n_rows (parquet
+        # footers summed at commit time) — one metadata probe per version
+        # instead of a chain-union read + count() Spark job per version
+        # (3 jobs here; equal values by construction, see row_count).
         versions = [
             (
                 int(r["version"]),
                 r["operation"],
-                coded_tbl.read(spark, version=int(r["version"])).count(),
+                coded_tbl.row_count(spark, version=int(r["version"])),
             )
             for r in coded_tbl.history(spark).collect()
         ]
@@ -834,11 +838,15 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _record_stream_stats(q)
 
         coded_tbl = VersionedParquetTable(os.path.join(root, "coded"))
+        # Per-version cardinality from the manifest's n_rows (parquet
+        # footers summed at commit time) — one metadata probe per version
+        # instead of a chain-union read + count() Spark job per version
+        # (3 jobs here; equal values by construction, see row_count).
         versions = [
             (
                 int(r["version"]),
                 r["operation"],
-                coded_tbl.read(spark, version=int(r["version"])).count(),
+                coded_tbl.row_count(spark, version=int(r["version"])),
             )
             for r in coded_tbl.history(spark).collect()
         ]

@@ -78,11 +78,30 @@ def _save_model_arrays(
 def _load_model_arrays(
     spark: SparkSession, root: str, version: int | None = None
 ) -> tuple["np.ndarray | None", "np.ndarray | None"]:
-    rows = (
-        VersionedParquetTable(os.path.join(root, "model"))
-        .read(spark, version=version)
-        .collect()
-    )
+    """Model arrays are metadata-scale BY CONTRACT (n_cells + m·k rows —
+    see module docstring), so read them on the DRIVER with pyarrow
+    straight from the manifest's data dirs instead of running a Spark
+    read + collect job: the append path calls this once per micro-batch,
+    and the Spark job it replaces was pure orchestration overhead (~0.3 s
+    per append locally; a scheduler round-trip per batch on a cluster —
+    guide §1.2, remove work outright). Byte-identical result: the same
+    parquet files the Spark scan would read, no filter, no projection
+    beyond the four columns."""
+    import pyarrow.parquet as pq
+
+    t = VersionedParquetTable(os.path.join(root, "model"))
+    m = t._resolve(version, None)
+    rows: list[dict] = []
+    for d in t._data_dirs(m):
+        for dirpath, _, files in os.walk(d):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    rows.extend(
+                        pq.read_table(
+                            os.path.join(dirpath, f),
+                            columns=["part", "i", "j", "vec"],
+                        ).to_pylist()
+                    )
     cent_rows = sorted(
         ((r["i"], r["vec"]) for r in rows if r["part"] == "centroid")
     )
@@ -274,15 +293,11 @@ def purge_deleted(spark: SparkSession, root: str) -> int | None:
         partition_by=head_m.get("partition_by"),
         version=target,
     )
-    centroids, codebooks = _load_model_arrays(spark, root, model_v)
-    _save_model_arrays(
-        spark,
-        root,
-        "PURGE_DELETED",
-        {},
-        centroids=centroids,
-        codebooks=codebooks,
-        version=target,
+    # Model arrays are unchanged by a purge: re-pair with a manifest-only
+    # commit referencing the paired version's files (pre-r12 this was a
+    # collect + re-write round trip of identical content).
+    VersionedParquetTable(os.path.join(root, "model")).commit_ref(
+        "PURGE_DELETED", {}, version=target, parent_version=model_v
     )
     # Reset the tombstone table. The purged coded snapshot is ALREADY
     # committed above, so losing this CAS to a concurrent
@@ -339,11 +354,9 @@ def _coded_head_rows(
     the manifest's ``n_rows`` (metadata probe) when recorded, else one
     count() for tables written before n_rows existed (their next commit
     through write()/fold records it and retires the fallback)."""
-    coded_t = VersionedParquetTable(os.path.join(root, "coded"))
-    n = coded_t._resolve(coded_head, None).get("n_rows")
-    if n is None:
-        n = coded_t.read(spark, version=coded_head).count()
-    return int(n)
+    return VersionedParquetTable(os.path.join(root, "coded")).row_count(
+        spark, version=coded_head
+    )
 
 
 def _maybe_auto_purge(spark: SparkSession, root: str) -> "int | None":
@@ -550,6 +563,11 @@ def _commit_append(
         )
         delta, params = derive(centroids, codebooks, coded)
         params = {**params, "parent_version": coded_head}
+        from high_volume_market_data_pipeline_spark.functions.plandump import (
+            dump_plan,
+        )
+
+        dump_plan(delta, f"index_append_delta_{operation.lower()}")
         try:
             _append_coded(
                 delta, root, operation, params, version=target,
@@ -557,14 +575,14 @@ def _commit_append(
             )
         except ConcurrentCommitError:
             continue  # another appender won this version; re-derive on head
-        _save_model_arrays(
-            spark,
-            root,
-            operation,
-            params,
-            centroids=centroids,
-            codebooks=codebooks,
-            version=target,
+        # Pairing commit: the model content is UNCHANGED on an append (the
+        # whole point of train/add separation), so re-pair via a
+        # manifest-only commit referencing the paired version's files.
+        # Pre-r12 this re-ran createDataFrame + a full parquet write of
+        # the identical arrays — one pure-overhead Spark job per
+        # micro-batch on the streaming-ingest hot path (guide §1.2).
+        VersionedParquetTable(os.path.join(root, "model")).commit_ref(
+            operation, params, version=target, parent_version=model_v
         )
         _clear_tombstones_for(spark, root, delta)
         _maybe_auto_purge(spark, root)

@@ -546,6 +546,59 @@ class VersionedParquetTable:
         self._commit_manifest(manifest, version)
         return version
 
+    def commit_ref(
+        self,
+        operation: str,
+        parameters: dict | None = None,
+        version: int | None = None,
+        parent_version: int | None = None,
+    ) -> int:
+        """Commit a new version whose DATA is byte-identical to
+        ``parent_version`` — a manifest-only commit referencing the
+        parent's data dirs (zero rows written, no Spark job). The CAS
+        semantics of ``version`` match ``write``/``append``.
+
+        This is the Delta-style metadata commit for lifecycle steps that
+        advance a version number without changing table content — e.g.
+        the ANN store's model re-pair on every coded append (the model
+        arrays are unchanged by construction; pre-r12 each append re-ran
+        createDataFrame + a parquet write of the identical model, one
+        full Spark job per micro-batch on the streaming-ingest hot path —
+        guide §1.2: remove work outright before tuning it). Readers of
+        the new version get exactly the parent's files; ``fresh_dirs`` is
+        empty so the table_stream source correctly sees no new rows;
+        vacuum already reference-counts shared dirs across manifests."""
+        parent = self._resolve(parent_version, None)
+        if version is None:
+            version = (self.latest_version() or 0) + 1
+        manifest = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": operation,
+            "parameters": parameters or {},
+            "data_dirs": self._data_dirs(parent),
+            "n_rows": parent.get("n_rows"),
+            "fresh_dirs": [],
+            "partition_by": parent.get("partition_by"),
+            "schema": parent.get("schema"),
+        }
+        self._commit_manifest(manifest, version)
+        return version
+
+    def row_count(self, spark: SparkSession, version: int | None = None) -> int:
+        """Physical row count of the snapshot at ``version`` from the
+        manifest's ``n_rows`` (summed from parquet footers at commit
+        time — a metadata probe, no Spark job, no data scan); falls back
+        to one ``read().count()`` only for legacy manifests written
+        before ``n_rows`` existed. Equal to ``read(version).count()`` by
+        construction: both count exactly the files the manifest
+        references."""
+        m = self._resolve(version, None)
+        n = m.get("n_rows")
+        if n is None:
+            return self.read(spark, version=m["version"]).count()
+        return int(n)
+
     @staticmethod
     def _data_dirs(manifest: dict) -> list[str]:
         """Every data dir a manifest references: append commits carry

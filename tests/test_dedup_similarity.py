@@ -304,6 +304,90 @@ def test_signature_store_incremental_dedup(spark, tmp_path):
     assert rejected2.count() == fresh.count() + resends.count()
 
 
+def test_scoped_store_probe_equivalence(spark, tmp_path):
+    """r12 optimization contract: once the store crosses
+    ``scope_store_min_rows``, dedup_increment scopes the degenerate-bucket
+    guard, the probe, and the replay-hygiene blocker set to the batch's
+    band keys / ids (broadcast semi-joins) instead of full-store passes.
+    The decisions and the store's post-append contents must be IDENTICAL
+    in both branches — including for a degenerate bucket that the
+    max_bucket guard drops, and for a replayed (skip_existing_ids) batch."""
+    from pyspark.sql import functions as F
+
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup import SignatureStore
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # base: 10 distinct docs + 8 copies of doc 0's text → doc 0's band
+    # buckets hold 9 members, oversized at max_bucket=5
+    base = docs.filter(F.col("doc_id") < 10).unionByName(
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(
+                F.array(*[F.lit(50 + i) for i in range(8)])
+            ).alias("new_id"),
+            "text",
+        )
+        .select(F.col("new_id").cast("long").alias("doc_id"), "text")
+    )
+    # batch: fresh docs, one exact resend of stored doc 3 (rejected
+    # vs_store), and one copy of doc 0 (its store bucket is oversized →
+    # dropped from the probe → admitted, in BOTH branches)
+    batch = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+        .unionByName(
+            docs.filter(F.col("doc_id") == 3).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 0).select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def run(scope_min: int, sub: str):
+        store = SignatureStore(str(tmp_path / sub))
+        store.scope_store_min_rows = scope_min
+        store.bootstrap(base)
+        admitted, rejected = store.dedup_increment(
+            batch, threshold=0.9, max_bucket=5
+        )
+        first = (
+            {r.doc_id for r in admitted.collect()},
+            {
+                (r.doc_id, r.matched_id, r.est_jaccard, r.reason)
+                for r in rejected.collect()
+            },
+        )
+        # replayed increment exercises the skip_existing_ids blocker path
+        admitted2, rejected2 = store.dedup_increment(
+            batch, threshold=0.9, max_bucket=5, skip_existing_ids=True
+        )
+        replay = (
+            {r.doc_id for r in admitted2.collect()},
+            {
+                (r.doc_id, r.matched_id, r.est_jaccard, r.reason)
+                for r in rejected2.collect()
+            },
+        )
+        contents = {
+            (r.doc_id, r.band_key, tuple(r.sig))
+            for r in store.read(spark).collect()
+        }
+        return first, replay, contents
+
+    full = run(10**9, "full")  # store below threshold → full-store branch
+    scoped = run(0, "scoped")  # threshold 0 → scoped branch
+    assert full == scoped
+    # sanity: the oversized-bucket copy of doc 0 was admitted, the resend
+    # of doc 3 rejected vs_store
+    assert 20_000 in full[0][0]
+    assert any(r[0] == 10_003 and r[3] == "vs_store" for r in full[0][1])
+
+
 def test_incremental_batch_loser_single_report_row(spark, tmp_path):
     """The admission report's contract is ONE decision row per incoming
     doc. A batch doc that near-dups TWO smaller-id batch docs must still

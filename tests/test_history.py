@@ -1140,3 +1140,46 @@ def test_self_check_ambiguous_quarantine_raises_torn(
     finally:
         table._test_stall_after_manifest_write = None
         os.unlink(quarantine)
+
+
+def test_commit_ref_metadata_only(spark, table, tmp_path):
+    """r12 optimization contract: commit_ref advances a version with a
+    manifest-only commit — the new version reads the PARENT'S files
+    byte-identically, no new data dir is written, n_rows/row_count carry
+    over, fresh_dirs is empty, and the explicit-version form keeps CAS
+    semantics. Vacuum's dir reference-counting must keep the shared dirs
+    alive while any referencing version is kept."""
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        ConcurrentCommitError,
+    )
+
+    table.write(_df(spark, 5, "a"), "WRITE")
+    table.append(_df(spark, 3, "b"), "APPEND")
+
+    def dirs():
+        return {
+            d for d in os.listdir(table.root) if d.startswith("_v")
+        }
+
+    before = dirs()
+    v2 = table.commit_ref("REPAIR", {"k": 1}, version=2, parent_version=1)
+    assert v2 == 2
+    assert dirs() == before  # no data written
+    assert table.row_count(spark, version=2) == 8
+    assert sorted(
+        tuple(r) for r in table.read(spark, version=2).collect()
+    ) == sorted(tuple(r) for r in table.read(spark, version=1).collect())
+    m = table._resolve(2, None)
+    assert m["fresh_dirs"] == [] and m["n_rows"] == 8
+    assert m["operation"] == "REPAIR" and m["parameters"] == {"k": 1}
+    # CAS: the version is occupied now
+    with pytest.raises(ConcurrentCommitError):
+        table.commit_ref("REPAIR", version=2, parent_version=1)
+    # appends on top of a ref commit extend the same chain
+    table.append(_df(spark, 2, "c"), "APPEND")
+    assert table.read(spark).count() == 10
+    # vacuum to the newest 2 (v2 ref + v3): the dirs shared with retired
+    # v0/v1 must survive because kept manifests still reference them
+    table.vacuum(keep_last=2, orphan_grace_seconds=0.0)
+    assert table.read(spark).count() == 10
+    assert table.row_count(spark) == 10

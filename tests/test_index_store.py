@@ -1032,3 +1032,57 @@ def test_purge_reset_race_retries_against_new_head(spark, tmp_path,
     assert load_ivf_index(spark, root).coded.filter(
         "neighbor_id = 3"
     ).count() == 1
+
+
+def test_append_model_pairing_and_load_are_metadata_only(spark, tmp_path):
+    """r12 optimization contract for the append hot path: (a) the model
+    pairing commit is a manifest-only commit_ref — the paired model
+    version references the SAME data dirs as the trained model, nothing
+    is rewritten; (b) _load_model_arrays reads those parquet files with
+    driver-side pyarrow — zero Spark jobs — and returns arrays identical
+    to a Spark read of the same table."""
+    import numpy as np
+
+    from high_volume_market_data_pipeline_spark.similarity import (
+        build_pq_index,
+        save_pq_index,
+        append_to_pq_index,
+    )
+    from high_volume_market_data_pipeline_spark.similarity.index_store import (
+        _load_model_arrays,
+    )
+    from high_volume_market_data_pipeline_spark.sinks.history import (
+        VersionedParquetTable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "pairing")
+    save_pq_index(build_pq_index(emb.filter("vec_id < 150"), n_codes=8), root)
+    v = append_to_pq_index(
+        spark, root, emb.filter("vec_id >= 150 and vec_id < 170")
+    )
+    model_t = VersionedParquetTable(os.path.join(root, "model"))
+    m0 = model_t._resolve(0, None)
+    mv = model_t._resolve(v, None)
+    # (a) pairing commit references the trained model's files verbatim
+    assert model_t._data_dirs(mv) == model_t._data_dirs(m0)
+    assert mv["operation"] == "PQ_APPEND"
+
+    # (b) pyarrow load: no Spark job, content identical to the Spark read
+    def n_jobs():
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    j0 = n_jobs()
+    _, codebooks = _load_model_arrays(spark, root, v)
+    assert n_jobs() == j0  # driver-side metadata/footer reads only
+    rows = model_t.read(spark, version=v).collect()
+    cb_rows = sorted(
+        ((r["i"], r["j"], r["vec"]) for r in rows if r["part"] == "codebook")
+    )
+    want = np.empty_like(codebooks)
+    for i, j, vec in cb_rows:
+        want[i, j] = vec
+    assert np.array_equal(codebooks, want)
+    # the loaded pair still searches: coded head has both slices
+    coded = VersionedParquetTable(os.path.join(root, "coded"))
+    assert coded.row_count(spark) == 170
