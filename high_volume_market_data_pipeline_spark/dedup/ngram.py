@@ -242,6 +242,101 @@ def block_pairs_with_knobs(
     )
 
 
+def blocked_ngram_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    block_tokens: int = 8,
+    target_block_rows: int | None = None,
+    shingle: int = DEFAULT_SHINGLE,
+    hashed: bool = False,
+) -> DataFrame:
+    """token_block_pairs + ngram_jaccard FUSED for the single-block-key
+    regime (n_prefix_buckets == 1, i.e. every config until the adaptive
+    width floors at 1): one scan of the corpus computes (id, blk,
+    shingle-set) and the block self-join carries the shingle sets
+    directly, so the exact-Jaccard compare happens in the same stage as
+    the pair generation.
+
+    Why (guide §2.3/§8, r12): the two-phase shape evaluated the text
+    pipeline up to four times (the block key on both sides of the pair
+    self-join, the shingle+md5 pipeline on both sides of the attach
+    joins — 8 parquet scans in the executed plan) and shipped the
+    shingle arrays through TWO id-equi-joins after already shuffling the
+    pair ids. Fused, the heavy arrays move through exactly ONE exchange
+    (the block key) and the corpus is scanned once per join side (2
+    scans). Jaccard values are bit-identical: same shingle arrays, same
+    intersect/union counts, same JVM round.
+
+    The multi-key regime (n_prefix_buckets > 1) keeps the two-phase
+    shape deliberately: there a pair can be co-blocked by up to four
+    keys and must be deduplicated BEFORE the expensive compare —
+    id-only dedup then re-attach is cheaper than shipping shingle sets
+    per co-blocking key and deduplicating array-laden rows."""
+    from high_volume_market_data_pipeline_spark.operators.layout import (
+        ensure_parallelism,
+    )
+    from high_volume_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    width, n_prefix_buckets = resolve_block_knobs(
+        docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        block_tokens=block_tokens,
+        target_block_rows=target_block_rows,
+    )
+    if n_prefix_buckets > 1:
+        pairs = block_pairs_with_knobs(
+            docs,
+            width,
+            n_prefix_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            lang_col=lang_col,
+        )
+        return ngram_jaccard(
+            pairs, docs, text_col, id_col, shingle, hashed
+        )
+    blk = F.concat_ws(
+        "|",
+        F.col(lang_col).cast("string"),
+        F.floor(token_count(F.col(text_col)) / width)
+        .cast("long")
+        .cast("string"),
+    )
+    sh_arr = F.array_distinct(word_shingles(F.col(text_col), shingle))
+    if hashed:
+        sh_arr = F.array_distinct(
+            F.transform(
+                sh_arr,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            )
+        )
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), blk.alias("blk"), sh_arr.alias("sh")
+    )
+    out = (
+        d.select("blk", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        .join(
+            d.select(
+                "blk", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "blk",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

@@ -284,13 +284,13 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the measured scale path (width ∝ 1/n keeps block occupancy
     constant — BASELINE.md scale table)."""
     from high_volume_market_data_pipeline_spark.dedup.ngram import (
-        token_block_pairs,
+        blocked_ngram_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = token_block_pairs(docs, block_tokens=8)
+    # r12: fused single-scan/single-shuffle path (see blocked_ngram_jaccard)
     return (
-        ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
+        blocked_ngram_jaccard(docs, block_tokens=8, hashed=True)
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -384,15 +384,16 @@ def ngram_jaccard_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; recall trade of each knob is documented in
     dedup/ngram.token_block_pairs."""
     from high_volume_market_data_pipeline_spark.dedup.ngram import (
-        token_block_pairs,
+        blocked_ngram_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = token_block_pairs(
-        docs, block_tokens=8, target_block_rows=_NJ_TARGET
-    )
+    # r12: fused while the resolved knobs stay single-key (width > 1);
+    # the multi-key regime keeps the two-phase dedup-then-attach shape
     return (
-        ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
+        blocked_ngram_jaccard(
+            docs, block_tokens=8, target_block_rows=_NJ_TARGET, hashed=True
+        )
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

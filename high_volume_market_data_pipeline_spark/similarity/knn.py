@@ -554,6 +554,7 @@ def _fit_sample(
     id_col: str,
     fit_fraction: float | None,
     auto_target: int | None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Training input for a quantizer fit — the one sampling discipline
     every index builder shares (FAISS ``max_points_per_centroid``). An
@@ -563,9 +564,13 @@ def _fit_sample(
     saves). Deterministic md5-bucket sample so fits are reproducible
     across runs and appends; a sample that comes back EMPTY (tiny
     corpus) falls back to the full input, because an empty training set
-    would silently fit an all-zero model."""
+    would silently fit an all-zero model. ``n_rows`` — the caller's known
+    row count — skips the sizing count() when provided (r12: a composed
+    builder like build_ivf_pq_index derives several 1:1 frames from one
+    corpus and was paying one count job per fit; the fraction decision is
+    identical as long as the count is)."""
     if fit_fraction is None and auto_target is not None:
-        n = df.count()
+        n = df.count() if n_rows is None else n_rows
         if n > auto_target:
             fit_fraction = auto_target / n
     if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
@@ -768,6 +773,7 @@ def fit_pq_codebooks(
     fit_fraction: float | None = None,
     normalize: bool = True,
     points_per_code: int | None = 256,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Fit product-quantization codebooks: split each (L2-normalized when
     ``normalize``; residual inputs pass ``normalize=False``) vector into
@@ -819,6 +825,7 @@ def fit_pq_codebooks(
         "_id",
         fit_fraction,
         points_per_code * n_codes if points_per_code is not None else None,
+        n_rows=n_rows,
     )
     subs = c.select(
         "_id",
@@ -1112,11 +1119,17 @@ def build_ivf_pq_index(
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("_nv", unit(F.col("cv")))
     ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+    # One corpus count serves BOTH sampled fits: the residual frame below
+    # is a 1:1 transform of ml, so its row count is ml's — pre-r12 each
+    # _fit_sample ran its own count job, and the residual one re-paid the
+    # assignment+join to count rows it could know for free (guide §1.2).
+    n_corpus = ml.count() if fit_fraction is None else None
     fit_input = _fit_sample(
         ml,
         "neighbor_id",
         fit_fraction,
         points_per_cell * n_cells if points_per_cell is not None else None,
+        n_rows=n_corpus,
     )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=5,
@@ -1133,11 +1146,18 @@ def build_ivf_pq_index(
         "cell int, centroid array<double>",
     )
 
-    # residual encode: PQ codebooks fitted on (x − centroid), not raw x
-    resid = inverted.join(F.broadcast(cent_df), "cell").select(
-        "neighbor_id",
-        "cell",
-        F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
+    # residual encode: PQ codebooks fitted on (x − centroid), not raw x.
+    # Persisted: three consumers (the codebook fit's sample scan, its
+    # Lloyd input, and the final encode) would otherwise each re-run the
+    # cell assignment + centroid join + subtraction.
+    resid = (
+        inverted.join(F.broadcast(cent_df), "cell")
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with("_nv", "centroid", lambda x, y: x - y).alias("resid"),
+        )
+        .persist()
     )
     cb = fit_pq_codebooks(
         resid,
@@ -1149,11 +1169,13 @@ def build_ivf_pq_index(
         seed=seed,
         fit_fraction=fit_fraction,
         normalize=False,
+        n_rows=n_corpus,
     )
     coded = pq_encode(resid, cb, vec_col="resid", normalize=False).select(
         "neighbor_id", "cell", "pq_codes"
     )
     coded = coded.localCheckpoint(eager=True)  # the persisted index
+    resid.unpersist()
     ml.unpersist()
     return IVFPQIndex(cent_np, cb, coded)
 

@@ -838,3 +838,36 @@ def test_auto_planes_occupancy_contract():
         if p > 0:  # and p is the SMALLEST such plane count
             assert n > 64 * (1 << (p - 1))
     assert auto_planes(10**9) == 12  # capped
+
+
+def test_blocked_ngram_jaccard_fused_matches_two_phase(spark):
+    """r12 optimization contract: the fused single-key path of
+    blocked_ngram_jaccard (pair generation + shingle attach in one
+    self-join) returns exactly the two-phase token_block_pairs →
+    ngram_jaccard result — same pairs, bit-identical jaccard."""
+    from high_volume_market_data_pipeline_spark.catalog import load_table
+    from high_volume_market_data_pipeline_spark.dedup.ngram import (
+        blocked_ngram_jaccard,
+        ngram_jaccard,
+        resolve_block_knobs,
+        token_block_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # this corpus resolves to the single-key regime (the fused branch)
+    assert resolve_block_knobs(docs, block_tokens=8)[1] == 1
+    fused = sorted(
+        tuple(r)
+        for r in blocked_ngram_jaccard(docs, block_tokens=8, hashed=True)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    pairs = token_block_pairs(docs, block_tokens=8)
+    two_phase = sorted(
+        tuple(r)
+        for r in ngram_jaccard(pairs, docs, "text", "doc_id", hashed=True)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert fused == two_phase and len(fused) > 0
