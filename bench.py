@@ -58,7 +58,20 @@ def main() -> None:
             ingest as _stream_ingest,
         )
 
+        def _cpu_stat() -> list[int]:
+            # (user nice system idle iowait irq softirq steal ...) jiffies
+            with open("/proc/stat") as fh:
+                return [int(x) for x in fh.readline().split()[1:]]
+
         run_log: dict[str, list[float]] = {}
+        # Per-run host-health telemetry (r12): three recorded rounds now
+        # show multi-minute ambient interference windows inflating a
+        # contiguous band of rows 3-5x while bracketing sentinels read
+        # healthy — per-row steal%/busy% makes those windows visible IN
+        # the artifact instead of needing solo re-probes to litigate each
+        # mover. Additive keys only; timings methodology unchanged.
+        steal_log: dict[str, list[float]] = {}
+        busy_log: dict[str, list[float]] = {}
         stream_stats: dict[str, dict] = {}
         for name in sorted(QUERIES):
             runs: list[float] = []
@@ -66,11 +79,27 @@ def main() -> None:
             input_rows = None
             while len(runs) < 3:
                 _stream_ingest.LAST_STREAM_STATS = None
+                # Label the run (guide §1.5) so UI/eventlog analysis can
+                # attribute jobs to queries; thread-local, zero cost.
+                spark.sparkContext.setJobDescription(
+                    f"bench:{name} run {len(runs) + 1}"
+                )
+                cpu0 = _cpu_stat()
                 start = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - start)
+                cpu1 = _cpu_stat()
+                d = [a - b for a, b in zip(cpu1, cpu0)]
+                tot = max(1, sum(d))
+                steal_log.setdefault(name, []).append(
+                    round(100.0 * d[7] / tot, 2)
+                )
+                busy_log.setdefault(name, []).append(
+                    round(100.0 * (d[0] + d[2]) / tot, 1)
+                )
+                spark.sparkContext.setJobDescription(None)
                 stats = _stream_ingest.LAST_STREAM_STATS
                 if stats:
                     batches.append(stats["micro_batches"])
@@ -96,6 +125,8 @@ def main() -> None:
                 {
                     "queries": timings,
                     "runs": run_log,
+                    "host_steal_pct": steal_log,
+                    "host_busy_pct": busy_log,
                     "stream_stats": stream_stats,
                     "metric": "total_query_seconds",
                     "value": total,
