@@ -26,6 +26,7 @@ same set.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,6 +40,10 @@ from high_volume_market_data_pipeline_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_signature,
 )
+
+# Spark's parquet reader ignores underscore-prefixed files, so the sidecar
+# can live inside the store directory without affecting reads.
+_ROW_COUNT_SIDECAR = "_store_rows.json"
 
 
 class SignatureStore:
@@ -55,9 +60,24 @@ class SignatureStore:
     # micro-batch — the accidental per-batch full pass this module exists
     # to avoid. The threshold compares store size against the fixed cost
     # of one broadcast build, so it is scale-adaptive, not tuned to local
-    # core count; the probe itself reads it from parquet footers (driver
-    # metadata, no job).
+    # core count; the store size is read from a sidecar row count the
+    # writers maintain (no job, no footer walk).
     scope_store_min_rows = 200_000
+
+    # The scoped branch force-broadcasts the batch's band keys (and the
+    # admitted-id set); a broadcast only makes sense for batches that are
+    # micro-batch-scale relative to the store. Above this many batch DOCS
+    # (~4x as many band keys) the increment falls back to the full-store
+    # pass: a batch this large amortizes the O(store) guard aggregation,
+    # while forcing a multi-GB broadcast would risk driver memory and
+    # Spark's 8 GB broadcast cap (r13, ADVICE). The batch row count is
+    # known for free — the signature cache is materialized by an eager
+    # count that every consumer needs anyway.
+    scope_batch_max_docs = 500_000
+
+    # Target banded-signature rows per store file for increment appends
+    # (~100 B/row ⇒ ~100 MB files, guide §6's output sizing band).
+    _STORE_ROWS_PER_FILE = 1_000_000
 
     def __init__(
         self,
@@ -73,19 +93,53 @@ class SignatureStore:
         self.bands = bands
         self.shingle = shingle
 
-    def _physical_rows(self) -> int:
-        """Store row count from parquet FOOTERS (driver metadata reads, no
-        Spark job) — feeds the scope-vs-full decision per increment."""
+    # -- store row count (sidecar, no Spark job) ---------------------------
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.path, _ROW_COUNT_SIDECAR)
+
+    def _list_parquet_files(self) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(self.path):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def _footer_rows(self, files: list[str]) -> int:
         import pyarrow.parquet as pq
 
-        total = 0
-        for dirpath, _, files in os.walk(self.path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(dirpath, f)
-                    ).metadata.num_rows
-        return total
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def _write_sidecar(self, rows: int) -> None:
+        tmp = self._sidecar_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"rows": int(rows)}, fh)
+        os.replace(tmp, self._sidecar_path())
+
+    def _physical_rows(self) -> int:
+        """Store row count for the scope-vs-full decision — the SIDECAR
+        maintained by bootstrap/append (one json read, no Spark job, no
+        footer walk). A store written before the sidecar existed (or by
+        an external writer) pays ONE full footer walk and re-seeds it;
+        pre-r13 this walked every parquet footer on EVERY increment —
+        O(total files) driver work per micro-batch, quadratic over a
+        continuous-ingest stream's lifetime. The count only gates which
+        of two result-identical branches runs, so a sidecar an external
+        writer failed to bump costs performance, never correctness."""
+        try:
+            with open(self._sidecar_path()) as fh:
+                return int(json.load(fh)["rows"])
+        except (OSError, ValueError, KeyError):
+            pass
+        rows = self._footer_rows(self._list_parquet_files())
+        try:
+            self._write_sidecar(rows)
+        except OSError:
+            pass  # read-only store: fall back to walking next time
+        return rows
 
     def _banded_signatures(
         self, docs: DataFrame, text_col: str, id_col: str
@@ -119,9 +173,19 @@ class SignatureStore:
     ) -> None:
         """Seed the store from an initial (already-deduped) corpus. The
         one full-corpus signature computation ever run."""
-        self._banded_signatures(docs, text_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        banded = self._banded_signatures(docs, text_col, id_col)
+        # Size the store's FILE COUNT to the corpus' own scan layout
+        # (guide §6): without this the banded frame inherits the
+        # signature compute's session-parallelism fan-out, so a
+        # metadata-scale seed corpus lands as ~cores near-empty files
+        # that EVERY subsequent probe scan, guard aggregation, and
+        # footer walk then pays per increment. A 100 TB corpus has
+        # thousands of input splits and keeps thousands of store files.
+        banded = banded.repartition(max(1, docs.rdd.getNumPartitions()))
+        banded.write.mode("overwrite").parquet(self.path)
+        # seed the row-count sidecar: one footer pass over the files just
+        # written (bootstrap-only; increments maintain it incrementally)
+        self._write_sidecar(self._footer_rows(self._list_parquet_files()))
 
     def dedup_increment(
         self,
@@ -146,27 +210,63 @@ class SignatureStore:
         band-key equi-join shipping (key, sig) only — historical TEXT is
         never re-read, which is the whole point at 100 TB.
 
+        Every admission DECISION is pinned in one eagerly-materialized
+        ledger before the signature append (r13): ``rejected`` is a
+        filter of that ledger and ``admitted`` a lazy anti-join of
+        ``new_docs`` against it, so neither output ever re-reads the
+        store files after the append (callers may even delete the store;
+        the decisions cannot drift). Because ``admitted`` is lazy, each
+        action over it re-evaluates ``new_docs`` — pass a materialized
+        (cached/checkpointed) frame if that input is expensive or
+        non-deterministic.
+
         ``skip_existing_ids=True`` makes the increment REPLAYABLE (the
         streaming path's at-least-once contract): a doc whose id is
         already in the store never matches ITSELF (self-pairs are always
         excluded), its signatures are not appended twice, and because
         store-probe and within-batch estimates share the same signature
         arithmetic, a replayed batch admits exactly the set the first
-        run admitted. Costs one (doc_id)-projection anti-join against
+        run admitted. Costs one (doc_id)-projection semi-join against
         the store per batch — skip it for the pure-batch path where ids
         are disjoint by construction."""
         spark = new_docs.sparkSession
         caches: list[DataFrame] = []
+        # Size every post-signature shuffle to the BATCH, not the session
+        # (the connected_components precedent, guide §2.2): the increment
+        # runs ~a dozen shuffle stages over key/signature rows that are
+        # micro-batch-sized, and on a cores×3 session each pays ~30 empty
+        # task launches. The signature md5 compute itself is scan-side
+        # (ensure_parallelism's fan-out) and unaffected by this knob. The
+        # target follows the input's own scan layout — thousands of
+        # splits at 100 TB leave the session conf in charge; a micro-
+        # batch drops to the floor. Restored before returning, so the
+        # caller's own actions plan under the session conf.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        target = max(8, min(int(prev_parts), new_docs.rdd.getNumPartitions()))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        if target < int(prev_parts):
+            # Batch below session scale: adaptive re-planning has nothing
+            # to adapt (shuffles are already floor-sized, nothing can
+            # skew), but under AQE every exchange materializes as its own
+            # Spark job — measured ~30 jobs per micro-batch increment vs
+            # ~10 with static planning, and at micro-batch size the
+            # per-job driver round-trip IS the cost. Corpus-scale batches
+            # (input splits ≥ session parallelism) keep AQE on.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             return self._dedup_increment(
                 spark, new_docs, text_col, id_col, threshold, max_bucket,
                 caches, skip_existing_ids,
             )
         finally:
-            # Every output is localCheckpoint-pinned before we get here, so
-            # dropping the pair-stage caches cannot trigger recompute; a
-            # long-lived ingest driver calling this per batch must not
-            # accumulate cached blocks without bound.
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            # The decision ledger is localCheckpoint-pinned and the store
+            # append completed before we get here, so dropping the
+            # signature/pair caches cannot trigger recompute of anything
+            # store-dependent; a long-lived ingest driver calling this per
+            # batch must not accumulate cached blocks without bound.
             for c in caches:
                 c.unpersist()
 
@@ -183,6 +283,9 @@ class SignatureStore:
     ) -> tuple[DataFrame, DataFrame]:
         from pyspark import StorageLevel
 
+        from high_volume_market_data_pipeline_spark.functions.plandump import (
+            dump_plan,
+        )
         from high_volume_market_data_pipeline_spark.operators.layout import (
             ensure_parallelism,
         )
@@ -191,11 +294,24 @@ class SignatureStore:
         # path, the store probe, and the admitted-signature append), so
         # compute them ONCE here and hand them to lsh_candidate_pairs
         # explicitly — re-deriving from text per consumer would triple the
-        # most expensive step (~3 s each at the 10× tier).
-        batch_sig = minhash_signature(
-            ensure_parallelism(new_docs), text_col, id_col, self.k,
-            self.shingle,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # most expensive step (~3 s each at the 10x tier). Compute WIDE
+        # (md5 shingling is the CPU-dense step; ensure_parallelism fans a
+        # narrow input out to the cluster) but CACHE COMPACT: half a
+        # dozen later stages re-scan this cache for metadata-scale work
+        # (survivor anti-join, band explode, append projection, id sets)
+        # and each re-scan costs one task launch per cached partition, so
+        # the cache partition count follows the input's own scan layout
+        # (data-sized — thousands of splits at 100 TB, a handful on a
+        # micro-batch), not the session's parallelism.
+        cache_parts = max(8, new_docs.rdd.getNumPartitions())
+        batch_sig = (
+            minhash_signature(
+                ensure_parallelism(new_docs), text_col, id_col, self.k,
+                self.shingle,
+            )
+            .repartition(cache_parts)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         caches.append(batch_sig)
 
         # 1. within-batch near-dups: a doc is a loser iff it near-dups any
@@ -221,29 +337,30 @@ class SignatureStore:
             .withColumn("_rn", F.row_number().over(wb))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            # Pin now: the loser report is tiny, the pair join it embeds is
-            # not — checkpointing here materializes the pair stage exactly
-            # once and frees the caller's `rejected` from the pair caches.
+            # The FIRST of the increment's two eager barriers (the second
+            # is the admission ledger below): the pair-join subtree feeds
+            # two ledger branches (its own loser rows AND the survivor
+            # anti-join under the store probe), and measured without a
+            # barrier the single ledger job re-evaluated it concurrently
+            # before any cache could fill — 3.7 s vs 1.0 s for the ledger
+            # materialization at sf0.1. Checkpoint (not persist) also
+            # truncates the pair lineage, keeping the downstream AQE plan
+            # small.
             .localCheckpoint(eager=True)
         )
-        # Materialization barrier: survivors feeds THREE consumers (the
-        # store probe, the final anti-join, and the signature append), and
-        # without a barrier Spark recomputes the anti-join per consumer;
-        # mixed partitionings can also trip whole-stage codegen's
-        # zipPartitions on local mode. localCheckpoint doubles as the cache
-        # (no persist ⇒ nothing to leak) — see the recache-by-path note
-        # below for why persist() would be wrong anyway.
-        survivors = new_docs.join(
-            batch_loser.select("doc_id").withColumnRenamed("doc_id", id_col),
-            id_col,
-            "left_anti",
-        ).localCheckpoint(eager=True)
+        # The batch-size gate below reads the row count from the signature
+        # cache the pair job just materialized — metadata-speed, and the
+        # one place the increment learns the batch's scale without an
+        # extra cold job.
+        n_batch_docs = batch_sig.count()
 
         # 2. store probe: band-key equi-join, est_jaccard from signatures.
-        # The probe reuses the batch_sig computed above (explicit handoff —
-        # never fished back out of the unpersist registry by schema).
+        # Survivor signatures = batch signatures minus within-batch losers
+        # (no pass over new_docs — the probe needs ids + sigs only).
         surv_sig = batch_sig.join(
-            survivors.select(id_col), id_col, "leftsemi"
+            batch_loser.select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_anti",
         )
         new_banded = surv_sig.select(
             F.col(id_col).alias("doc_id"),
@@ -252,19 +369,25 @@ class SignatureStore:
         )
         store = self.read(spark)
         # Scope the store-side passes to the BATCH'S band keys once the
-        # store is big enough for those passes to matter
-        # (scope_store_min_rows; decided from parquet footers — no job).
-        # Pre-r12 the degenerate-bucket guard below ALWAYS aggregated the
-        # WHOLE store — an O(corpus) groupBy shuffle on every micro-batch
-        # of a continuous-ingest stream, the accidental per-batch full
-        # pass this module's own docstring warns about (guide §2.3:
-        # aggregate/shuffle only the bytes the decision needs). A
-        # broadcast semi-join on the batch's (micro-batch-sized) key set
-        # keeps every store row of those keys, so per-key bucket counts —
-        # and therefore the candidate set and replay convergence — are
-        # byte-identical in both branches (pinned by
+        # store is big enough for those passes to matter (sidecar row
+        # count — no job) AND the batch is micro-batch-scale (the exact
+        # count above — a forced broadcast of a store-scale batch's keys
+        # would risk driver memory; such a batch amortizes the full-store
+        # guard instead). Pre-r12 the degenerate-bucket guard below
+        # ALWAYS aggregated the WHOLE store — an O(corpus) groupBy
+        # shuffle on every micro-batch of a continuous-ingest stream, the
+        # accidental per-batch full pass this module's own docstring
+        # warns about (guide §2.3: aggregate/shuffle only the bytes the
+        # decision needs). A broadcast semi-join on the batch's
+        # (micro-batch-sized) key set keeps every store row of those
+        # keys, so per-key bucket counts — and therefore the candidate
+        # set and replay convergence — are byte-identical in both
+        # branches (pinned by
         # tests/test_dedup_similarity.py::test_scoped_store_probe_equivalence).
-        scope_store = self._physical_rows() >= self.scope_store_min_rows
+        scope_store = (
+            self._physical_rows() >= self.scope_store_min_rows
+            and n_batch_docs <= self.scope_batch_max_docs
+        )
         if scope_store:
             batch_keys = new_banded.select("band_key").distinct()
             probe_base = store.join(
@@ -288,7 +411,7 @@ class SignatureStore:
             .select("band_key")
         )
         # the guard applies to the PROBE only — the replay-hygiene id
-        # anti-join below must still see every stored id, or a doc whose
+        # semi-join below must still see every stored id, or a doc whose
         # band keys are all oversized would re-append on replay
         probe_store = probe_base.join(oversized, "band_key", "left_anti")
         cand = new_banded.alias("n").join(probe_store.alias("s"), "band_key")
@@ -315,10 +438,6 @@ class SignatureStore:
             "matched_id",
             F.round(eq / F.lit(float(self.k)), 6).alias("est_jaccard"),
         ).filter(F.col("est_jaccard") >= threshold)
-        from high_volume_market_data_pipeline_spark.functions.plandump import (
-            dump_plan,
-        )
-
         dump_plan(scored, "incremental_store_probe")
         # deterministic report row: best match (max jaccard, min id) wins
         w = Window.partitionBy("doc_id").orderBy(
@@ -334,52 +453,106 @@ class SignatureStore:
                 F.lit("vs_store").alias("reason"),
             )
         )
-        # Pin BOTH outputs before the store append: their plans read the
-        # store parquet lazily, and appending first would make every just-
-        # admitted doc "match" its own fresh signature on re-evaluation.
-        # persist() is NOT enough — Spark's CacheManager recaches-by-path
-        # when a write lands on a path a cached plan reads, so the "cached"
-        # pre-append view silently recomputes against the grown store.
-        # localCheckpoint truncates lineage to materialized partitions,
-        # which no path refresh can touch.
-        store_loser = store_loser.localCheckpoint(eager=True)
-        admitted = survivors.join(
-            store_loser.select("doc_id").withColumnRenamed("doc_id", id_col),
-            id_col,
-            "left_anti",
-        ).localCheckpoint(eager=True)
 
-        # 3. append admitted signatures (reusing the cached batch
-        # signatures — admitted ⊆ survivors ⊆ batch; the write must
-        # complete before the finally-block unpersists the cache)
-        to_append = new_banded.join(
-            admitted.select(F.col(id_col).alias("doc_id")), "doc_id",
-            "leftsemi",
-        )
+        # THE admission ledger: every decision that reads the store —
+        # within-batch losers (for completeness of the rejected report),
+        # store losers, and (replay mode) the already-stored id set — is
+        # materialized ONCE, eagerly, BEFORE the append below. Pre-r13
+        # the increment pinned five frames with separate eager
+        # localCheckpoints (batch_loser, survivors, store_loser, admitted,
+        # to_append), i.e. five driver round-trips and two full
+        # materializations of the batch's text rows per micro-batch; now
+        # the pair barrier above plus this ledger-sized checkpoint pin the
+        # same decisions (guide §5: materialize once, serve every
+        # consumer). persist() would NOT be a safe pin — Spark's
+        # CacheManager recaches-by-path when a write lands on a path a
+        # cached plan reads, so the "cached" pre-append probe would
+        # silently recompute against the grown store; localCheckpoint
+        # truncates lineage to materialized partitions, which no path
+        # refresh can touch.
+        ledger_parts = [
+            batch_loser.withColumn("_src", F.lit("batch")),
+            store_loser.withColumn("_src", F.lit("store")),
+        ]
         if skip_existing_ids:
             # replay hygiene: ids already in the store keep their original
-            # rows (appending again would double them). Pin BEFORE the
-            # write — the anti-join plan reads the store path the write
-            # lands on. The anti-join never needed unique blocker rows, so
-            # the pre-r12 full-store dropDuplicates (an O(corpus) id
-            # shuffle per micro-batch) is dropped in both branches; on a
-            # big store the blocker set is additionally scoped to
-            # (store ids ∩ admitted ids) via a broadcast semi-join —
-            # to_append's ids ⊆ admitted, so the intersection blocks
-            # exactly the same rows while the store is scanned once,
-            # id-column-pruned and broadcast-filtered.
-            blockers = store.select("doc_id")
+            # rows (appending again would double them). to_append's ids
+            # are batch ids, so (store ids ∩ batch ids) blocks exactly
+            # the rows the full store-id set would; the store scan is
+            # id-column-pruned and — in the scoped branch — broadcast-
+            # filtered by the batch's (bounded) id set.
+            existing_ids = store.select("doc_id")
+            batch_ids = batch_sig.select(F.col(id_col).alias("doc_id"))
             if scope_store:
-                blockers = blockers.join(
-                    F.broadcast(
-                        admitted.select(F.col(id_col).alias("doc_id"))
-                    ),
-                    "doc_id",
-                    "leftsemi",
+                existing_ids = existing_ids.join(
+                    F.broadcast(batch_ids), "doc_id", "leftsemi"
                 )
-            to_append = to_append.join(blockers, "doc_id", "left_anti")
-            dump_plan(to_append, "incremental_append_hygiene")
-            to_append = to_append.localCheckpoint(eager=True)
+            else:
+                existing_ids = existing_ids.join(
+                    batch_ids, "doc_id", "leftsemi"
+                )
+            id_type = dict(batch_loser.dtypes)["matched_id"]
+            ledger_parts.append(
+                existing_ids.select(
+                    "doc_id",
+                    F.lit(None).cast(id_type).alias("matched_id"),
+                    F.lit(None).cast("double").alias("est_jaccard"),
+                    F.lit(None).cast("string").alias("reason"),
+                ).withColumn("_src", F.lit("existing"))
+            )
+        ledger = ledger_parts[0]
+        for part in ledger_parts[1:]:
+            ledger = ledger.unionByName(part)
+        dump_plan(ledger, "incremental_admission_ledger")
+        ledger = ledger.localCheckpoint(eager=True)
+
+        loser_ids = (
+            ledger.filter(F.col("_src") != "existing").select("doc_id")
+        )
+        # 3. append admitted signatures (reusing the cached batch
+        # signatures — admitted ids = batch ids minus ledger losers; the
+        # write must complete before the finally-block unpersists the
+        # cache). No store-reading subtree survives in this plan (the
+        # ledger is checkpointed), so the append can evaluate it while
+        # writing to the store path without a pin.
+        to_append = new_banded.join(
+            ledger.filter(F.col("_src") == "store").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        if skip_existing_ids:
+            to_append = to_append.join(
+                ledger.filter(F.col("_src") == "existing").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        # Size the delta's FILE COUNT to the batch (guide §6): the
+        # anti-join otherwise inherits the cache's partitioning and a
+        # micro-batch append lands as many near-empty files, growing the
+        # store's file count — and every later probe scan and footer
+        # walk — per increment. Row target ≈ 100 MB files at ~100 B per
+        # banded signature row; the exact batch count is already known.
+        n_files = max(
+            1, -(-n_batch_docs * self.bands // self._STORE_ROWS_PER_FILE)
+        )
+        to_append = to_append.repartition(n_files)
+        dump_plan(to_append, "incremental_append_hygiene")
+        files_before = set(self._list_parquet_files())
+        prior_rows = self._physical_rows()
         to_append.write.mode("append").parquet(self.path)
-        rejected = batch_loser.unionByName(store_loser)
+        # maintain the row-count sidecar: footer-read ONLY the files this
+        # append created (guide §6 — metadata instead of data I/O; the
+        # listing is one os.walk, the footers are O(files just written))
+        new_files = [
+            f for f in self._list_parquet_files() if f not in files_before
+        ]
+        try:
+            self._write_sidecar(prior_rows + self._footer_rows(new_files))
+        except OSError:
+            pass
+
+        admitted = new_docs.join(
+            loser_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        )
+        rejected = ledger.filter(F.col("_src") != "existing").drop("_src")
         return admitted, rejected

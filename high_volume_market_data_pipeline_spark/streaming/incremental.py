@@ -147,34 +147,52 @@ def stream_incremental_dedup(
             "it first (an empty corpus is a valid bootstrap)"
         )
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        admitted, rejected = store.dedup_increment(
-            batch_df,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=threshold,
-            skip_existing_ids=True,
+        # Batch-scope the shuffle sizing for the LEDGER WRITES too, with
+        # the same data-sized rule dedup_increment applies internally
+        # (guide §2.2): the admitted write anti-joins the micro-batch
+        # against the checkpointed decision ledger, and planning it under
+        # the session's cores×3 shuffle partitions pays ~30 empty task
+        # launches per micro-batch for micro-batch-sized rows.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        target = max(
+            8, min(int(prev_parts), batch_df.rdd.getNumPartitions())
         )
-        for df, leaf in ((admitted, "admitted"), (rejected, "rejected")):
-            out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            out = out.coalesce(_LEDGER_MAX_FILES_PER_BATCH)
-            _ensure_schema_marker(out, f"{out_root}/{leaf}")
-            # dynamic mode per-write: a replayed batch overwrites ONLY its
-            # own batch_id partition (exactly-once ledger), without
-            # flipping the session-wide overwrite default
-            out.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("batch_id").parquet(f"{out_root}/{leaf}")
-            if (
-                compact_every_batches
-                and batch_id > 0
-                and batch_id % compact_every_batches == 0
-            ):
-                compact_ledger(
-                    spark,
-                    out_root,
-                    leaf,
-                    keep_last_batches=compact_every_batches,
-                )
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        if target < int(prev_parts):
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            admitted, rejected = store.dedup_increment(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                skip_existing_ids=True,
+            )
+            for df, leaf in ((admitted, "admitted"), (rejected, "rejected")):
+                out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                out = out.coalesce(_LEDGER_MAX_FILES_PER_BATCH)
+                _ensure_schema_marker(out, f"{out_root}/{leaf}")
+                # dynamic mode per-write: a replayed batch overwrites ONLY
+                # its own batch_id partition (exactly-once ledger), without
+                # flipping the session-wide overwrite default
+                out.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("batch_id").parquet(f"{out_root}/{leaf}")
+                if (
+                    compact_every_batches
+                    and batch_id > 0
+                    and batch_id % compact_every_batches == 0
+                ):
+                    compact_ledger(
+                        spark,
+                        out_root,
+                        leaf,
+                        keep_last_batches=compact_every_batches,
+                    )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (

@@ -719,6 +719,51 @@ def test_adaptive_recall_meets_committed_floor():
         ), f"{os.path.basename(path)} {key}: {r}"
 
 
+def test_store_row_count_sidecar_no_per_increment_walk(spark, tmp_path):
+    """r13 optimization contract: the scope-vs-full decision reads the
+    store's row count from a sidecar the writers maintain (bootstrap
+    seeds it, every append bumps it by the footer sum of ONLY the files
+    it just wrote). An increment must never re-walk every parquet footer
+    in the store — that was O(total files) driver work per micro-batch,
+    quadratic over a continuous-ingest stream's lifetime. A store whose
+    sidecar is missing (external writer, pre-r13 layout) pays one
+    reseeding walk and is exact again."""
+    import os
+    import unittest.mock as mock
+
+    from high_volume_market_data_pipeline_spark.dedup import SignatureStore
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = SignatureStore(str(tmp_path / "sigs"))
+    store.bootstrap(docs.filter(F.col("doc_id") < 20))
+    assert store._physical_rows() == store.read(spark).count()
+
+    walks: list[int] = []
+    orig = SignatureStore._footer_rows
+
+    def counting(self, files):
+        walks.append(len(files))
+        return orig(self, files)
+
+    with mock.patch.object(SignatureStore, "_footer_rows", counting):
+        store.dedup_increment(
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+        )
+    n_store_files = len(store._list_parquet_files())
+    # the only footer reads during an increment cover the just-appended
+    # files, never the whole store
+    assert walks and all(w < n_store_files for w in walks), (
+        walks,
+        n_store_files,
+    )
+    # sidecar stays exact after the append
+    assert store._physical_rows() == store.read(spark).count()
+
+    # sidecar lost (external writer): one reseeding walk, then exact
+    os.remove(store._sidecar_path())
+    assert store._physical_rows() == store.read(spark).count()
+
+
 def test_store_probe_applies_bucket_guard_and_replay_converges(
     spark, tmp_path
 ):
