@@ -555,6 +555,7 @@ def _fit_sample(
     fit_fraction: float | None,
     auto_target: int | None,
     n_rows: int | None = None,
+    probe_empty: bool = True,
 ) -> DataFrame:
     """Training input for a quantizer fit — the one sampling discipline
     every index builder shares (FAISS ``max_points_per_centroid``). An
@@ -568,7 +569,10 @@ def _fit_sample(
     row count — skips the sizing count() when provided (r12: a composed
     builder like build_ivf_pq_index derives several 1:1 frames from one
     corpus and was paying one count job per fit; the fraction decision is
-    identical as long as the count is)."""
+    identical as long as the count is). ``probe_empty=False`` skips the
+    one-job empty-sample probe — pass it when the CALLER materializes
+    the sample anyway (a driver-side fit collects it) and can apply the
+    empty-fallback itself (r13: the probe was ~0.15 s per fit)."""
     if fit_fraction is None and auto_target is not None:
         n = df.count() if n_rows is None else n_rows
         if n > auto_target:
@@ -583,10 +587,96 @@ def _fit_sample(
         sampled = df.filter(
             hash_bucket(F.col(id_col).cast("string"), n_buckets) < bound
         )
-        if sampled.limit(1).count() == 0:
+        if probe_empty and sampled.limit(1).count() == 0:
             return df
         return sampled
     return df
+
+
+def _lloyd_fit(
+    X: "np.ndarray", k: int, seed: int, iters: int
+) -> "np.ndarray":
+    """Deterministic seeded Lloyd k-means on a DRIVER-resident sample —
+    the coarse-quantizer fit (r13; was a Spark-ML KMeans fit whose
+    kmeans|| init + per-iteration jobs cost ~1.2 s per index build for a
+    few-thousand-row sample that fits in one numpy matrix). Same
+    arithmetic as fit_pq_codebooks' per-subspace ``_fit_one``: seeded
+    choice init over rows sorted by id (the caller sorts), cross-term
+    distance form, empty clusters reseeded to the farthest point. Cell
+    quality needs only rough balance (recall is governed by n_probe, not
+    centroid polish) — the recall-floor tests pin the contract.
+
+    Init is seeded k-means++ (D²-weighted over the id-sorted sample —
+    deterministic given the same sample and seed; the same family
+    kmeans|| approximates). Measured against exact top-5 on the random
+    sf0.01 embeddings (ANN's worst case): k-means++ @ 15 iterations
+    reads recall 0.725 (full fit) / 0.65 (0.3-sampled fit) vs 0.50-0.60
+    for uniform or farthest-first inits — the sweep is recorded in
+    OPTIMIZATION_r13.md §2."""
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(X))
+    x2 = (X**2).sum(axis=1)
+    first = int(rng.randint(len(X)))
+    chosen = [first]
+    d2min = np.maximum(x2 + x2[first] - 2.0 * (X @ X[first]), 0.0)
+    for _ in range(1, k_eff):
+        tot = d2min.sum()
+        if tot <= 0:  # all remaining points coincide with a center
+            nxt = int(rng.randint(len(X)))
+        else:
+            nxt = int(rng.choice(len(X), p=d2min / tot))
+        chosen.append(nxt)
+        d2 = np.maximum(x2 + x2[nxt] - 2.0 * (X @ X[nxt]), 0.0)
+        d2min = np.minimum(d2min, d2)
+    cent = X[chosen].copy()
+    for _ in range(iters):
+        d2 = x2[:, None] + (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
+        assign = d2.argmin(axis=1)
+        for ci in range(k_eff):
+            members = X[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+            else:  # reseed an empty cluster to the farthest point
+                cent[ci] = X[d2.min(axis=1).argmax()]
+    return cent
+
+
+def _collect_fit_matrix(
+    sample: DataFrame, full: DataFrame, id_col: str, vec_col: str
+) -> "np.ndarray":
+    """Collect a fit sample to the driver as a row-sorted float64 matrix
+    (sorted by id so the matrix — hence the seeded init — is independent
+    of Spark's nondeterministic collect order). Falls back to the full
+    input when the sample is empty (tiny corpus), mirroring
+    _fit_sample's guard without its probe job."""
+    rows = sample.select(id_col, vec_col).collect()
+    if not rows and sample is not full:
+        rows = full.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("cannot fit a coarse quantizer on an empty corpus")
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
+def _assign_cells(
+    df: DataFrame, centroids: "np.ndarray", nv_col: str = "_nv"
+) -> DataFrame:
+    """Append ``cell`` = index of the nearest centroid to the (already
+    L2-normalized) ``nv_col`` — one Arrow batch matmul per task, the
+    same argmin arithmetic as index_store._with_cell's append-side
+    assignment so build and append place identical vectors identically."""
+    from pyspark.sql.functions import pandas_udf
+
+    c2 = (centroids**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        # argmin ‖x−c‖² = argmin ‖c‖² − 2x·c (‖x‖² is a per-row constant)
+        d = c2[None, :] - 2.0 * (X @ centroids.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("cell", _cell(F.col(nv_col)))
 
 
 def build_ivf_index(
@@ -608,10 +698,16 @@ def build_ivf_index(
     ``points_per_cell · n_cells`` vectors (same FAISS
     max_points_per_centroid discipline as fit_pq_codebooks; None forces
     the full fit). Every vector is still ASSIGNED; only the Lloyd
-    iterations read the sample."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    iterations read the sample.
 
+    r13: the fit is the driver-side deterministic numpy Lloyd
+    (``_lloyd_fit``) over the collected sample — the sample is
+    driver-sized BY DESIGN (points_per_cell · n_cells ≈ thousands of
+    rows, the same scale ivf_knn already collects for query probing), so
+    the former Spark-ML KMeans fit (kmeans|| init + one job per Lloyd
+    iteration, ~1.2 s per build) was pure orchestration. Assignment of
+    the FULL corpus stays distributed (one Arrow matmul per batch,
+    identical arithmetic to the append path's _with_cell)."""
     from high_volume_market_data_pipeline_spark.functions.expr import bind_once
 
     def norm(v):
@@ -626,30 +722,25 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("_nv", norm(F.col("cv")))
-    # Persist the featurized corpus: the k-means fit re-reads it every
-    # Lloyd iteration and the inverted-list assignment reads it once more —
-    # uncached, each pass would recompute the normalization expressions.
-    ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+    # Persist the featurized corpus: the sample collect reads it once and
+    # the inverted-list assignment once more — uncached, each pass would
+    # recompute the normalization expressions.
+    c = c.persist()
     # Coarse quantizer: a handful of Lloyd iterations is enough — cells
     # only need to be roughly balanced, not converged (FAISS uses 10-25 on
     # samples; recall is governed by n_probe, not centroid polish).
     fit_input = _fit_sample(
-        ml,
+        c,
         "neighbor_id",
         fit_fraction,
         points_per_cell * n_cells if points_per_cell is not None else None,
+        probe_empty=False,
     )
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=5,
-        featuresCol="_features", predictionCol="cell",
-    ).fit(fit_input)
-    inverted = model.transform(ml).select("neighbor_id", "cv", "cell")
+    X = _collect_fit_matrix(fit_input, c, "neighbor_id", "_nv")
+    cent_np = _lloyd_fit(X, n_cells, seed, iters=15)
+    inverted = _assign_cells(c, cent_np).select("neighbor_id", "cv", "cell")
     inverted = inverted.localCheckpoint(eager=True)
-    ml.unpersist()
-    cent_np = np.asarray(
-        [[float(x) for x in center] for center in model.clusterCenters()],
-        dtype=np.float64,
-    )
+    c.unpersist()
     return IVFIndex(cent_np, inverted)
 
 
@@ -1100,10 +1191,11 @@ def build_ivf_pq_index(
     vectors — that is why the residual step exists. Both fits auto-sample
     when ``fit_fraction`` is not given (points_per_cell · n_cells for the
     coarse quantizer here; fit_pq_codebooks applies its own
-    points_per_code target to the residual codebooks)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    points_per_code target to the residual codebooks).
 
+    r13: the coarse fit is the driver-side deterministic numpy Lloyd on
+    the collected (driver-sized by design) sample — see build_ivf_index;
+    corpus-scale work (assignment, residuals, encode) stays distributed."""
     from high_volume_market_data_pipeline_spark.functions.expr import bind_once
     from high_volume_market_data_pipeline_spark.functions.vectors import norm
 
@@ -1116,31 +1208,25 @@ def build_ivf_pq_index(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("_nv", unit(F.col("cv")))
-    ml = c.withColumn("_features", array_to_vector("_nv")).persist()
+        unit(as_double(F.col(vec_col))).alias("_nv"),
+    ).persist()
     # One corpus count serves BOTH sampled fits: the residual frame below
-    # is a 1:1 transform of ml, so its row count is ml's — pre-r12 each
+    # is a 1:1 transform of c, so its row count is c's — pre-r12 each
     # _fit_sample ran its own count job, and the residual one re-paid the
     # assignment+join to count rows it could know for free (guide §1.2).
-    n_corpus = ml.count() if fit_fraction is None else None
+    n_corpus = c.count() if fit_fraction is None else None
     fit_input = _fit_sample(
-        ml,
+        c,
         "neighbor_id",
         fit_fraction,
         points_per_cell * n_cells if points_per_cell is not None else None,
         n_rows=n_corpus,
+        probe_empty=False,
     )
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=5,
-        featuresCol="_features", predictionCol="cell",
-    ).fit(fit_input)
-    inverted = model.transform(ml).select("neighbor_id", "_nv", "cell")
+    X = _collect_fit_matrix(fit_input, c, "neighbor_id", "_nv")
+    cent_np = _lloyd_fit(X, n_cells, seed, iters=15)
+    inverted = _assign_cells(c, cent_np).select("neighbor_id", "_nv", "cell")
 
-    cent_np = np.asarray(
-        [[float(x) for x in center] for center in model.clusterCenters()],
-        dtype=np.float64,
-    )
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cent_np)],
         "cell int, centroid array<double>",
@@ -1176,7 +1262,7 @@ def build_ivf_pq_index(
     )
     coded = coded.localCheckpoint(eager=True)  # the persisted index
     resid.unpersist()
-    ml.unpersist()
+    c.unpersist()
     return IVFPQIndex(cent_np, cb, coded)
 
 

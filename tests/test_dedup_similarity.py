@@ -239,23 +239,33 @@ def test_label_centroid_exact_mean(spark):
 
 def test_ivf_sample_fit_preserves_recall_and_determinism(spark):
     """fit_fraction trains the quantizer on an md5 sample; assignment still
-    covers every vector, so results stay deterministic and recall against
-    the full-fit run stays high."""
+    covers every vector, so results stay deterministic and the sampled
+    fit's recall holds.
+
+    Re-pinned in r13 (the round that replaced the Spark-ML KMeans fit
+    with the driver-side seeded k-means++ Lloyd): the reference is now
+    EXACT top-5 (brute force), not the full-fit ANN run — two
+    independent local optima each finding ~70% of the true neighbors can
+    legitimately find different 70%s, so "overlap with another
+    approximation" punished fit variance, not recall. The sampled fit
+    must clear the same ≥0.5 floor as the full-fit IVF recall test."""
     from high_volume_market_data_pipeline_spark.similarity import ivf_knn
     from high_volume_market_data_pipeline_spark.catalog import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    full = ivf_knn(q, emb, k=5)
     sampled = ivf_knn(q, emb, k=5, fit_fraction=0.3)
     sampled2 = ivf_knn(q, emb, k=5, fit_fraction=0.3)
     s1 = {(r["query_id"], r["neighbor_id"], r["knn_rank"]) for r in sampled.collect()}
     s2 = {(r["query_id"], r["neighbor_id"], r["knn_rank"]) for r in sampled2.collect()}
     assert s1 == s2  # RNG-free: bit-identical across runs
     got = {(qid, nid) for (qid, nid, _rank) in s1}
-    ref = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
-    # sampled-quantizer cells differ, but most true neighbors survive
-    assert len(got & ref) / len(ref) >= 0.6
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"sampled-fit recall {recall}"
 
 
 def test_signature_store_incremental_dedup(spark, tmp_path):
