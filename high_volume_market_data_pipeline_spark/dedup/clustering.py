@@ -90,8 +90,16 @@ def connected_components(
     # pair graph on a 96-partition session wastes ~all its time on empty
     # tasks. ~250k pairs per partition; restore the session conf at the end.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     target = max(8, min(int(prev_parts), n_pairs // 250_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    if target < int(prev_parts):
+        # Below-session-scale graph: adaptive re-planning has nothing to
+        # adapt (shuffles are floor-sized), but under AQE every exchange
+        # materializes as its own Spark job, and in an iterative loop the
+        # per-job driver round-trip dominates (same finding as
+        # dedup/incremental r13). Session-scale graphs keep AQE on.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # No .distinct() here: min-label propagation is idempotent under
         # duplicate edges (min of a multiset), callers pass deduped pairs
@@ -103,6 +111,12 @@ def connected_components(
             .union(
                 pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
             )
+            # cache COMPACT: the union inherits the pair pipeline's
+            # parallelism (~2x its cache partitions), and every loop round
+            # re-scans this cache — one task per cached partition per
+            # round. Graph-sized partitioning caps that at the same
+            # target the shuffles use.
+            .repartition(target)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Round 1 fused into seeding: with identity labels, the propagated
@@ -168,4 +182,5 @@ def connected_components(
     finally:
         pairs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return labels

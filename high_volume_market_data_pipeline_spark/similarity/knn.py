@@ -41,6 +41,40 @@ _MAX_CLOSURE_QUERIES = 100_000
 _CLOSURE_BUDGET_BYTES = 128 << 20
 
 
+def _model_scoped_shuffle(df: DataFrame):
+    """Context manager: scope shuffle sizing (and AQE) to ``df``'s own
+    scan layout for the EAGER model-building regions (quantizer fits,
+    code-table checkpoints). An index build over a metadata-scale corpus
+    otherwise runs its handful of shuffles at the session's cores×3
+    partitions — with AQE additionally materializing every exchange as
+    its own Spark job — and the per-task/per-job fixed cost dwarfs the
+    model-sized data (same r13 finding as dedup/incremental and
+    dedup/clustering). A 100 TB corpus has input splits ≥ the session
+    conf, leaves both knobs untouched, and keeps AQE's skew handling.
+    Lazy SEARCH paths are unaffected: this only wraps code that
+    materializes inside the builder."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        spark = df.sparkSession
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        target = max(8, min(int(prev_parts), df.rdd.getNumPartitions()))
+        changed = target < int(prev_parts)
+        if changed:
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            if changed:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    return scope()
+
+
 def _build_vector_kernels():
     """The numpy helpers every executor-shipped kernel in this family
     calls, built as <locals> closures so cloudpickle ships their BODIES
@@ -960,7 +994,13 @@ def fit_pq_codebooks(
     )
     cb = np.zeros((m_subspaces, n_codes, dsub), dtype=np.float64)
     filled = np.zeros(m_subspaces, dtype=np.int64)
-    for row in fitted.collect():  # m·k rows: the model, not data
+    # The fit's ONE shuffle moves a sampled, model-scale training set
+    # into m groups — scope its sizing to the corpus' scan layout
+    # (_model_scoped_shuffle) so a small corpus doesn't pay cores×3
+    # partitions (mostly empty) for m=8 groups of rows.
+    with _model_scoped_shuffle(corpus):
+        rows = fitted.collect()  # m·k rows: the model, not data
+    for row in rows:
         cb[row["sub_id"], row["code"]] = row["centroid"]
         filled[row["sub_id"]] = max(filled[row["sub_id"]], row["code"] + 1)
     # A corpus smaller than n_codes leaves trailing codebook rows at
