@@ -93,9 +93,11 @@ def main() -> None:
                 cpu1 = _cpu_stat()
                 d = [a - b for a, b in zip(cpu1, cpu0)]
                 tot = max(1, sum(d))
-                steal_log.setdefault(name, []).append(
-                    round(100.0 * d[7] / tot, 2)
-                )
+                # steal is field 8 of /proc/stat's cpu line; sandboxed or
+                # older /proc implementations may expose fewer fields —
+                # telemetry degradation must never fail the benchmark
+                steal = 100.0 * d[7] / tot if len(d) > 7 else 0.0
+                steal_log.setdefault(name, []).append(round(steal, 2))
                 busy_log.setdefault(name, []).append(
                     round(100.0 * (d[0] + d[2]) / tot, 1)
                 )

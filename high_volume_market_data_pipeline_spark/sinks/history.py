@@ -599,6 +599,35 @@ class VersionedParquetTable:
             return self.read(spark, version=m["version"]).count()
         return int(n)
 
+    def verify_row_counts(self) -> list[dict]:
+        """Maintenance fsck for the ``n_rows`` trust chain (r13): since
+        r12 the declared ingest queries read per-version cardinalities
+        from the manifest's ``n_rows`` instead of counting data, so a
+        manifest written by a buggy or hand-edited writer would silently
+        change a declared output. This recomputes every kept version's
+        physical row count from the parquet FOOTERS of the dirs the
+        manifest references (metadata-only, no Spark job) and returns one
+        dict per MISMATCH ({version, recorded, actual}) — empty means the
+        chain is sound. Legacy manifests without ``n_rows`` are skipped
+        (readers fall back to count() there anyway)."""
+        bad = []
+        for m in self._manifests():
+            n = m.get("n_rows")
+            if n is None:
+                continue
+            actual = sum(
+                self._dir_num_rows(d) for d in self._data_dirs(m)
+            )
+            if int(n) != actual:
+                bad.append(
+                    {
+                        "version": int(m["version"]),
+                        "recorded": int(n),
+                        "actual": actual,
+                    }
+                )
+        return bad
+
     @staticmethod
     def _data_dirs(manifest: dict) -> list[str]:
         """Every data dir a manifest references: append commits carry
