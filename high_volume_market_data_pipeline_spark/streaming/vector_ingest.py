@@ -81,14 +81,31 @@ def stream_append_index(
     loader(spark, index_root)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        appender(
-            spark,
-            index_root,
-            batch_df,
-            vec_col=vec_col,
-            id_col=id_col,
-            skip_existing_ids=True,
-        )
+        # Batch-scope shuffle sizing + AQE for the append (r13; same
+        # data-sized rule as streaming/incremental.py's bridge): a
+        # micro-batch append's encode + id anti-join otherwise plans at
+        # the session's cores×3 shuffle partitions with one AQE job per
+        # exchange, and at micro-batch size the per-job/per-task fixed
+        # cost dominates. Corpus-scale batches (input splits ≥ session
+        # conf) leave both knobs untouched.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        target = max(8, min(int(prev_parts), batch_df.rdd.getNumPartitions()))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        if target < int(prev_parts):
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            appender(
+                spark,
+                index_root,
+                batch_df,
+                vec_col=vec_col,
+                id_col=id_col,
+                skip_existing_ids=True,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (
