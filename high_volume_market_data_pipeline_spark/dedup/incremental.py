@@ -229,39 +229,33 @@ class SignatureStore:
         run admitted. Costs one (doc_id)-projection semi-join against
         the store per batch — skip it for the pure-batch path where ids
         are disjoint by construction."""
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            data_scoped_shuffle,
+        )
+
         spark = new_docs.sparkSession
         caches: list[DataFrame] = []
         # Size every post-signature shuffle to the BATCH, not the session
         # (the connected_components precedent, guide §2.2): the increment
         # runs ~a dozen shuffle stages over key/signature rows that are
         # micro-batch-sized, and on a cores×3 session each pays ~30 empty
-        # task launches. The signature md5 compute itself is scan-side
+        # task launches — and with AQE on, one Spark job per exchange
+        # (measured ~30 jobs per micro-batch increment vs ~10 static).
+        # The signature md5 compute itself is scan-side
         # (ensure_parallelism's fan-out) and unaffected by this knob. The
         # target follows the input's own scan layout — thousands of
-        # splits at 100 TB leave the session conf in charge; a micro-
-        # batch drops to the floor. Restored before returning, so the
-        # caller's own actions plan under the session conf.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        target = max(8, min(int(prev_parts), new_docs.rdd.getNumPartitions()))
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        if target < int(prev_parts):
-            # Batch below session scale: adaptive re-planning has nothing
-            # to adapt (shuffles are already floor-sized, nothing can
-            # skew), but under AQE every exchange materializes as its own
-            # Spark job — measured ~30 jobs per micro-batch increment vs
-            # ~10 with static planning, and at micro-batch size the
-            # per-job driver round-trip IS the cost. Corpus-scale batches
-            # (input splits ≥ session parallelism) keep AQE on.
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # splits at 100 TB leave the session conf and AQE in charge; a
+        # micro-batch drops to the floor. Restored before returning, so
+        # the caller's own actions plan under the session conf.
         try:
-            return self._dedup_increment(
-                spark, new_docs, text_col, id_col, threshold, max_bucket,
-                caches, skip_existing_ids,
-            )
+            with data_scoped_shuffle(
+                spark, new_docs.rdd.getNumPartitions()
+            ):
+                return self._dedup_increment(
+                    spark, new_docs, text_col, id_col, threshold,
+                    max_bucket, caches, skip_existing_ids,
+                )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             # The decision ledger is localCheckpoint-pinned and the store
             # append completed before we get here, so dropping the
             # signature/pair caches cannot trigger recompute of anything

@@ -34,6 +34,40 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def data_scoped_shuffle(spark, input_partitions: int, floor: int = 8):
+    """L4 (r13): context manager that sizes shuffle partitions to the
+    DATA for an eager, below-session-scale region, and turns AQE off for
+    it (with floor-sized shuffles nothing can skew and nothing needs
+    re-planning, but under AQE every exchange materializes as its own
+    Spark job — at micro-batch/model scale the per-job driver round-trip
+    IS the cost; measured on the r13 lifecycle rows: 77→42 and 35→16
+    jobs per run). ``input_partitions`` is the input's own scan layout —
+    thousands of splits at 100 TB leave the session conf and AQE
+    untouched, so the scoping is scale-adaptive, never a local-mode
+    constant. Both settings are restored on exit; only wrap code that
+    MATERIALIZES inside the region (a lazily returned frame plans at
+    whatever conf its consumer runs under)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        target = max(floor, min(int(prev_parts), input_partitions))
+        changed = target < int(prev_parts)
+        if changed:
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            if changed:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    return scope()
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow input out to at least ``min_partitions`` (default: the
     cluster's defaultParallelism) before CPU-dense per-row work.

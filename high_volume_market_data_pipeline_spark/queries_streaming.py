@@ -764,13 +764,21 @@ def stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in coded_tbl.history(spark).collect()
         ]
         idx = load_pq_index(spark, root)
-        searched = pq_knn(
-            emb.filter(F.col("vec_id") >= 300).limit(5),
-            emb,
-            k=3,
-            n_codes=16,
-            index=idx,
-        ).count()
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            data_scoped_shuffle,
+        )
+
+        # the search count is an INTERNAL action over a corpus-scale
+        # candidate set — size its shuffles to the corpus' scan layout
+        # (r13; no-op when the corpus has session-scale splits)
+        with data_scoped_shuffle(spark, emb.rdd.getNumPartitions()):
+            searched = pq_knn(
+                emb.filter(F.col("vec_id") >= 300).limit(5),
+                emb,
+                k=3,
+                n_codes=16,
+                index=idx,
+            ).count()
         out = spark.createDataFrame(
             [(v, op, n) for v, op, n in versions]
             + [(-1, "SEARCHED_ROWS", searched)],
@@ -851,13 +859,19 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in coded_tbl.history(spark).collect()
         ]
         idx = load_ivf_index(spark, root)
-        searched = ivf_knn(
-            emb.filter(F.col("vec_id") >= 300).limit(5),
-            emb,
-            k=3,
-            n_cells=8,
-            index=idx,
-        ).count()
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            data_scoped_shuffle,
+        )
+
+        # internal search action — corpus-layout-scoped like the PQ twin
+        with data_scoped_shuffle(spark, emb.rdd.getNumPartitions()):
+            searched = ivf_knn(
+                emb.filter(F.col("vec_id") >= 300).limit(5),
+                emb,
+                k=3,
+                n_cells=8,
+                index=idx,
+            ).count()
         out = spark.createDataFrame(
             [(v, op, n) for v, op, n in versions]
             + [(-1, "SEARCHED_ROWS", searched)],

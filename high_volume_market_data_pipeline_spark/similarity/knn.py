@@ -53,26 +53,11 @@ def _model_scoped_shuffle(df: DataFrame):
     conf, leaves both knobs untouched, and keeps AQE's skew handling.
     Lazy SEARCH paths are unaffected: this only wraps code that
     materializes inside the builder."""
-    from contextlib import contextmanager
+    from high_volume_market_data_pipeline_spark.operators.layout import (
+        data_scoped_shuffle,
+    )
 
-    @contextmanager
-    def scope():
-        spark = df.sparkSession
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        target = max(8, min(int(prev_parts), df.rdd.getNumPartitions()))
-        changed = target < int(prev_parts)
-        if changed:
-            spark.conf.set("spark.sql.shuffle.partitions", str(target))
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            yield
-        finally:
-            if changed:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-
-    return scope()
+    return data_scoped_shuffle(df.sparkSession, df.rdd.getNumPartitions())
 
 
 def _build_vector_kernels():

@@ -147,21 +147,17 @@ def stream_incremental_dedup(
             "it first (an empty corpus is a valid bootstrap)"
         )
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            data_scoped_shuffle,
+        )
+
         # Batch-scope the shuffle sizing for the LEDGER WRITES too, with
         # the same data-sized rule dedup_increment applies internally
         # (guide §2.2): the admitted write anti-joins the micro-batch
         # against the checkpointed decision ledger, and planning it under
         # the session's cores×3 shuffle partitions pays ~30 empty task
         # launches per micro-batch for micro-batch-sized rows.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        target = max(
-            8, min(int(prev_parts), batch_df.rdd.getNumPartitions())
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        if target < int(prev_parts):
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with data_scoped_shuffle(spark, batch_df.rdd.getNumPartitions()):
             admitted, rejected = store.dedup_increment(
                 batch_df,
                 text_col=text_col,
@@ -190,9 +186,6 @@ def stream_incremental_dedup(
                         leaf,
                         keep_last_batches=compact_every_batches,
                     )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (

@@ -81,6 +81,10 @@ def stream_append_index(
     loader(spark, index_root)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from high_volume_market_data_pipeline_spark.operators.layout import (
+            data_scoped_shuffle,
+        )
+
         # Batch-scope shuffle sizing + AQE for the append (r13; same
         # data-sized rule as streaming/incremental.py's bridge): a
         # micro-batch append's encode + id anti-join otherwise plans at
@@ -88,13 +92,7 @@ def stream_append_index(
         # exchange, and at micro-batch size the per-job/per-task fixed
         # cost dominates. Corpus-scale batches (input splits ≥ session
         # conf) leave both knobs untouched.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        target = max(8, min(int(prev_parts), batch_df.rdd.getNumPartitions()))
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        if target < int(prev_parts):
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with data_scoped_shuffle(spark, batch_df.rdd.getNumPartitions()):
             appender(
                 spark,
                 index_root,
@@ -103,9 +101,6 @@ def stream_append_index(
                 id_col=id_col,
                 skip_existing_ids=True,
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     trigger_kwargs = dict(trigger) if trigger else {"availableNow": True}
     return (
